@@ -1,0 +1,20 @@
+"""jpeg_tpu — a TPU-native baseline JPEG encode engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference ESP32 JPEG encoder + frame-differencing firmware
+(MattiaDallaCosta/JPEG-encoder-decoder), redesigned TPU-first:
+
+* batched MXU-shaped DCT/quantization kernels over all 8x8 blocks at once,
+* device-parallel entropy packing (prefix sums + scatter) replacing the
+  reference's bit-serial packer,
+* spatial sharding across a device mesh at restart-marker boundaries,
+* a bit-exact NumPy golden path (oracle) and a full baseline decoder.
+
+Public API:
+    encode_jpeg(rgb, config)        — single-image encode on device
+    encode_jpeg_batch(rgbs, config) — batched encode
+    golden.encode / golden.decode   — host oracle encoder/decoder
+"""
+from .core.types import Area, EncodeConfig  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,138 @@
+"""JFIF marker stream emission.
+
+Host-side assembly of the JPEG container: SOI/APP0/DQT/DHT/SOF0/DRI/SOS/
+RSTn/EOI.  Byte-for-byte compatible with the reference's marker stream
+(``main/encoder.c:534-644``, ``utils/original.c:1042-1128``) for the
+3-scan layout, plus an interleaved single-scan layout with restart markers
+(DRI/RSTn) used by the multi-chip spatially-sharded path.
+
+Marker emission is inherently a tiny sequential byte-append job; the heavy
+part — entropy-coded scan payloads — is produced on device by
+``jpeg_tpu.ops.pack`` and only concatenated here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import tables as T
+from ..huffman.build import HuffmanTable
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+# APP0 JFIF header: version 1.1, no units, 72x72 density, no thumbnail
+# (reference: main/encoder.c:534, utils/original.c:1047-1056).
+APP0 = bytes([
+    0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46, 0x49, 0x46, 0x00,
+    0x01, 0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00,
+])
+
+
+def dqt_segment(table_id: int, quantizer: np.ndarray) -> bytes:
+    """DQT with the 64 entries in zig-zag order (main/encoder.c:564-581)."""
+    zz = quantizer.reshape(64)[T.SCAN_ORDER]
+    return bytes([0xFF, 0xDB, 0x00, 0x43, table_id]) + bytes(int(v) for v in zz)
+
+
+def dht_segment(tc_th: int, table: HuffmanTable) -> bytes:
+    """DHT for one table; tc_th packs class (hi nibble: 0=DC,1=AC) and id
+    (lo nibble: 0=luma, 1=chroma) — main/encoder.c:504-532."""
+    bits = [int(table.bits[i]) for i in range(1, 17)]
+    vals = [int(v) for v in table.huffval]
+    length = 19 + len(vals)
+    return bytes([0xFF, 0xC4, (length >> 8) & 0xFF, length & 0xFF, tc_th]) + \
+        bytes(bits) + bytes(vals)
+
+
+def sof0_segment(width: int, height: int) -> bytes:
+    """Baseline SOF0, 3 components, Y sampling 2x2, chroma 1x1
+    (main/encoder.c:536,593-598)."""
+    return bytes([
+        0xFF, 0xC0, 0x00, 0x11, 0x08,
+        (height >> 8) & 0xFF, height & 0xFF,
+        (width >> 8) & 0xFF, width & 0xFF,
+        0x03,
+        0x01, 0x22, 0x00,
+        0x02, 0x11, 0x01,
+        0x03, 0x11, 0x01,
+    ])
+
+
+def dri_segment(restart_interval: int) -> bytes:
+    """DRI: restart interval in MCUs."""
+    return bytes([0xFF, 0xDD, 0x00, 0x04,
+                  (restart_interval >> 8) & 0xFF, restart_interval & 0xFF])
+
+
+def sos_header_single(component_id: int, dc_table: int, ac_table: int) -> bytes:
+    """Non-interleaved single-component SOS header (main/encoder.c:537,605-632)."""
+    return bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, component_id,
+                  ((dc_table << 4) | ac_table) & 0xFF, 0x00, 0x3F, 0x00])
+
+
+def sos_header_interleaved() -> bytes:
+    """Interleaved 3-component SOS header (Y->tables 0, Cb/Cr->tables 1)."""
+    return bytes([0xFF, 0xDA, 0x00, 0x0C, 0x03,
+                  0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
+                  0x00, 0x3F, 0x00])
+
+
+def rst_marker(index: int) -> bytes:
+    """RSTn marker, n = index mod 8."""
+    return bytes([0xFF, 0xD0 + (index % 8)])
+
+
+def headers(
+    width: int,
+    height: int,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+    tables: dict[str, HuffmanTable],
+    restart_interval: int = 0,
+) -> bytes:
+    """Everything from SOI up to (excluding) the first SOS.
+
+    Byte-identical to the reference's emission for restart_interval=0
+    (main/encoder.c:552-603).
+    """
+    out = [
+        SOI,
+        APP0,
+        dqt_segment(0, luma_q),
+        dqt_segment(1, chroma_q),
+        dht_segment(0x00, tables["luma_dc"]),
+        dht_segment(0x10, tables["luma_ac"]),
+        dht_segment(0x01, tables["chroma_dc"]),
+        dht_segment(0x11, tables["chroma_ac"]),
+        sof0_segment(width, height),
+    ]
+    if restart_interval:
+        out.append(dri_segment(restart_interval))
+    return b"".join(out)
+
+
+def assemble_3scan(header: bytes, y_scan: bytes, cb_scan: bytes, cr_scan: bytes) -> bytes:
+    """The reference's 3 non-interleaved scans (main/encoder.c:605-641)."""
+    return b"".join([
+        header,
+        sos_header_single(1, 0, 0), y_scan,
+        sos_header_single(2, 1, 1), cb_scan,
+        sos_header_single(3, 1, 1), cr_scan,
+        EOI,
+    ])
+
+
+def assemble_interleaved(header: bytes, segments: list[bytes]) -> bytes:
+    """One interleaved scan built from restart-delimited segments.
+
+    Each segment is an independently-padded entropy chunk (DC prediction
+    reset at its start); RSTn markers are interposed between consecutive
+    segments.  With one segment this is a plain interleaved scan.
+    """
+    out = [header, sos_header_interleaved()]
+    for i, seg in enumerate(segments):
+        if i:
+            out.append(rst_marker(i - 1))
+        out.append(seg)
+    out.append(EOI)
+    return b"".join(out)

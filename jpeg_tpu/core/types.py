@@ -1,0 +1,81 @@
+"""Core configuration and geometry types.
+
+The reference's geometry type is ``area_t {x, y, w, h}``
+(``include/structs.h:15-20``); its encode configuration is compile-time
+macros (``include/define.h``).  Here both are first-class dataclasses.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+ScanLayout = Literal["3scan", "interleaved"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Area:
+    """A window of a larger frame; w and h must be multiples of 16.
+
+    Mirrors ``area_t`` (``include/structs.h:15-20``) and the windowed-encode
+    contract of ``rgb_to_dct`` (``main/encoder.c:158``).
+    """
+
+    x: int
+    y: int
+    w: int
+    h: int
+
+    def __post_init__(self):
+        if self.w % 16 or self.h % 16:
+            raise ValueError(f"Area w/h must be multiples of 16, got {self.w}x{self.h}")
+        if self.x < 0 or self.y < 0:
+            raise ValueError(f"Area origin must be non-negative, got ({self.x},{self.y})")
+
+    @property
+    def num_pixels(self) -> int:
+        return self.w * self.h
+
+    @property
+    def mcus_x(self) -> int:
+        return self.w // 16
+
+    @property
+    def mcus_y(self) -> int:
+        return self.h // 16
+
+
+@dataclasses.dataclass(frozen=True)
+class EncodeConfig:
+    """Configuration for the encode pipelines.
+
+    quality=None reproduces the reference's unscaled T.81 tables
+    (its ``set_quality`` call is commented out, ``utils/original.c:1157-1158``).
+
+    scan_layout:
+      * "3scan"       — three non-interleaved single-component scans, the
+                        reference's layout (``main/encoder.c:605-635``).
+      * "interleaved" — one interleaved Y/Cb/Cr scan; required for
+                        restart-marker spatial sharding (DRI/RSTn).
+
+    huffman:
+      * "dynamic" — per-image K.2 tables, the reference's behavior
+                    (``main/encoder.c:360-381``).
+      * "fixed"   — T.81 Annex K.3 typical tables; avoids the per-image
+                    device->host histogram sync (batch fast path).
+
+    restart_interval_mcu_rows: if > 0 (interleaved only), emit DRI and an
+    RSTn marker every N MCU rows; each segment's DC prediction resets, which
+    is what makes spatial sharding across devices possible.
+    """
+
+    quality: int | None = None
+    scan_layout: ScanLayout = "3scan"
+    huffman: Literal["dynamic", "fixed"] = "dynamic"
+    restart_interval_mcu_rows: int = 0
+    dtype: str = "float32"  # DCT compute dtype on device ("float32"/"float64")
+
+    def __post_init__(self):
+        if self.quality is not None and not (1 <= self.quality <= 100):
+            raise ValueError(f"quality must be in [1, 100], got {self.quality}")
+        if self.restart_interval_mcu_rows and self.scan_layout != "interleaved":
+            raise ValueError("restart intervals require scan_layout='interleaved'")

@@ -1,0 +1,336 @@
+"""Baseline JPEG decoder (NumPy, host-side) — the bitstream oracle.
+
+The reference repo is named "JPEG-encoder-decoder" but its decoder was never
+completed (stub at ``utils/func_tester.c:1262-1319``, ``idct`` marked TODO);
+external viewers were the de-facto oracle (SURVEY §4.6).  This module is a
+complete baseline decoder for the subset our encoder emits:
+
+* SOF0 baseline, 8-bit, 3 components, Y 2x2 + chroma 1x1 sampling (4:2:0),
+* non-interleaved single-component scans (the reference's 3-scan layout) and
+  interleaved 3-component scans,
+* dynamic or fixed Huffman tables (DHT), DQT, DRI + RSTn restart markers,
+* 0xFF00 stuffing, ones-padded scan tails, trailing fill bytes.
+
+It exists to make round-trip tests self-contained (PIL is used as a second,
+independent oracle where available) and to measure PSNR.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import tables as T
+from ..huffman.build import HuffmanTable, table_from_spec
+
+
+@dataclasses.dataclass
+class _Component:
+    comp_id: int
+    h_samp: int
+    v_samp: int
+    quant_id: int
+    dc_table: int = 0
+    ac_table: int = 0
+
+
+class _BitReader:
+    """MSB-first bit reader with 0xFF00 de-stuffing and marker detection."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker: int | None = None  # marker encountered (e.g. RSTn, next segment)
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(self.data):
+                # feed ones past the end (padding semantics)
+                self.bitbuf = (self.bitbuf << 8) | 0xFF
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # genuine marker: stop consuming
+                self.marker = nxt
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_clear(self):
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def consume_marker(self) -> int:
+        """Skip to and consume the pending marker; returns its code byte."""
+        self.align_and_clear()
+        # advance self.pos to the 0xFF: scan forward over fill bytes
+        while self.pos < len(self.data) and self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.pos + 1 < len(self.data) and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # 0xFF fill bytes before a marker
+        code = self.data[self.pos + 1]
+        self.pos += 2
+        self.marker = None
+        return code
+
+
+def _decode_symbol(br: _BitReader, table: HuffmanTable) -> int:
+    # canonical decode: extend code bit by bit, check against first-code table
+    code = 0
+    first = 0
+    index = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        count = int(table.bits[length])
+        if count and code - first < count:
+            return int(table.huffval[index + (code - first)])
+        index += count
+        first = (first + count) << 1
+    raise ValueError("invalid Huffman code in stream")
+
+
+def _extend(v: int, nbits: int) -> int:
+    """Amplitude decode: inverse of the ~abs negative encoding."""
+    if nbits == 0:
+        return 0
+    if v < (1 << (nbits - 1)):
+        return v - (1 << nbits) + 1
+    return v
+
+
+def _decode_block(br: _BitReader, dc_tab: HuffmanTable, ac_tab: HuffmanTable,
+                  pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int32)
+    cls = _decode_symbol(br, dc_tab)
+    diff = _extend(br.read_bits(cls), cls)
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("run past end of block")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return zz, pred
+
+
+def _idct_blocks(zz: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """De-zigzag, dequantize, inverse DCT; returns pixel blocks [N, 8, 8]."""
+    coef = np.zeros_like(zz)
+    coef[:, T.SCAN_ORDER] = zz  # raster[SCAN_ORDER[i]] = zigzag[i]
+    coef = coef.astype(np.float64) * quant.reshape(64).astype(np.float64)
+    f = coef.reshape(-1, 8, 8)
+    a = T.dct_basis_orthonormal()
+    x = np.einsum("yf,nfg,gx->nyx", a.T, f, a, optimize=True)  # A.T @ F @ A
+    return np.clip(np.round(x + 128.0), 0, 255)
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (blocks.reshape(h // 8, w // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h, w))
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode baseline JFIF bytes to an [H, W, 3] uint8 RGB image."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("missing SOI")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], HuffmanTable] = {}
+    comps: list[_Component] = []
+    width = height = 0
+    restart_interval = 0
+    # coefficient storage per component id
+    coeffs: dict[int, np.ndarray] = {}
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {data[pos]:#x}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                tid = seg[p] & 0x0F
+                if seg[p] >> 4:
+                    raise ValueError("16-bit DQT unsupported")
+                zzq = np.frombuffer(seg[p + 1:p + 65], dtype=np.uint8).astype(np.int32)
+                q = np.zeros(64, dtype=np.int32)
+                q[T.SCAN_ORDER] = zzq
+                quant[tid] = q
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = np.zeros(17, dtype=np.int32)
+                bits[1:17] = np.frombuffer(seg[p + 1:p + 17], dtype=np.uint8)
+                n = int(bits.sum())
+                vals = np.frombuffer(seg[p + 17:p + 17 + n], dtype=np.uint8)
+                huff[(tc, th)] = table_from_spec(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append(_Component(cid, samp >> 4, samp & 0x0F, qid))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"non-baseline SOF {marker:#x} unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(cc for cc in comps if cc.comp_id == cid)
+                comp.dc_table, comp.ac_table = tabs >> 4, tabs & 0x0F
+                scan_comps.append(comp)
+            br = _BitReader(data, pos + seg_len)
+            _decode_scan(br, scan_comps, huff, coeffs, width, height,
+                         restart_interval)
+            # continue parsing at the marker the scan stopped on
+            while br.pos < len(data) and data[br.pos] != 0xFF:
+                br.pos += 1
+            pos = br.pos
+            continue
+        pos += seg_len
+
+    return _reconstruct(comps, coeffs, quant, width, height)
+
+
+def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
+    hmax = max(c.h_samp for c in scan_comps) if len(scan_comps) > 1 else None
+
+    def blocks_dims(comp):
+        # full-image component dims (4:2:0 geometry, dims multiple of 16)
+        cw = width * comp.h_samp // 2 if _is_subsampled(comp) else width
+        ch = height * comp.v_samp // 2 if _is_subsampled(comp) else height
+        return cw, ch
+
+    def _is_subsampled(comp):
+        return comp.h_samp == 1
+
+    if len(scan_comps) == 1:
+        comp = scan_comps[0]
+        cw, ch = blocks_dims(comp)
+        nblocks = (cw // 8) * (ch // 8)
+        out = np.zeros((nblocks, 64), dtype=np.int32)
+        pred = 0
+        dc_tab, ac_tab = huff[(0, comp.dc_table)], huff[(1, comp.ac_table)]
+        count_since_rst = 0
+        for b in range(nblocks):
+            if restart_interval and count_since_rst == restart_interval:
+                code = br.consume_marker()
+                if not (0xD0 <= code <= 0xD7):
+                    raise ValueError(f"expected RST, got {code:#x}")
+                pred = 0
+                count_since_rst = 0
+            out[b], pred = _decode_block(br, dc_tab, ac_tab, pred)
+            count_since_rst += 1
+        coeffs[comp.comp_id] = out
+        return
+
+    # interleaved: MCU = 2x2 Y + Cb + Cr
+    mx, my = width // 16, height // 16
+    ycomp, cbcomp, crcomp = scan_comps
+    ny = (width // 8) * (height // 8)
+    ncc = mx * my
+    ydata = np.zeros((ny, 64), dtype=np.int32)
+    cbdata = np.zeros((ncc, 64), dtype=np.int32)
+    crdata = np.zeros((ncc, 64), dtype=np.int32)
+    preds = {c.comp_id: 0 for c in scan_comps}
+    tabs = {c.comp_id: (huff[(0, c.dc_table)], huff[(1, c.ac_table)]) for c in scan_comps}
+    bw = width // 8
+    count_since_rst = 0
+    for r in range(my):
+        for c in range(mx):
+            if restart_interval and count_since_rst == restart_interval:
+                code = br.consume_marker()
+                if not (0xD0 <= code <= 0xD7):
+                    raise ValueError(f"expected RST, got {code:#x}")
+                preds = {k: 0 for k in preds}
+                count_since_rst = 0
+            for dv in range(2):
+                for dh in range(2):
+                    bi = (2 * r + dv) * bw + 2 * c + dh
+                    ydata[bi], preds[ycomp.comp_id] = _decode_block(
+                        br, *tabs[ycomp.comp_id], preds[ycomp.comp_id])
+            mi = r * mx + c
+            cbdata[mi], preds[cbcomp.comp_id] = _decode_block(
+                br, *tabs[cbcomp.comp_id], preds[cbcomp.comp_id])
+            crdata[mi], preds[crcomp.comp_id] = _decode_block(
+                br, *tabs[crcomp.comp_id], preds[crcomp.comp_id])
+            count_since_rst += 1
+    coeffs[ycomp.comp_id] = ydata
+    coeffs[cbcomp.comp_id] = cbdata
+    coeffs[crcomp.comp_id] = crdata
+
+
+def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
+    planes = {}
+    for comp in comps:
+        sub = comp.h_samp == 1
+        cw = width // 2 if sub else width
+        ch = height // 2 if sub else height
+        pix = _idct_blocks(coeffs[comp.comp_id], quant[comp.quant_id])
+        plane = _from_blocks(pix, ch, cw)
+        if sub:
+            plane = np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+        planes[comp.comp_id] = plane
+    y, cb, cr = planes[1], planes[2] - 128.0, planes[3] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(diff * diff)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))

@@ -1,0 +1,45 @@
+"""Byte-level parity with the reference C encoder.
+
+Compiles the reference's golden desktop encoder (``utils/original.c``) at
+test time and byte-compares its output JPEG with ours on the in-repo
+fixtures — the strongest possible form of the reference's own golden-file
+test strategy (SURVEY §4: dir-compare of stage dumps).  Skipped when the
+reference checkout or a C compiler is unavailable.
+"""
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REF_SRC = "/root/reference/utils/original.c"
+REF_IMAGES = "/root/reference/images"
+
+
+@pytest.fixture(scope="session")
+def ref_encoder(tmp_path_factory):
+    if not os.path.exists(REF_SRC) or shutil.which("gcc") is None:
+        pytest.skip("reference source or gcc unavailable")
+    d = tmp_path_factory.mktemp("refenc")
+    (d / "hisParts").mkdir()
+    binpath = d / "original"
+    subprocess.run(["gcc", "-O2", "-o", str(binpath), REF_SRC, "-lm"],
+                   check=True, capture_output=True)
+    return d
+
+
+@pytest.mark.parametrize("name", ["sample_64x64.ppm", "sample_640x640.ppm"])
+def test_bitstream_byte_identical_to_reference(ref_encoder, name):
+    ppm = os.path.join(REF_IMAGES, name)
+    if not os.path.exists(ppm):
+        pytest.skip(f"fixture {name} missing")
+    subprocess.run([str(ref_encoder / "original"), ppm, "90"],
+                   cwd=ref_encoder, check=True, capture_output=True)
+    ref_bytes = (ref_encoder / "out.jpg").read_bytes()
+
+    from jpeg_tpu.golden import encoder as genc
+    from jpeg_tpu.io.ppm import read_ppm
+    mine = genc.encode(read_ppm(ppm))  # quality=None == reference behavior
+    assert mine == ref_bytes, (
+        f"golden encoder output differs from C reference on {name} "
+        f"({len(mine)} vs {len(ref_bytes)} bytes)")
