@@ -1,0 +1,48 @@
+"""Device color conversion + chroma subsampling (JAX).
+
+TPU-native equivalent of the reference's per-pixel RGB->YCbCr + 4:2:0
+(``utils/original.c:372-404``, ``main/encoder.c:133-138``): whole-image
+vectorized elementwise math that XLA fuses into one pass over HBM.
+
+Truncation semantics: the reference assigns the double result to an int
+(truncation toward zero; all values are in [0, 255] so this equals floor).
+With dtype=float64 the results are bit-exact with the golden encoder; with
+float32 (the TPU path) a ~1e-6 fraction of pixels can land one code value
+away at exact-integer boundaries, which is PSNR-neutral.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rgb_to_ycbcr_420(rgb, dtype=jnp.float32):
+    """[..., H, W, 3] uint8 -> (y [..,H,W], cb [..,H/2,W/2], cr) int32 planes.
+
+    Expression grouping matches the C left-to-right evaluation
+    (utils/original.c:372-374).
+    """
+    x = rgb.astype(dtype)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = (0.299 * r + 0.587 * g) + 0.114 * b
+    cb = ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b
+    cr = ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b
+    yi = jnp.floor(y).astype(jnp.int32)
+    cbi = jnp.floor(cb).astype(jnp.int32)
+    cri = jnp.floor(cr).astype(jnp.int32)
+    return yi, _avg2x2(cbi), _avg2x2(cri)
+
+
+def _avg2x2(plane_i32):
+    """2x2 integer-truncating average (utils/original.c:393-404)."""
+    h, w = plane_i32.shape[-2], plane_i32.shape[-1]
+    q = plane_i32.reshape(*plane_i32.shape[:-2], h // 2, 2, w // 2, 2)
+    s = q[..., 0, :, 0] + q[..., 0, :, 1] + q[..., 1, :, 0] + q[..., 1, :, 1]
+    return s // 4
+
+
+def to_blocks(plane):
+    """[..., H, W] -> [..., H/8*W/8, 8, 8] in raster block order."""
+    *lead, h, w = plane.shape
+    return (plane.reshape(*lead, h // 8, 8, w // 8, 8)
+            .swapaxes(-3, -2)
+            .reshape(*lead, (h // 8) * (w // 8), 8, 8))

@@ -1,0 +1,89 @@
+"""Parallel entropy bitstream assembly.
+
+This replaces the reference's inherently serial bit packer — a global
+1-byte buffer fed one codeword at a time with recursive byte splitting
+(``write_byte``/``write_bits``, ``main/encoder.c:383-423``) — with a
+data-parallel formulation (SURVEY §2.3, §8.3.1):
+
+1. every emission slot's (codeword || amplitude) field has a known bit
+   length; an exclusive prefix sum over the lengths yields each field's
+   absolute bit offset;
+2. each field spans at most two 32-bit output words (fields are <= 28 bits);
+   both word contributions are computed with vector shifts and combined by
+   scatter-add (disjoint bit ranges make add == or);
+3. the 0xFF00 byte stuffing and the reference's always-emitted ones-padded
+   tail byte (``fill_last_byte``, ``main/encoder.c:425-432``) are applied to
+   the packed bytes on the host via one more prefix sum (stuffed-byte
+   offsets), where the result is being assembled into the container anyway.
+
+Everything on the device side is static-shaped: invalid slots carry
+nbits = 0 and contribute nothing.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Worst-case bits per emission slot: 16-bit Huffman code + 12 amplitude bits.
+MAX_FIELD_BITS = 28
+
+
+def max_words_for_slots(num_slots: int) -> int:
+    return (num_slots * MAX_FIELD_BITS) // 32 + 2
+
+
+def pack_fields(values, nbits, max_words: int | None = None):
+    """Pack bit fields into 32-bit big-endian words on device.
+
+    values : int32 [...]— field bits, right-aligned; MUST be zero where
+             nbits == 0 (attach_codes guarantees this).
+    nbits  : int32 [...] — field lengths (0..28).
+
+    Returns (words uint32 [max_words], total_bits int32 scalar).  Bit i of
+    the stream lives in word i//32 at big-endian position i%32.
+    """
+    v = values.reshape(-1).astype(jnp.uint32)
+    n = nbits.reshape(-1).astype(jnp.int32)
+    if max_words is None:
+        max_words = max_words_for_slots(v.shape[0])
+
+    ends = jnp.cumsum(n)  # inclusive: end bit offset of each field
+    total = ends[-1]
+    offs = ends - n
+    w = offs >> 5
+    end_in = (offs & 31) + n  # field end within its first word, in (0, 59]
+
+    hi = jnp.where(
+        end_in <= 32,
+        v << jnp.clip(32 - end_in, 0, 31).astype(jnp.uint32),
+        v >> jnp.clip(end_in - 32, 0, 31).astype(jnp.uint32),
+    ).astype(jnp.uint32)
+    lo = jnp.where(end_in > 32,
+                   v << jnp.clip(64 - end_in, 0, 31).astype(jnp.uint32),
+                   jnp.zeros_like(v)).astype(jnp.uint32)
+
+    words = jnp.zeros(max_words, jnp.uint32)
+    words = words.at[w].add(hi, mode="drop")
+    words = words.at[w + 1].add(lo, mode="drop")
+    return words, total
+
+
+def finish_scan(words: np.ndarray, total_bits: int) -> bytes:
+    """Host finalization: bytes, 0xFF00 stuffing, reference pad byte.
+
+    Matches the reference packer byte-for-byte: a 0x00 stuffed after every
+    full 0xFF data byte, then one ones-padded tail byte with no stuffing
+    (a bare 0xFF when the scan ended on a byte boundary) —
+    main/encoder.c:385-432.
+    """
+    total = int(total_bits)
+    nfull = total // 8
+    raw = np.ascontiguousarray(np.asarray(words)).astype(">u4").tobytes()
+    buf = np.frombuffer(raw, dtype=np.uint8)[:nfull + 1].copy()
+    rem = total % 8
+    pad = int(buf[nfull]) | ((1 << (8 - rem)) - 1) if rem else 0xFF
+    full = buf[:nfull]
+    ff = full == 0xFF
+    out = np.zeros(nfull + int(ff.sum()), dtype=np.uint8)
+    out[np.arange(nfull) + np.concatenate([[0], np.cumsum(ff[:-1])])] = full
+    return out.tobytes() + bytes([pad])

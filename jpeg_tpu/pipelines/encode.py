@@ -1,0 +1,248 @@
+"""End-to-end device encode pipelines.
+
+The TPU-native counterpart of the reference's encode driver
+(``rgb_to_dct`` + ``init_huffman`` + ``write_jpg``, ``main/main.c:144-152``):
+
+  device:  color convert -> 4:2:0 -> batched DCT/quant/zigzag -> DC diff ->
+           run-length symbolization -> per-symbol histograms -> prefix-sum
+           bit packing into 32-bit words
+  host:    K.2 Huffman table build (257 symbols, microseconds), marker
+           emission, byte stuffing, segment stitching.
+
+Dynamic-Huffman mode needs one device->host sync per image (4x256 counts,
+like the reference's per-image ``init_huffman``); fixed-table mode
+(Annex K.3) runs fully batched with no sync.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bitstream import jfif
+from ..core import tables as T
+from ..core.types import EncodeConfig
+from ..huffman.build import HuffmanTable, build_tables_from_histograms, fixed_tables
+from ..ops import color as ops_color
+from ..ops import dct as ops_dct
+from ..ops import pack as ops_pack
+from ..ops import symbols as ops_symbols
+
+
+def _luts(table: HuffmanTable):
+    return (jnp.asarray(np.where(table.code < 0, 0, table.code), dtype=jnp.int32),
+            jnp.asarray(table.length, dtype=jnp.int32))
+
+
+def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False):
+    """Device stage 1: image -> symbol slots + histograms (3-scan layout).
+
+    Use the jitted ``analyze`` wrapper for speed; call this un-jitted for
+    exact float64 parity (XLA fuses mul+add into FMA inside jit, which
+    perturbs the last ulp vs the reference's separate double ops).
+    """
+    y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    out = {}
+    hists = {}
+    for name, plane, q in (("y", y, luma_q), ("cb", cb, chroma_q), ("cr", cr, chroma_q)):
+        blocks = ops_color.to_blocks(plane)
+        zz = ops_dct.dct_quantize_zigzag(blocks, q, dtype=dtype, exact=exact)
+        slots = ops_symbols.symbolize(ops_dct.diff_dc(zz))
+        out[name] = slots
+        hists[name] = ops_symbols.dc_ac_histograms(slots)
+    luma_dc, luma_ac = hists["y"]
+    chroma_dc = hists["cb"][0] + hists["cr"][0]
+    chroma_ac = hists["cb"][1] + hists["cr"][1]
+    return out, (luma_dc, luma_ac, chroma_dc, chroma_ac)
+
+
+analyze = functools.partial(jax.jit, static_argnames=("dtype", "exact"))(analyze_fn)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words",))
+def pack_scan(slots, dc_code, dc_len, ac_code, ac_len, max_words):
+    """Device stage 2: slots + Huffman LUTs -> packed words + bit count."""
+    values, nbits = ops_symbols.attach_codes(slots, dc_code, dc_len, ac_code, ac_len)
+    return ops_pack.pack_fields(values, nbits, max_words=max_words)
+
+
+class JpegEncoder:
+    """Reusable encoder; jit caches are keyed on input shapes."""
+
+    def __init__(self, config: EncodeConfig | None = None):
+        self.config = config or EncodeConfig()
+        self._luma_q, self._chroma_q = T.quant_tables(self.config.quality)
+        self._luma_q_dev = jnp.asarray(self._luma_q)
+        self._chroma_q_dev = jnp.asarray(self._chroma_q)
+        self._fixed = fixed_tables() if self.config.huffman == "fixed" else None
+
+    # -- helpers ---------------------------------------------------------
+
+    def _dtype(self):
+        return jnp.float64 if self.config.dtype == "float64" else jnp.float32
+
+    def _exact(self):
+        return self.config.dtype == "float64"
+
+    def _build_tables(self, hists):
+        if self._fixed is not None:
+            return self._fixed
+        h = [np.asarray(x) for x in hists]
+        return build_tables_from_histograms(*h)
+
+    def _payload(self, slots, dc_tab, ac_tab):
+        num_slots = int(np.prod(slots["sym"].shape))
+        mw = ops_pack.max_words_for_slots(num_slots)
+        dc_code, dc_len = _luts(dc_tab)
+        ac_code, ac_len = _luts(ac_tab)
+        words, total = pack_scan(slots, dc_code, dc_len, ac_code, ac_len, mw)
+        return ops_pack.finish_scan(np.asarray(words), int(total))
+
+    # -- public API ------------------------------------------------------
+
+    def encode(self, rgb) -> bytes:
+        """Encode one [H, W, 3] uint8 RGB image to baseline JFIF bytes."""
+        rgb = jnp.asarray(rgb, dtype=jnp.uint8)
+        h, w = rgb.shape[0], rgb.shape[1]
+        if h % 16 or w % 16:
+            raise ValueError(f"dimensions must be multiples of 16, got {w}x{h}; "
+                             "pad with jpeg_tpu.io.editimage.resize_pad")
+        if self.config.scan_layout == "interleaved":
+            return self._encode_interleaved(rgb, h, w)
+
+        fn = analyze_fn if self._exact() else analyze
+        slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev,
+                          dtype=self._dtype(), exact=self._exact())
+        tables = self._build_tables(hists)
+        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables)
+        return jfif.assemble_3scan(
+            header,
+            self._payload(slots["y"], tables["luma_dc"], tables["luma_ac"]),
+            self._payload(slots["cb"], tables["chroma_dc"], tables["chroma_ac"]),
+            self._payload(slots["cr"], tables["chroma_dc"], tables["chroma_ac"]),
+        )
+
+    def encode_batch(self, rgbs) -> list[bytes]:
+        """Encode a [B, H, W, 3] uint8 batch (one shared shape)."""
+        rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
+        return [self.encode(rgbs[i]) for i in range(rgbs.shape[0])]
+
+    # -- interleaved (restart-capable) layout ----------------------------
+
+    def _encode_interleaved(self, rgb, h, w):
+        from ..golden.encoder import mcu_order_index  # host-precomputed index
+
+        mx, my = w // 16, h // 16
+        rows_per_seg = self.config.restart_interval_mcu_rows or my
+        if my % rows_per_seg:
+            raise ValueError(
+                f"restart_interval_mcu_rows={rows_per_seg} must divide MCU rows {my}")
+        n_segs = my // rows_per_seg
+
+        fn = _analyze_interleaved_fn if self._exact() else _analyze_interleaved
+        slots, hists = fn(
+            rgb, self._luma_q_dev, self._chroma_q_dev,
+            jnp.asarray(mcu_order_index(w, h)), n_segs,
+            dtype=self._dtype(), exact=self._exact())
+        tables = self._build_tables(hists)
+
+        dc_l, len_l = _luts(tables["luma_dc"])
+        ac_l, alen_l = _luts(tables["luma_ac"])
+        dc_c, len_c = _luts(tables["chroma_dc"])
+        ac_c, alen_c = _luts(tables["chroma_ac"])
+        num_slots = int(np.prod(slots["sym"].shape[1:]))
+        mw = ops_pack.max_words_for_slots(num_slots)
+        words, totals = _pack_interleaved_segments(
+            slots, dc_l, len_l, ac_l, alen_l, dc_c, len_c, ac_c, alen_c, mw)
+        words_np = np.asarray(words)
+        totals_np = np.asarray(totals)
+        segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
+                    for s in range(n_segs)]
+        interval = rows_per_seg * mx if n_segs > 1 else 0
+        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
+                              restart_interval=interval)
+        return jfif.assemble_interleaved(header, segments)
+
+
+def _analyze_interleaved_fn(rgb, luma_q, chroma_q, y_mcu_index, n_segs,
+                            dtype=jnp.float32, exact=False):
+    """Device: image -> per-segment interleaved slot arrays + histograms.
+
+    Output slot arrays have shape [n_segs, mcus_per_seg*6, 64]; DC prediction
+    is differenced independently per segment (restart semantics).
+    """
+    y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    zz_y = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(y), luma_q,
+                                       dtype=dtype, exact=exact)
+    zz_cb = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cb), chroma_q,
+                                        dtype=dtype, exact=exact)
+    zz_cr = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cr), chroma_q,
+                                        dtype=dtype, exact=exact)
+    y_mcu = zz_y[y_mcu_index]  # MCU emission order
+
+    nm = zz_cb.shape[0]  # total MCUs
+    mps = nm // n_segs   # MCUs per segment
+
+    y_seg = y_mcu.reshape(n_segs, mps * 4, 64)
+    cb_seg = zz_cb.reshape(n_segs, mps, 64)
+    cr_seg = zz_cr.reshape(n_segs, mps, 64)
+    y_seg = ops_dct.diff_dc(y_seg)
+    cb_seg = ops_dct.diff_dc(cb_seg)
+    cr_seg = ops_dct.diff_dc(cr_seg)
+
+    # interleave per MCU: Y0 Y1 Y2 Y3 Cb Cr
+    seq = jnp.concatenate([
+        y_seg.reshape(n_segs, mps, 4, 64),
+        cb_seg.reshape(n_segs, mps, 1, 64),
+        cr_seg.reshape(n_segs, mps, 1, 64),
+    ], axis=2).reshape(n_segs, mps * 6, 64)
+
+    slots = ops_symbols.symbolize(seq)
+
+    is_luma = jnp.tile(jnp.array([1, 1, 1, 1, 0, 0], dtype=bool), (mps,))
+    is_luma = jnp.broadcast_to(is_luma[None, :, None], slots["valid"].shape[:2] + (1,))
+    valid = slots["valid"]
+    dc_mask = jnp.zeros_like(valid).at[..., 0].set(True)
+    hists = (
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & ~is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & ~is_luma),
+    )
+    slots["is_luma"] = jnp.broadcast_to(is_luma, slots["valid"].shape)
+    return slots, hists
+
+
+_analyze_interleaved = functools.partial(
+    jax.jit, static_argnames=("n_segs", "dtype", "exact"))(_analyze_interleaved_fn)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words",))
+def _pack_interleaved_segments(slots, dc_l, len_l, ac_l, alen_l,
+                               dc_c, len_c, ac_c, alen_c, max_words):
+    """vmapped per-segment packing with per-component Huffman tables."""
+    sym = slots["sym"]
+    is_luma = slots["is_luma"]
+    is_dc = jnp.zeros_like(sym, dtype=bool).at[..., 0].set(True)
+    code = jnp.where(
+        is_dc,
+        jnp.where(is_luma, dc_l[sym], dc_c[sym]),
+        jnp.where(is_luma, ac_l[sym], ac_c[sym]),
+    )
+    clen = jnp.where(
+        is_dc,
+        jnp.where(is_luma, len_l[sym], len_c[sym]),
+        jnp.where(is_luma, alen_l[sym], alen_c[sym]),
+    )
+    value = jnp.left_shift(code, slots["extra_n"]) | slots["extra"]
+    value = jnp.where(slots["valid"], value, 0)
+    nbits = jnp.where(slots["valid"], clen + slots["extra_n"], 0)
+    return jax.vmap(lambda v, n: ops_pack.pack_fields(v, n, max_words=max_words))(
+        value, nbits)
+
+
+def encode_jpeg(rgb, config: EncodeConfig | None = None) -> bytes:
+    """One-shot encode of an [H, W, 3] uint8 RGB image."""
+    return JpegEncoder(config).encode(rgb)

@@ -7,11 +7,21 @@ the golden encoder, then deploy).
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere.  Tests always run on CPU
+# (the TPU env exports JAX_PLATFORMS=axon; override it here).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon sitecustomize prepends the TPU platform regardless of env vars;
+# force CPU explicitly (config wins over the sitecustomize default).
+jax.config.update("jax_platforms", "cpu")
+# float64 on CPU enables the bit-exact parity mode of the device pipeline
+# (dtype="float64" uses the reference's exact summation order).
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest
