@@ -219,9 +219,8 @@ _analyze_interleaved = functools.partial(
     jax.jit, static_argnames=("n_segs", "dtype", "exact"))(_analyze_interleaved_fn)
 
 
-@functools.partial(jax.jit, static_argnames=("max_words",))
-def _pack_interleaved_segments(slots, dc_l, len_l, ac_l, alen_l,
-                               dc_c, len_c, ac_c, alen_c, max_words):
+def pack_interleaved_segments_fn(slots, dc_l, len_l, ac_l, alen_l,
+                                 dc_c, len_c, ac_c, alen_c, max_words):
     """vmapped per-segment packing with per-component Huffman tables."""
     sym = slots["sym"]
     is_luma = slots["is_luma"]
@@ -241,6 +240,10 @@ def _pack_interleaved_segments(slots, dc_l, len_l, ac_l, alen_l,
     nbits = jnp.where(slots["valid"], clen + slots["extra_n"], 0)
     return jax.vmap(lambda v, n: ops_pack.pack_fields(v, n, max_words=max_words))(
         value, nbits)
+
+
+_pack_interleaved_segments = functools.partial(
+    jax.jit, static_argnames=("max_words",))(pack_interleaved_segments_fn)
 
 
 def encode_jpeg(rgb, config: EncodeConfig | None = None) -> bytes:
