@@ -1,0 +1,168 @@
+"""Pallas TPU kernel: parallel entropy bit-packing at block granularity.
+
+The reference packs bits serially, one codeword at a time, through a 1-byte
+global buffer (``write_byte``/``write_bits``, ``main/encoder.c:383-423``).
+The XLA prefix-sum + element scatter replacement (``ops.pack.pack_fields``)
+is correct but slow on TPU: a 2x9.8M-update u32 scatter costs ~220 ms per
+16-image batch because XLA serializes tiny scatters.
+
+This kernel reformulates packing hierarchically:
+
+1. per 8x8 block (64 emission slots, <= 1792 bits): a lane-local prefix sum
+   gives each slot's bit offset; every slot's field spans at most 2 of the
+   block's <= 57 local words; local words are built by 57 masked
+   multiply-sum reductions (VPU work, no scatter);
+2. the block's local words are bit-shifted by (global_offset % 32) and
+   lane-rotated to the block's position within a 2-row (2x128-word) window
+   of the output stream — all in-register;
+3. the only remaining scatter is a row-granular scatter-add of [2, 128]
+   u32 windows (one per block, ~153k updates/batch instead of 19.6M),
+   which XLA handles ~40x faster.  Disjoint bit ranges make add == or.
+
+Bit i of a segment's stream lives in word i//32 (big-endian within the
+word), word w in row w//128, lane w%128 — compatible with
+``ops.pack.finish_scan`` after a flatten.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Worst-case bits per 64-slot block: 64 fields x 28 bits = 1792 -> 56 words;
+# +1 for the straddle of the first partial word.
+LOCAL_WORDS = 57
+_TR = 128  # blocks per tile
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=1)
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum along the lane axis (axis 1) via log-step shifts."""
+    n = x.shape[1]
+    lane = _lane_iota(x.shape)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, axis=1)
+        x = x + jnp.where(lane >= k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _pack_kernel(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
+    # All arithmetic in int32: Mosaic lacks unsigned reductions, and since
+    # bits within a word are disjoint, int32 wrap-add == u32 or.  Right
+    # shifts must be logical, not arithmetic.
+    shr = jax.lax.shift_right_logical
+    v = value_ref[:]                         # [TR, 64] int32 (u32 bits)
+    nb = nbits_ref[:]                        # [TR, 64] int32
+    goff = goff_ref[:]                       # [TR, 1] int32 (bit offset)
+
+    ends = _cumsum_lanes(nb)
+    offs = ends - nb
+    w = shr(offs, jnp.int32(5))                         # local word in [0, 55]
+    ein = (offs & 31) + nb                   # field end within first word
+    sh_hi = jnp.clip(32 - ein, 0, 31)
+    sh_dn = jnp.clip(ein - 32, 0, 31)
+    sh_lo = jnp.clip(64 - ein, 0, 31)
+    hi = jnp.where(ein <= 32, v << sh_hi, shr(v, sh_dn))
+    lo = jnp.where(ein > 32, v << sh_lo, 0)
+
+    # Local words of the block stream: 57 masked-sum reductions.
+    tr = v.shape[0]
+    lw = jnp.zeros((tr, 128), jnp.int32)
+    lane128 = _lane_iota((tr, 128))
+    for j in range(LOCAL_WORDS):
+        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=1, keepdims=True,
+                     dtype=jnp.int32)
+        if j > 0:
+            cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0),
+                              axis=1, keepdims=True, dtype=jnp.int32)
+        lw = jnp.where(lane128 == j, cj, lw)
+
+    # Bit-shift the 57-word stream right by s = goff % 32 (-> 58 words).
+    s = goff & 31                            # [TR, 1]
+    prev = pltpu.roll(lw, 1, axis=1)
+    prev = jnp.where(lane128 == 0, 0, prev)
+    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+
+    # Lane-rotate to position l = (goff / 32) % 128 within the 2-row window.
+    l = shr(goff, jnp.int32(5)) & 127                   # [TR, 1]
+    x = shifted
+    for k in range(7):
+        rolled = pltpu.roll(x, 1 << k, axis=1)
+        x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
+    r0_ref[:] = jnp.where(lane128 >= l, x, 0)
+    r1_ref[:] = jnp.where(lane128 < l, x, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_windows(value, nbits, goff, interpret: bool = False):
+    """Per-block 2x128-word stream contributions.
+
+    value/nbits: [nblk, 64]; goff: [nblk] bit offsets (within the flat
+    row-major word array).  Returns (r0, r1): [nblk, 128] u32 windows for
+    rows goff>>12 and goff>>12 + 1.
+    """
+    nblk = value.shape[0]
+    tr = _TR if nblk % _TR == 0 else next(
+        t for t in (64, 32, 16, 8, 4, 2, 1) if nblk % t == 0)
+    grid = (nblk // tr,)
+    r0, r1 = pl.pallas_call(
+        _pack_kernel,
+        out_shape=[jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((nblk, 128), jnp.int32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 64), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(jax.lax.bitcast_convert_type(value.astype(jnp.uint32), jnp.int32),
+      nbits.astype(jnp.int32), goff.reshape(-1, 1).astype(jnp.int32))
+    return r0, r1
+
+
+def rows_per_segment(slots_per_segment: int) -> int:
+    """Output rows (128 words each) per segment, with straddle slack."""
+    from ..ops.pack import max_words_for_slots
+    return max_words_for_slots(slots_per_segment) // 128 + 2
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "seg_rows", "interpret"))
+def pack_segments(value, nbits, n_segments: int, seg_rows: int,
+                  interpret: bool = False):
+    """Pack S segments of blocks into S independent bit streams.
+
+    value/nbits: [S, nblk_seg, 64].  Returns (words [S, seg_rows*128] u32,
+    total_bits [S] i32).  Each segment's stream starts at bit 0 of its own
+    row range (streams are word-row aligned, so one flat scatter serves all
+    segments; ``seg_rows`` includes straddle slack rows).
+    """
+    S, nblk_seg, _ = value.shape
+    block_bits = jnp.sum(nbits, axis=-1, dtype=jnp.int32)      # [S, nblk]
+    ends = jnp.cumsum(block_bits, axis=-1)
+    goff_seg = ends - block_bits
+    total_bits = ends[:, -1]
+
+    seg_base = (jnp.arange(S, dtype=jnp.int32) * (seg_rows * 128 * 32))[:, None]
+    goff = (goff_seg + seg_base).reshape(-1)
+
+    r0, r1 = block_windows(value.reshape(-1, 64), nbits.reshape(-1, 64),
+                           goff, interpret=interpret)
+    rows = goff >> 12
+    words = jnp.zeros((S * seg_rows + 1, 128), jnp.int32)
+    words = words.at[rows].add(r0, mode="drop")
+    words = words.at[rows + 1].add(r1, mode="drop")
+    words = jax.lax.bitcast_convert_type(words[:S * seg_rows], jnp.uint32)
+    return words.reshape(S, seg_rows * 128), total_bits

@@ -24,19 +24,32 @@ _SQRT1_2 = float(np.sqrt(0.5))
 
 
 def dct_quantize_zigzag(blocks, quantizer, dtype=jnp.float32, exact: bool = False):
-    """[..., N, 8, 8] int -> [..., N, 64] int32 zig-zagged quantized coefs."""
+    """[..., N, 8, 8] int -> [..., N, 64] int32 zig-zagged quantized coefs.
+
+    Fast path: one [N, 64] @ [64, 64] MXU matmul (kron-flattened separable
+    DCT with the level shift folded into a bias and zig-zag folded into the
+    row order — see ``tables.dct_flat_basis``).  Numerics differ from the
+    two-sided 8x8 form only in the last ulp of the f32 accumulation; a
+    ~1e-3 fraction of coefficients can land one quantization step apart at
+    exact trunc boundaries (PSNR-neutral; the f64 ``exact`` mode is the
+    bit-parity path).
+    """
     if exact:
         freq = _dct_exact(blocks)
-    else:
-        a = jnp.asarray(T.dct_basis_orthonormal(), dtype=dtype)
-        x = blocks.astype(dtype) - jnp.asarray(128.0, dtype=dtype)
-        freq = jnp.einsum("fy,...yx,gx->...fg", a, x, a,
-                          preferred_element_type=dtype)
-    q = jnp.asarray(quantizer).reshape(8, 8).astype(freq.dtype)
-    quant = jnp.trunc(freq / q)
-    quant = jnp.clip(quant, T.COEF_CLIP_MIN, T.COEF_CLIP_MAX).astype(jnp.int32)
-    flat = quant.reshape(*quant.shape[:-2], 64)
-    return flat[..., jnp.asarray(T.SCAN_ORDER)]
+        q = jnp.asarray(quantizer).reshape(8, 8).astype(freq.dtype)
+        quant = jnp.trunc(freq / q)
+        quant = jnp.clip(quant, T.COEF_CLIP_MIN, T.COEF_CLIP_MAX).astype(jnp.int32)
+        flat = quant.reshape(*quant.shape[:-2], 64)
+        return flat[..., jnp.asarray(T.SCAN_ORDER)]
+
+    m, bias = T.dct_flat_basis()
+    md = jnp.asarray(m, dtype=dtype)
+    bd = jnp.asarray(bias, dtype=dtype)
+    x = blocks.reshape(*blocks.shape[:-2], 64).astype(dtype)
+    freq = jnp.matmul(x, md.T, preferred_element_type=dtype) + bd
+    q_zz = jnp.asarray(quantizer).reshape(64)[jnp.asarray(T.SCAN_ORDER)]
+    quant = jnp.trunc(freq / q_zz.astype(dtype))
+    return jnp.clip(quant, T.COEF_CLIP_MIN, T.COEF_CLIP_MAX).astype(jnp.int32)
 
 
 def _dct_exact(blocks):

@@ -1,0 +1,86 @@
+"""Pallas fast path: kernel numerics + byte-identity with the XLA engine.
+
+Kernels run in interpreter mode on CPU (the TPU-compiled versions are
+verified byte-identical on hardware; interpret mode checks the same
+program logic in CI).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeg_tpu.core.types import EncodeConfig
+from jpeg_tpu.huffman.build import fixed_tables
+from jpeg_tpu.kernels import lut as klut
+from jpeg_tpu.kernels import pack as kpack
+from jpeg_tpu.ops import pack as ops_pack
+from jpeg_tpu.pipelines.encode import JpegEncoder
+from jpeg_tpu.pipelines.fast import FastBatchEncoder
+
+
+def _random_slots(rng, S, nblk):
+    nbits = rng.integers(0, 12, size=(S, nblk, 64)).astype(np.int32)
+    nbits[..., 0] = rng.integers(2, 14, size=(S, nblk))
+    nbits = np.where(rng.random((S, nblk, 64)) < 0.6, 0, nbits)
+    value = np.where(
+        nbits > 0,
+        rng.integers(0, 1 << 28, size=(S, nblk, 64)) & ((1 << np.maximum(nbits, 1)) - 1),
+        0).astype(np.uint32)
+    return value, nbits
+
+
+def test_pack_segments_matches_reference_packer():
+    rng = np.random.default_rng(0)
+    S, nblk = 2, 64
+    value, nbits = _random_slots(rng, S, nblk)
+    seg_rows = kpack.rows_per_segment(nblk * 64)
+    w, tb = kpack.pack_segments(jnp.asarray(value), jnp.asarray(nbits),
+                                S, seg_rows, interpret=True)
+    w, tb = np.asarray(w), np.asarray(tb)
+    for s in range(S):
+        ref_w, ref_t = ops_pack.pack_fields(
+            jnp.asarray(value[s].reshape(-1).view(np.int32)),
+            jnp.asarray(nbits[s].reshape(-1)))
+        ref_w, ref_t = np.asarray(ref_w), int(ref_t)
+        nw = (ref_t + 31) // 32
+        assert int(tb[s]) == ref_t
+        np.testing.assert_array_equal(w[s][:nw], ref_w[:nw])
+
+
+def test_attach_kernel_matches_lut():
+    rng = np.random.default_rng(1)
+    tabs = fixed_tables()
+    lut_np = klut.build_combined_lut(tabs)
+    n = 8 * 128
+    sym = rng.integers(0, 256, size=n).astype(np.int32)
+    is_dc = rng.integers(0, 2, size=n).astype(bool)
+    sym = np.where(is_dc, sym % 12, sym)
+    is_luma = rng.integers(0, 2, size=n).astype(bool)
+    valid = rng.integers(0, 2, size=n).astype(bool)
+    extra_n = np.where(valid, rng.integers(0, 11, size=n), 0).astype(np.int32)
+    extra = np.where(valid, rng.integers(0, 1 << 10, size=n)
+                     & ((1 << np.maximum(extra_n, 1)) - 1), 0).astype(np.int32)
+
+    idx = klut.slot_index(jnp.asarray(sym), jnp.asarray(valid),
+                          jnp.asarray(is_dc), jnp.asarray(is_luma))
+    v, nb = klut.attach(jnp.asarray(lut_np), idx, jnp.asarray(extra),
+                        jnp.asarray(extra_n), interpret=True)
+    e = lut_np[np.asarray(idx)]
+    np.testing.assert_array_equal(
+        np.asarray(v), np.where(valid, ((e & 0xFFFF) << extra_n) | extra, 0))
+    np.testing.assert_array_equal(
+        np.asarray(nb), np.where(valid, (e >> 16) + extra_n, 0))
+
+
+@pytest.mark.parametrize("huff", ["fixed", "dynamic"])
+def test_fast_pipeline_bytes_match_xla_engine(huff, img_synthetic_160):
+    img = np.asarray(img_synthetic_160)[:64, :64]
+    batch = np.stack([img, np.roll(img, 8, axis=1)])
+    cfg = EncodeConfig(scan_layout="interleaved", huffman=huff,
+                       restart_interval_mcu_rows=2)
+    fast = FastBatchEncoder(64, 64, config=cfg, segs_per_image=2,
+                            interpret=True)
+    ref = JpegEncoder(cfg)
+    got = fast.encode_batch(batch)
+    exp = [ref.encode(batch[i]) for i in range(2)]
+    assert [bytes(g) for g in got] == exp
