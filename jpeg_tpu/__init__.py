@@ -17,4 +17,11 @@ Public API:
 """
 from .core.types import Area, EncodeConfig  # noqa: F401
 
+
+def encode_jpeg(rgb, config=None) -> bytes:
+    """One-shot single-image encode (see pipelines.encode)."""
+    from .pipelines.encode import encode_jpeg as _impl
+    return _impl(rgb, config)
+
+
 __version__ = "0.1.0"

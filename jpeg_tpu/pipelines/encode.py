@@ -129,6 +129,23 @@ class JpegEncoder:
         rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
         return [self.encode(rgbs[i]) for i in range(rgbs.shape[0])]
 
+    def encode_region(self, rgb, area) -> bytes:
+        """Encode an Area window of a larger frame as its own JPEG.
+
+        The windowed-encode contract of the reference (``rgb_to_dct`` over
+        an ``area_t``, ``main/encoder.c:158``; driven per difference region
+        at ``main/main.c:142-152``).  The slice happens on device; jit
+        caches are keyed per window shape, so recurring region sizes
+        compile once.
+        """
+        rgb = jnp.asarray(rgb, dtype=jnp.uint8)
+        h, w = rgb.shape[0], rgb.shape[1]
+        if area.x + area.w > w or area.y + area.h > h:
+            raise ValueError(f"area {area} exceeds frame {w}x{h}")
+        window = jax.lax.dynamic_slice(
+            rgb, (area.y, area.x, 0), (area.h, area.w, 3))
+        return self.encode(window)
+
     # -- interleaved (restart-capable) layout ----------------------------
 
     def _encode_interleaved(self, rgb, h, w):
