@@ -163,6 +163,17 @@ def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
 
 def decode(data: bytes) -> np.ndarray:
     """Decode baseline JFIF bytes to an [H, W, 3] uint8 RGB image."""
+    return _reconstruct(*parse_coefficients(data))
+
+
+def parse_coefficients(data: bytes):
+    """Parse markers + entropy-decode all scans (the serial host stage).
+
+    Returns (comps, coeffs, quant, width, height) — the zig-zagged
+    quantized coefficient arrays per component, ready for numeric
+    reconstruction (host ``_reconstruct`` or the device decoder in
+    ``pipelines.decode``).
+    """
     if data[:2] != b"\xff\xd8":
         raise ValueError("missing SOI")
     pos = 2
@@ -237,7 +248,7 @@ def decode(data: bytes) -> np.ndarray:
             continue
         pos += seg_len
 
-    return _reconstruct(comps, coeffs, quant, width, height)
+    return comps, coeffs, quant, width, height
 
 
 def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):

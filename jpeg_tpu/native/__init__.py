@@ -1,0 +1,103 @@
+"""ctypes bindings for the native host runtime (see /native).
+
+Builds the shared library on first use (g++ -O2) into
+``jpeg_tpu/native/_build``; every entry point has a NumPy fallback so the
+package works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, os.pardir, os.pardir, "native", "jpeg_tpu_host.cpp")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_SO = os.path.join(_BUILD_DIR, "libjpeg_tpu_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            src = os.path.abspath(_SRC)
+            if not os.path.exists(_SO) or (
+                    os.path.getmtime(_SO) < os.path.getmtime(src)):
+                os.makedirs(_BUILD_DIR, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, src],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(_SO)
+            lib.jt_finish_scan.restype = ctypes.c_int64
+            lib.jt_finish_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.jt_finish_scan_max_out.restype = ctypes.c_int64
+            lib.jt_finish_scan_max_out.argtypes = [ctypes.c_int64]
+            lib.jt_finish_scans.restype = ctypes.c_int64
+            lib.jt_finish_scans.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64)]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def finish_scan(words: np.ndarray, total_bits: int) -> bytes | None:
+    """Native scan finalization; None if the library is unavailable.
+
+    ``words`` must be uint32 (big-endian-packed bit stream as produced by
+    the device packers).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(words, dtype=np.uint32)
+    needed_words = (int(total_bits) + 31) // 32 + 1
+    if w.size < needed_words:
+        w = np.concatenate([w, np.zeros(needed_words - w.size, np.uint32)])
+    out = np.empty(int(lib.jt_finish_scan_max_out(total_bits)), np.uint8)
+    n = lib.jt_finish_scan(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(int(total_bits)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out[:n].tobytes()
+
+
+def finish_scans(words: np.ndarray, total_bits: np.ndarray) -> list[bytes] | None:
+    """Batch finalization: words [S, stride], total_bits [S] -> payloads."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(words, dtype=np.uint32)
+    tb = np.ascontiguousarray(total_bits, dtype=np.int32)
+    s = w.shape[0]
+    cap = sum(int(lib.jt_finish_scan_max_out(int(t))) for t in tb)
+    out = np.empty(cap, np.uint8)
+    offs = np.empty(s + 1, np.int64)
+    total = lib.jt_finish_scans(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(w.shape[1]),
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(s),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    offs[s] = total
+    return [out[offs[i]:offs[i + 1]].tobytes() for i in range(s)]

@@ -75,7 +75,14 @@ def finish_scan(words: np.ndarray, total_bits: int) -> bytes:
     full 0xFF data byte, then one ones-padded tail byte with no stuffing
     (a bare 0xFF when the scan ended on a byte boundary) —
     main/encoder.c:385-432.
+
+    Uses the C++ host runtime (jpeg_tpu.native) when built; the NumPy
+    implementation below is the portable fallback.
     """
+    from .. import native
+    got = native.finish_scan(np.asarray(words), int(total_bits))
+    if got is not None:
+        return got
     total = int(total_bits)
     nfull = total // 8
     raw = np.ascontiguousarray(np.asarray(words)).astype(">u4").tobytes()
