@@ -1,0 +1,62 @@
+"""Multi-host initialization and mesh construction (SURVEY §8.2 phase 5).
+
+The reference has no distributed layer (SURVEY §2.3); this is the
+TPU-native scale-out path: ``jax.distributed`` for process bootstrap, a
+(data, space) mesh spanning hosts — ICI within a slice, DCN across — and
+host-local assembly of each host's image shards.
+
+Single-host mode works without any initialization; ``initialize`` is a
+no-op when JAX is already initialized or when only one process exists.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+from .mesh import make_mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up jax.distributed from args or the standard env variables.
+
+    On TPU pods, ``jax.distributed.initialize()`` discovers everything
+    from the runtime; arguments are only needed for manual/CPU testing
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run
+        return
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh(space_per_host: int | None = None):
+    """(data, space) mesh over all global devices.
+
+    The ``space`` axis (spatial restart-segment sharding) is kept within a
+    host so its histogram psum rides ICI; the ``data`` axis spans hosts
+    over DCN, where only independent images travel.
+    """
+    local = jax.local_device_count()
+    space = space_per_host or min(local, 4)
+    while local % space:
+        space -= 1
+    data = jax.device_count() // space
+    return make_mesh(data=data, space=space, devices=jax.devices())
+
+
+def process_batch_slice(batch_size: int) -> slice:
+    """The slice of a global batch this process should feed (data axis)."""
+    per = batch_size // jax.process_count()
+    start = per * jax.process_index()
+    return slice(start, start + per)

@@ -1,0 +1,55 @@
+"""Mixed-resolution batch encoding via shape buckets (SURVEY §8.2 phase 4).
+
+XLA programs are shape-specialized, so a mixed-resolution stream is
+grouped by geometry: one cached ``FastBatchEncoder`` per (height, width)
+bucket, each batch encoded in one fused device step.  Images whose dims
+are not multiples of 16 must be padded first (``io.editimage``), exactly
+as the reference requires of its inputs (``utils/original.c:327-331``).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import EncodeConfig
+from .fast import FastBatchEncoder
+
+
+class BucketedEncoder:
+    """Encode lists of same-or-mixed-resolution images efficiently."""
+
+    def __init__(self, config: EncodeConfig | None = None,
+                 segs_per_image: int = 1, interpret: bool = False):
+        self.config = config or EncodeConfig(scan_layout="interleaved",
+                                             huffman="fixed")
+        self.segs_per_image = segs_per_image
+        self.interpret = interpret
+        self._encoders: dict[tuple[int, int], FastBatchEncoder] = {}
+
+    def _encoder(self, h: int, w: int) -> FastBatchEncoder:
+        key = (h, w)
+        if key not in self._encoders:
+            segs = self.segs_per_image
+            while (h // 16) % segs:
+                segs -= 1
+            self._encoders[key] = FastBatchEncoder(
+                h, w, config=self.config, segs_per_image=segs,
+                interpret=self.interpret)
+        return self._encoders[key]
+
+    def encode(self, images: list[np.ndarray]) -> list[bytes]:
+        """Encode a mixed-geometry list; output order matches input."""
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, img in enumerate(images):
+            h, w = img.shape[:2]
+            if h % 16 or w % 16:
+                raise ValueError(
+                    f"image {i} is {w}x{h}; pad with io.editimage first")
+            buckets.setdefault((h, w), []).append(i)
+
+        out: list[bytes | None] = [None] * len(images)
+        for (h, w), idxs in buckets.items():
+            enc = self._encoder(h, w)
+            batch = np.stack([np.asarray(images[i]) for i in idxs])
+            for i, data in zip(idxs, enc.encode_batch(batch)):
+                out[i] = data
+        return out  # type: ignore[return-value]
