@@ -73,6 +73,10 @@ class EncodeConfig:
     huffman: Literal["dynamic", "fixed"] = "dynamic"
     restart_interval_mcu_rows: int = 0
     dtype: str = "float32"  # DCT compute dtype on device ("float32"/"float64")
+    # Entropy-stage engine: "pallas" = VMEM LUT-attach + hierarchical pack
+    # kernels (kernels/), "xla" = pure-XLA ops (ops/), "auto" = pallas on
+    # TPU, xla elsewhere.  Output bytes are engine-independent.
+    engine: Literal["auto", "xla", "pallas"] = "auto"
 
     def __post_init__(self):
         if self.quality is not None and not (1 <= self.quality <= 100):

@@ -91,6 +91,14 @@ def attach(lut, idx, extra, extra_n, interpret: bool = False):
     multiple of 512 per 128x128 tile region — callers pad if needed).
     """
     shape = idx.shape
+    n = int(np.prod(shape))
+    pad = (-n) % (128 * 8)
+    if pad:
+        # pad with NULL_INDEX slots (resolve to code 0 / len 0), strip after
+        idx = jnp.concatenate([idx.reshape(-1),
+                               jnp.full(pad, NULL_INDEX, jnp.int32)])
+        extra = jnp.concatenate([extra.reshape(-1), jnp.zeros(pad, jnp.int32)])
+        extra_n = jnp.concatenate([extra_n.reshape(-1), jnp.zeros(pad, jnp.int32)])
     flat = idx.reshape(-1, 128)
     rows = flat.shape[0]
     tr = _TR if rows % _TR == 0 else next(
@@ -116,6 +124,9 @@ def attach(lut, idx, extra, extra_n, interpret: bool = False):
         interpret=interpret,
     )(lut.reshape(8, 128), flat,
       extra.reshape(-1, 128), extra_n.reshape(-1, 128))
+    if pad:
+        value = value.reshape(-1)[:n]
+        nbits = nbits.reshape(-1)[:n]
     return value.reshape(shape), nbits.reshape(shape)
 
 

@@ -150,6 +150,14 @@ def pack_segments(value, nbits, n_segments: int, seg_rows: int,
     segments; ``seg_rows`` includes straddle slack rows).
     """
     S, nblk_seg, _ = value.shape
+    pad = (-nblk_seg) % _TR
+    if pad:
+        # zero-bit padding blocks: contribute nothing, keep the kernel on
+        # full-width tiles (a non-divisible nblk would fall back to tr=1)
+        value = jnp.concatenate(
+            [value, jnp.zeros((S, pad, 64), value.dtype)], axis=1)
+        nbits = jnp.concatenate(
+            [nbits, jnp.zeros((S, pad, 64), nbits.dtype)], axis=1)
     block_bits = jnp.sum(nbits, axis=-1, dtype=jnp.int32)      # [S, nblk]
     ends = jnp.cumsum(block_bits, axis=-1)
     goff_seg = ends - block_bits

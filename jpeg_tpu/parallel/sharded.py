@@ -79,9 +79,22 @@ class ShardedEncoder:
         self._mcu_index = jnp.asarray(mcu_order_index(width, self.slab_h))
 
         self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
+        self._engine = self._resolve_engine()
         self._analyze_step = self._build_analyze_step()
         self._pack_step = self._build_pack_step()
-        self._fused_step = self._build_fused_step() if self._fixed else None
+        if self._fixed is None:
+            self._fused_step = None
+        elif self._engine == "pallas":
+            self._fused_step = self._build_fused_step_pallas()
+        else:
+            self._fused_step = self._build_fused_step()
+
+    def _resolve_engine(self) -> str:
+        """Pallas per-device kernels on TPU for the fixed-table fused step;
+        dynamic-table mode keeps the XLA engine (same bytes either way)."""
+        if self.config.engine != "auto":
+            return self.config.engine
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # -- jitted steps ----------------------------------------------------
 
@@ -149,6 +162,54 @@ class ShardedEncoder:
                 s, luts[0], luts[1], luts[2], luts[3],
                 luts[4], luts[5], luts[6], luts[7], max_words=mw))(slots)
             return words, totals, hists
+
+        f = jax.shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS, SPACE_AXIS, None, None),),
+            out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS, SPACE_AXIS),
+                       P(DATA_AXIS, None, None)),
+            check_vma=False)
+        return jax.jit(f)
+
+    def _build_fused_step_pallas(self):
+        """Fixed-table fused step with the Pallas per-device kernels.
+
+        Same shard_map decomposition as the XLA variant, but each device
+        runs the fast-path stack (combined-LUT VMEM attach + hierarchical
+        bit pack) over its restart-segment slab.  Bytes are identical to
+        the XLA engine; histograms are also produced (psum over space) so
+        ``step`` has one signature across engines.
+        """
+        from ..kernels import lut as klut
+        from ..kernels import pack as kpack
+        from ..pipelines import fast as F
+
+        mesh = self.mesh
+        lut = jnp.asarray(klut.build_combined_lut(self._fixed))
+        lq, cq = jnp.asarray(self._luma_q), jnp.asarray(self._chroma_q)
+        mx, slab_my = self.width // 16, self.slab_h // 16
+        spd = self.segs_per_device
+        seg_rows = kpack.rows_per_segment(self.mcus_per_segment * 6 * 64)
+        interp = jax.default_backend() not in ("tpu",)
+        dtype = self._dtype
+
+        def device_fn(rgb_local):  # [B_local, slab_h, W, 3]
+            b = rgb_local.shape[0]
+            slots = F.analyze_symbols(rgb_local, lq, cq, mx, slab_my, spd,
+                                      dtype=dtype)
+            idx = slots["idx"].reshape(b * spd, -1)
+            value, nbits = klut.attach(lut, idx,
+                                       slots["extra"].reshape(b * spd, -1),
+                                       slots["extra_n"].reshape(b * spd, -1),
+                                       interpret=interp)
+            words, totals = kpack.pack_segments(
+                value.reshape(b * spd, -1, 64), nbits.reshape(b * spd, -1, 64),
+                b * spd, seg_rows, interpret=interp)
+            hists = F.hist_1024(slots["idx"].reshape(b, -1))
+            ldc, lac, cdc, cac = F.split_hists(hists)
+            h4 = jnp.stack([ldc, lac, cdc, cac], axis=1)  # [B_local, 4, 256]
+            h4 = jax.lax.psum(h4, SPACE_AXIS)
+            return (words.reshape(b, spd, -1), totals.reshape(b, spd), h4)
 
         f = jax.shard_map(
             device_fn, mesh=mesh,

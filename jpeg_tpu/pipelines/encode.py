@@ -68,6 +68,30 @@ def pack_scan(slots, dc_code, dc_len, ac_code, ac_len, max_words):
     return ops_pack.pack_fields(values, nbits, max_words=max_words)
 
 
+@functools.partial(jax.jit, static_argnames=("is_luma", "seg_rows", "interpret"))
+def pack_scan_kernels(slots, lut, is_luma: bool, seg_rows: int,
+                      interpret: bool = False):
+    """Pallas-engine scan packing: LUT attach + hierarchical bit pack.
+
+    slots leaves are [N, 64] (one non-interleaved scan); lut is the
+    combined 1024-entry table.  Returns (words [seg_rows*128] u32,
+    total_bits scalar) — same stream layout as pack_scan modulo padding.
+    """
+    from ..kernels import lut as klut
+    from ..kernels import pack as kpack
+
+    sym = slots["sym"]
+    is_dc = jnp.zeros(sym.shape, bool).at[..., 0].set(True)
+    luma = jnp.full(sym.shape, is_luma)
+    idx = klut.slot_index(sym, slots["valid"], is_dc, luma)
+    value, nbits = klut.attach(lut, idx, slots["extra"], slots["extra_n"],
+                               interpret=interpret)
+    words, totals = kpack.pack_segments(
+        value.reshape(1, -1, 64), nbits.reshape(1, -1, 64), 1, seg_rows,
+        interpret=interpret)
+    return words[0], totals[0]
+
+
 class JpegEncoder:
     """Reusable encoder; jit caches are keyed on input shapes."""
 
@@ -92,8 +116,26 @@ class JpegEncoder:
         h = [np.asarray(x) for x in hists]
         return build_tables_from_histograms(*h)
 
-    def _payload(self, slots, dc_tab, ac_tab):
+    def _resolve_engine(self) -> str:
+        """"auto" -> pallas on TPU, xla elsewhere.  Engines are
+        byte-identical (the entropy stage is exact integer work)."""
+        if self.config.engine != "auto":
+            return self.config.engine
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def _payload(self, slots, tables, is_luma: bool):
         num_slots = int(np.prod(slots["sym"].shape))
+        if self._resolve_engine() == "pallas":
+            from ..kernels import lut as klut
+            from ..kernels import pack as kpack
+            lut = jnp.asarray(klut.build_combined_lut(tables))
+            seg_rows = kpack.rows_per_segment(num_slots)
+            interp = jax.default_backend() != "tpu"
+            words, total = pack_scan_kernels(slots, lut, is_luma, seg_rows,
+                                             interpret=interp)
+            return ops_pack.finish_scan(np.asarray(words), int(total))
+        dc_tab = tables["luma_dc" if is_luma else "chroma_dc"]
+        ac_tab = tables["luma_ac" if is_luma else "chroma_ac"]
         mw = ops_pack.max_words_for_slots(num_slots)
         dc_code, dc_len = _luts(dc_tab)
         ac_code, ac_len = _luts(ac_tab)
@@ -119,9 +161,9 @@ class JpegEncoder:
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables)
         return jfif.assemble_3scan(
             header,
-            self._payload(slots["y"], tables["luma_dc"], tables["luma_ac"]),
-            self._payload(slots["cb"], tables["chroma_dc"], tables["chroma_ac"]),
-            self._payload(slots["cr"], tables["chroma_dc"], tables["chroma_ac"]),
+            self._payload(slots["y"], tables, True),
+            self._payload(slots["cb"], tables, False),
+            self._payload(slots["cr"], tables, False),
         )
 
     def encode_batch(self, rgbs) -> list[bytes]:

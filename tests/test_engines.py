@@ -1,0 +1,22 @@
+"""Engine byte-identity: the Pallas entropy stage must produce exactly the
+bytes of the XLA stage (and therefore of the golden/C path in f64 mode)."""
+import numpy as np
+
+from jpeg_tpu.core.types import EncodeConfig
+from jpeg_tpu.pipelines.encode import JpegEncoder
+
+
+def test_3scan_pallas_engine_bytes_match_xla(img64):
+    img = np.asarray(img64)
+    a = JpegEncoder(EncodeConfig(engine="xla")).encode(img)
+    b = JpegEncoder(EncodeConfig(engine="pallas")).encode(img)
+    assert a == b
+
+
+def test_3scan_pallas_engine_odd_chroma_blocks(img_synthetic_160):
+    # 160x96 -> chroma blocks per scan = 10*6 = 60 (not a multiple of 128):
+    # exercises the padding paths in attach and pack_segments
+    img = np.asarray(img_synthetic_160)
+    a = JpegEncoder(EncodeConfig(engine="xla")).encode(img)
+    b = JpegEncoder(EncodeConfig(engine="pallas")).encode(img)
+    assert a == b

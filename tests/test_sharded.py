@@ -74,6 +74,19 @@ def test_sharded_multiseg_per_device(mesh24, img_synthetic_160):
     assert [bytes(g) for g in got] == expected
 
 
+def test_sharded_pallas_engine_matches_xla(mesh24, img_synthetic_160):
+    img = np.asarray(img_synthetic_160)[:128, :96]
+    batch = _batch(img, 2)
+    base = dict(scan_layout="interleaved", huffman="fixed",
+                restart_interval_mcu_rows=2)
+    xla = ShardedEncoder(mesh24, 128, 96,
+                         config=EncodeConfig(engine="xla", **base))
+    pal = ShardedEncoder(mesh24, 128, 96,
+                         config=EncodeConfig(engine="pallas", **base))
+    assert [bytes(b) for b in pal.encode_batch(batch)] == \
+           [bytes(b) for b in xla.encode_batch(batch)]
+
+
 def test_fused_step_is_jitted_end_to_end(mesh24, img_synthetic_160):
     img = np.asarray(img_synthetic_160)[:128, :96]
     batch = _batch(img, 2)
