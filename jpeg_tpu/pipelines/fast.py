@@ -233,17 +233,23 @@ class FastBatchEncoder:
         # bits/slot) while real streams are ~10x smaller, and device->host
         # bandwidth is the e2e bottleneck.
         totals_np = np.asarray(totals)
-        used = (int(totals_np.max()) + 31) // 32
+        used = (int(totals_np.max()) + 31) // 32 + 1  # +1: tail-word read slack
         cap = min(words.shape[-1], -(-used // 128) * 128)
         words_np = np.asarray(words[:, :, :cap])
         return self._assemble(words_np, totals_np, tables)
 
     def _assemble(self, words, totals, tables):
+        from .. import native
         from ..ops.pack import finish_scan
+        B = words.shape[0]
+        payloads = native.finish_scans(words.reshape(B * self.n_segs, -1),
+                                       totals.reshape(-1))
+        if payloads is None:  # no C++ toolchain: per-scan NumPy fallback
+            payloads = [finish_scan(words[b, s], int(totals[b, s]))
+                        for b in range(B) for s in range(self.n_segs)]
         out = []
-        for b in range(words.shape[0]):
-            segs = [finish_scan(words[b, s], int(totals[b, s]))
-                    for s in range(self.n_segs)]
+        for b in range(B):
+            segs = payloads[b * self.n_segs:(b + 1) * self.n_segs]
             interval = self.mcus_per_segment if self.n_segs > 1 else 0
             header = jfif.headers(self.width, self.height, self._luma_q,
                                   self._chroma_q, tables[b],
