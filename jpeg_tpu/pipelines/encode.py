@@ -121,6 +121,8 @@ class JpegEncoder:
         byte-identical (the entropy stage is exact integer work)."""
         if self.config.engine != "auto":
             return self.config.engine
+        if self.config.dtype == "float64":
+            return "xla"  # bit-parity mode: exact un-jitted summation path
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def _payload(self, slots, tables, is_luma: bool):
@@ -190,7 +192,26 @@ class JpegEncoder:
 
     # -- interleaved (restart-capable) layout ----------------------------
 
+    def _interleaved_fast(self, rgb, h, w):
+        """Pallas-engine interleaved encode: delegate to FastBatchEncoder
+        (byte-identical; one cached fused pipeline per geometry)."""
+        from .fast import FastBatchEncoder  # deferred: fast imports encode
+        my = h // 16
+        rows_per_seg = self.config.restart_interval_mcu_rows or my
+        if my % rows_per_seg:
+            raise ValueError(
+                f"restart_interval_mcu_rows={rows_per_seg} must divide MCU rows {my}")
+        key = (h, w)
+        cache = self.__dict__.setdefault("_fast_cache", {})
+        if key not in cache:
+            cache[key] = FastBatchEncoder(
+                h, w, config=self.config, segs_per_image=my // rows_per_seg,
+                interpret=jax.default_backend() != "tpu")
+        return cache[key].encode_batch(rgb[None])[0]
+
     def _encode_interleaved(self, rgb, h, w):
+        if self._resolve_engine() == "pallas":
+            return self._interleaved_fast(rgb, h, w)
         from ..golden.encoder import mcu_order_index  # host-precomputed index
 
         mx, my = w // 16, h // 16

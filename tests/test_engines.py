@@ -13,6 +13,14 @@ def test_3scan_pallas_engine_bytes_match_xla(img64):
     assert a == b
 
 
+def test_interleaved_pallas_engine_matches_xla(img_synthetic_160):
+    img = np.asarray(img_synthetic_160)[:64, :64]
+    base = dict(scan_layout="interleaved", restart_interval_mcu_rows=2)
+    a = JpegEncoder(EncodeConfig(engine="xla", **base)).encode(img)
+    b = JpegEncoder(EncodeConfig(engine="pallas", **base)).encode(img)
+    assert a == b
+
+
 def test_3scan_pallas_engine_odd_chroma_blocks(img_synthetic_160):
     # 160x96 -> chroma blocks per scan = 10*6 = 60 (not a multiple of 128):
     # exercises the padding paths in attach and pack_segments
