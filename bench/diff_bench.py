@@ -36,7 +36,7 @@ def main():
     from jpeg_tpu.pipelines.monitor import ChangeMonitor
     from jpeg_tpu.utils.profiling import encode_metrics
 
-    mon = ChangeMonitor(640, 640)
+    mon = ChangeMonitor(640, 640, snap_multiple=64)
     frames = list(_frames(n))
     mon.process_frame(frames[0])  # seed + compile
 

@@ -24,4 +24,10 @@ def encode_jpeg(rgb, config=None) -> bytes:
     return _impl(rgb, config)
 
 
+def decode_jpeg(data: bytes):
+    """Baseline JFIF bytes -> [H, W, 3] uint8 RGB (device reconstruction)."""
+    from .pipelines.decode import decode_jpeg as _impl
+    return _impl(data)
+
+
 __version__ = "0.1.0"

@@ -178,12 +178,14 @@ def enlarge_adjust(rect: RawRect, width: int, height: int) -> Area:
     return Area(x=x, y=y, w=w, h=h)
 
 
-def _align_area(x: int, y: int, w: int, h: int, width: int, height: int) -> Area:
-    """Center-expand an arbitrary box to 16-multiples, clamped in-frame."""
-    x -= (16 - (w % 16)) // 2 if w % 16 else 0
-    y -= (16 - (h % 16)) // 2 if h % 16 else 0
-    w += (16 - w % 16) if w % 16 else 0
-    h += (16 - h % 16) if h % 16 else 0
+def _align_area(x: int, y: int, w: int, h: int, width: int, height: int,
+                multiple: int = 16) -> Area:
+    """Center-expand an arbitrary box to ``multiple``-multiples, clamped."""
+    m = multiple
+    x -= (m - (w % m)) // 2 if w % m else 0
+    y -= (m - (h % m)) // 2 if h % m else 0
+    w += (m - w % m) if w % m else 0
+    h += (m - h % m) if h % m else 0
     w = min(w, width)
     h = min(h, height)
     x -= max(0, (x + w) - width)
@@ -234,11 +236,19 @@ class FrameComparator:
     """
 
     def __init__(self, height: int, width: int,
-                 threshold: int = DEFAULT_THRESHOLD):
+                 threshold: int = DEFAULT_THRESHOLD,
+                 snap_multiple: int | None = None):
+        """``snap_multiple`` (a multiple of 16, e.g. 64): additionally
+        center-expand region sizes to that granularity.  Not in the
+        reference; bounds the number of distinct region shapes so the
+        per-shape jit caches of the ROI encoder stay small."""
         if height % 16 or width % 16:
             raise ValueError("frame dims must be multiples of 16")
+        if snap_multiple and snap_multiple % 16:
+            raise ValueError("snap_multiple must be a multiple of 16")
         self.height, self.width = height, width
         self.threshold = threshold
+        self.snap_multiple = snap_multiple
         self._saved = None
 
     def subsample(self, rgb):
@@ -259,7 +269,11 @@ class FrameComparator:
         rects = find_regions(mask)
         areas = [enlarge_adjust(r, self.width, self.height) for r in rects]
         areas = merge_adjusted(areas, self.width, self.height)
-        return filter_small(areas)
+        areas = filter_small(areas)
+        if self.snap_multiple:
+            areas = [_align_area(a.x, a.y, a.w, a.h, self.width, self.height,
+                                 multiple=self.snap_multiple) for a in areas]
+        return areas
 
     def process(self, rgb) -> list[Area]:
         """Full cycle on a raw frame: subsample, compare, re-store.

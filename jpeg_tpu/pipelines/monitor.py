@@ -32,8 +32,10 @@ class ChangeMonitor:
 
     def __init__(self, height: int, width: int,
                  config: EncodeConfig | None = None,
-                 threshold: int = DEFAULT_THRESHOLD):
-        self.comparator = FrameComparator(height, width, threshold=threshold)
+                 threshold: int = DEFAULT_THRESHOLD,
+                 snap_multiple: int | None = None):
+        self.comparator = FrameComparator(height, width, threshold=threshold,
+                                          snap_multiple=snap_multiple)
         self.encoder = JpegEncoder(config)
 
     def process_frame(self, rgb) -> FrameResult:

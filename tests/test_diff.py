@@ -107,3 +107,15 @@ def test_resize_pad_and_multiple():
     assert (out[:, 30:] == 0xFF).all() and (out[:16, :30] == 0).all()
     out2 = pad_to_multiple(np.zeros((17, 33, 3), np.uint8))
     assert out2.shape == (32, 48, 3)
+
+
+def test_snap_multiple_bounds_region_shapes(img640, img640_diffs):
+    comp = D.FrameComparator(640, 640, snap_multiple=64)
+    comp.store(comp.subsample(img640))
+    areas = comp.compare(comp.subsample(img640_diffs))
+    assert areas
+    for a in areas:
+        # snapped unless clamped by the frame edge
+        assert a.w % 64 == 0 or a.w == 640
+        assert a.h % 64 == 0 or a.h == 640
+        assert a.w % 16 == 0 and a.h % 16 == 0
