@@ -261,6 +261,28 @@ class FrameComparator:
     def stored(self):
         return self._saved
 
+    def save(self, path: str) -> None:
+        """Persist the stored frame with an atomic swap.
+
+        Mirrors the firmware persisting ``/sdcard/stored`` via
+        unlink+rename (``main/main.c:160-163``) so a crash never leaves a
+        torn reference frame.
+        """
+        if self._saved is None:
+            raise RuntimeError("no stored frame to save")
+        import os
+        tmp = path + ".tmp"
+        np.save(tmp, np.asarray(self._saved))
+        os.replace(tmp + ".npy", path)
+
+    def load(self, path: str) -> None:
+        """Restore a persisted stored frame (device-resident afterwards)."""
+        arr = np.load(path)
+        if arr.shape != (self.height // 4, self.width // 4, 3):
+            raise ValueError(f"stored frame shape {arr.shape} does not match "
+                             f"comparator geometry")
+        self._saved = jnp.asarray(arr, dtype=jnp.uint8)
+
     def compare(self, sub) -> list[Area]:
         """Subsampled frame vs stored -> MCU-aligned difference regions."""
         if self._saved is None:

@@ -119,3 +119,16 @@ def test_snap_multiple_bounds_region_shapes(img640, img640_diffs):
         assert a.w % 64 == 0 or a.w == 640
         assert a.h % 64 == 0 or a.h == 640
         assert a.w % 16 == 0 and a.h % 16 == 0
+
+
+def test_comparator_save_load_roundtrip(tmp_path, img640, img640_diffs):
+    comp = D.FrameComparator(640, 640)
+    comp.store(comp.subsample(img640))
+    path = str(tmp_path / "stored.npy")
+    comp.save(path)
+
+    fresh = D.FrameComparator(640, 640)
+    fresh.load(path)
+    areas_a = comp.compare(comp.subsample(img640_diffs))
+    areas_b = fresh.compare(fresh.subsample(img640_diffs))
+    assert areas_a == areas_b and areas_a
