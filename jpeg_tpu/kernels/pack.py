@@ -133,6 +133,99 @@ def block_windows(value, nbits, goff, interpret: bool = False):
     return r0, r1
 
 
+def _sub_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dimension=0)
+
+
+def _cumsum_sublanes(x):
+    """Inclusive cumsum along axis 0 via log-step sublane rolls."""
+    n = x.shape[0]
+    sub = _sub_iota(x.shape)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, k, axis=0)
+        x = x + jnp.where(sub >= k, shifted, 0)
+        k *= 2
+    return x
+
+
+def _pack_kernel_t(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
+    """Transposed-layout local pack: slots on sublanes, blocks on lanes.
+
+    ~5x faster than ``_pack_kernel``: each of the 57 local words is one
+    masked sublane-reduction producing a [1, TB] row written directly
+    (the block-major layout needed 57 full-tile selects), and the
+    bit-shift / word-rotate stages operate along sublanes with per-lane
+    (per-block) shift amounts.
+    """
+    shr = jax.lax.shift_right_logical
+    v = value_ref[:]                          # [64, TB] int32
+    nb = nbits_ref[:]                         # [64, TB]
+    goff = goff_ref[:]                        # [1, TB]
+
+    ends = _cumsum_sublanes(nb)
+    offs = ends - nb
+    w = shr(offs, jnp.int32(5))
+    ein = (offs & 31) + nb
+    hi = jnp.where(ein <= 32, v << jnp.clip(32 - ein, 0, 31),
+                   shr(v, jnp.clip(ein - 32, 0, 31)))
+    lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
+
+    rows = []
+    for j in range(LOCAL_WORDS):
+        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
+                     dtype=jnp.int32)
+        if j > 0:
+            cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                              keepdims=True, dtype=jnp.int32)
+        rows.append(cj)
+    tb = v.shape[1]
+    lw = jnp.concatenate(
+        rows + [jnp.zeros((128 - LOCAL_WORDS, tb), jnp.int32)], axis=0)
+
+    sub = _sub_iota((128, tb))
+    s = goff & 31                             # [1, TB]
+    prev = pltpu.roll(lw, 1, axis=0)
+    prev = jnp.where(sub == 0, 0, prev)
+    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+
+    l = shr(goff, jnp.int32(5)) & 127         # [1, TB]
+    x = shifted
+    for k in range(7):
+        rolled = pltpu.roll(x, 1 << k, axis=0)
+        x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
+    r0_ref[:] = jnp.where(sub >= l, x, 0).T   # -> [TB, 128] block-major
+    r1_ref[:] = jnp.where(sub < l, x, 0).T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_windows_t(value, nbits, goff, interpret: bool = False):
+    """Transposed-layout variant of ``block_windows`` (same contract)."""
+    nblk = value.shape[0]
+    tb = _TR if nblk % _TR == 0 else next(
+        t for t in (64, 32, 16, 8, 4, 2, 1) if nblk % t == 0)
+    grid = (nblk // tb,)
+    vT = jax.lax.bitcast_convert_type(value.astype(jnp.uint32), jnp.int32).T
+    nbT = nbits.astype(jnp.int32).T           # [64, nblk]
+    r0, r1 = pl.pallas_call(
+        _pack_kernel_t,
+        out_shape=[jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((nblk, 128), jnp.int32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((64, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        interpret=interpret,
+    )(vT, nbT, goff.reshape(1, -1).astype(jnp.int32))
+    return r0, r1
+
+
 def rows_per_segment(slots_per_segment: int) -> int:
     """Output rows (128 words each) per segment, with straddle slack."""
     from ..ops.pack import max_words_for_slots
@@ -166,8 +259,8 @@ def pack_segments(value, nbits, n_segments: int, seg_rows: int,
     seg_base = (jnp.arange(S, dtype=jnp.int32) * (seg_rows * 128 * 32))[:, None]
     goff = (goff_seg + seg_base).reshape(-1)
 
-    r0, r1 = block_windows(value.reshape(-1, 64), nbits.reshape(-1, 64),
-                           goff, interpret=interpret)
+    r0, r1 = block_windows_t(value.reshape(-1, 64), nbits.reshape(-1, 64),
+                             goff, interpret=interpret)
     rows = goff >> 12
     words = jnp.zeros((S * seg_rows + 1, 128), jnp.int32)
     words = words.at[rows].add(r0, mode="drop")
