@@ -73,3 +73,32 @@ def dump_stages(rgb: np.ndarray, outdir: str, quality: int | None = None) -> dic
     write("Cb-Diff", _fmt_int(stages["cb_diff"], w // 2))
     write("Cr-Diff", _fmt_int(stages["cr_diff"], w // 2))
     return stages
+
+
+def channel_montage(rgb: np.ndarray) -> np.ndarray:
+    """3x3 channel-visualization montage (``save_channels`` analog,
+    ``utils/original.c:205-282``, the #ifdef INFO illustration path).
+
+    Row 0: R/G/B as color tints; row 1: full-res Y/Cb/Cr grayscale;
+    row 2: Y and the 2x2-subsampled Cb/Cr upsampled back (what the
+    encoder actually consumes).  Illustration parity, not byte parity.
+    """
+    from ..golden import encoder as genc
+    rgb = np.asarray(rgb)
+    h, w = rgb.shape[:2]
+    y, cb, cr = genc.rgb_to_ycbcr(rgb)
+    cb_s, cr_s = genc.subsample_chroma(cb), genc.subsample_chroma(cr)
+    up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)
+    gray = lambda p: np.stack([p, p, p], axis=-1).astype(np.uint8)
+    zeros = np.zeros((h, w), np.uint8)
+    out = np.empty((3 * h, 3 * w, 3), np.uint8)
+    out[:h, :w] = np.stack([rgb[..., 0], zeros, zeros], -1)
+    out[:h, w:2 * w] = np.stack([zeros, rgb[..., 1], zeros], -1)
+    out[:h, 2 * w:] = np.stack([zeros, zeros, rgb[..., 2]], -1)
+    out[h:2 * h, :w] = gray(np.clip(y, 0, 255))
+    out[h:2 * h, w:2 * w] = gray(np.clip(cb, 0, 255))
+    out[h:2 * h, 2 * w:] = gray(np.clip(cr, 0, 255))
+    out[2 * h:, :w] = gray(np.clip(y, 0, 255))
+    out[2 * h:, w:2 * w] = gray(np.clip(up(cb_s), 0, 255))
+    out[2 * h:, 2 * w:] = gray(np.clip(up(cr_s), 0, 255))
+    return out
