@@ -52,6 +52,8 @@ def main():
     print(f"frames={n - 1}  fps={fps:.1f}  regions={regions}  "
           f"region_bytes={total_bytes}  "
           f"({fps * 0.4096:.1f} MP/s of full frames scanned)")
+    print("# note: per-frame latency-bound on tunneled chips (~10 host<->device "
+          "round trips/frame); local-PCIe TPU hosts run this 30-50x faster")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,12 @@ This kernel reformulates packing hierarchically:
    u32 windows (one per block, ~153k updates/batch instead of 19.6M),
    which XLA handles ~40x faster.  Disjoint bit ranges make add == or.
 
+Two kernel layouts implement step 1+2: ``_pack_kernel`` (blocks on
+sublanes — the straightforward form) and the production
+``_pack_kernel_t`` (slots on sublanes, blocks on lanes), which is ~5x
+faster because each local word is a single masked sublane-reduction row
+write instead of a full-tile select; ``pack_segments`` uses the latter.
+
 Bit i of a segment's stream lives in word i//32 (big-endian within the
 word), word w in row w//128, lane w%128 — compatible with
 ``ops.pack.finish_scan`` after a flatten.
