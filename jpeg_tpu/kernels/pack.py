@@ -249,6 +249,11 @@ def pack_segments(value, nbits, n_segments: int, seg_rows: int,
     segments; ``seg_rows`` includes straddle slack rows).
     """
     S, nblk_seg, _ = value.shape
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError(
+            f"{S} segments x {seg_rows} rows exceeds the int32 bit-offset "
+            "range; pack in smaller groups (split the batch or use more, "
+            "smaller restart segments per call)")
     pad = (-nblk_seg) % _TR
     if pad:
         # zero-bit padding blocks: contribute nothing, keep the kernel on

@@ -157,6 +157,7 @@ class FastBatchEncoder:
 
         self._step = jax.jit(self._step_fn, static_argnames=("with_hist",))
         self._pack_only = jax.jit(self._pack_only_fn)
+        self._analyze_hist = jax.jit(self._analyze_hist_fn)
 
     # -- jitted pieces ---------------------------------------------------
 
@@ -193,6 +194,12 @@ class FastBatchEncoder:
             return out + (h,)
         return out
 
+    def _analyze_hist_fn(self, rgbs):
+        """Dynamic-table stage 1, one jit: slots + per-image histograms."""
+        slots = self._analyze_batch(rgbs)
+        h = hist_1024(slots["idx"].reshape(rgbs.shape[0], -1))
+        return slots, h
+
     def _pack_only_fn(self, slots, lut_per_image):
         B, S = slots["idx"].shape[0], slots["idx"].shape[1]
         luts = jnp.repeat(lut_per_image, S, axis=0)  # [B*S, 1024]
@@ -216,8 +223,7 @@ class FastBatchEncoder:
             words, totals = self._step(rgbs, self._fixed_lut, with_hist=False)
             tables = [self._fixed] * int(rgbs.shape[0])
         else:
-            slots = self._analyze_batch(rgbs)
-            h = hist_1024(slots["idx"].reshape(rgbs.shape[0], -1))
+            slots, h = self._analyze_hist(rgbs)
             h_np = np.asarray(h)
             tables = []
             luts = np.empty((rgbs.shape[0], 1024), np.int32)
