@@ -253,9 +253,12 @@ def parse_coefficients(data: bytes):
 
 def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
     hmax = max(c.h_samp for c in scan_comps) if len(scan_comps) > 1 else None
+    # coded geometry is padded to full MCUs; SOF dims may be smaller
+    # (arbitrary-size images, T.81 A.2.1) and are cropped in _reconstruct
+    width = -(-width // 16) * 16
+    height = -(-height // 16) * 16
 
     def blocks_dims(comp):
-        # full-image component dims (4:2:0 geometry, dims multiple of 16)
         cw = width * comp.h_samp // 2 if _is_subsampled(comp) else width
         ch = height * comp.v_samp // 2 if _is_subsampled(comp) else height
         return cw, ch
@@ -320,11 +323,13 @@ def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
 
 
 def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
+    pw = -(-width // 16) * 16   # coded (padded) geometry
+    ph = -(-height // 16) * 16
     planes = {}
     for comp in comps:
         sub = comp.h_samp == 1
-        cw = width // 2 if sub else width
-        ch = height // 2 if sub else height
+        cw = pw // 2 if sub else pw
+        ch = ph // 2 if sub else ph
         pix = _idct_blocks(coeffs[comp.comp_id], quant[comp.quant_id])
         plane = _from_blocks(pix, ch, cw)
         if sub:
@@ -335,7 +340,7 @@ def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:height, :width]
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

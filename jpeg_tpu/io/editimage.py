@@ -32,3 +32,20 @@ def pad_to_multiple(image: np.ndarray, multiple: int = 16) -> np.ndarray:
     return resize_pad(image,
                       -(-w // multiple) * multiple,
                       -(-h // multiple) * multiple)
+
+
+def pad_replicate(image: np.ndarray, multiple: int = 16) -> np.ndarray:
+    """Edge-replicating pad to the next ``multiple`` in both dims.
+
+    The standard JPEG treatment of partial MCUs (the replicated content
+    compresses to almost nothing and never shows: the SOF dims stay at the
+    true size, so decoders crop it).  The reference has no equivalent —
+    it simply rejects non-multiple dims (``utils/original.c:327-331``).
+    """
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if not (ph or pw):
+        return image
+    return np.pad(image, ((0, ph), (0, pw), (0, 0)), mode="edge")

@@ -68,8 +68,10 @@ def decode_jpeg(data: bytes):
         raise ValueError("device decoder expects 3-component 4:2:0 JPEGs")
     by_id = {c.comp_id: c for c in comps}
     luma = by_id[1]
-    return np.asarray(reconstruct_420(
+    ph, pw = -(-height // 16) * 16, -(-width // 16) * 16  # coded geometry
+    out = np.asarray(reconstruct_420(
         jnp.asarray(coeffs[1]), jnp.asarray(coeffs[2]), jnp.asarray(coeffs[3]),
         jnp.asarray(quant[luma.quant_id]),
         jnp.asarray(quant[by_id[2].quant_id]),
-        height, width))
+        ph, pw))
+    return out[:height, :width]

@@ -173,6 +173,22 @@ class JpegEncoder:
         rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
         return [self.encode(rgbs[i]) for i in range(rgbs.shape[0])]
 
+    def encode_any(self, rgb) -> bytes:
+        """Encode an image of arbitrary dimensions.
+
+        Pads to full 16x16 MCUs by edge replication and declares the true
+        size in SOF0 (decoders crop — T.81 A.2.1).  The reference rejects
+        such inputs outright (``utils/original.c:327-331``); this is the
+        standard-JPEG upgrade of that constraint.
+        """
+        from ..io.editimage import pad_replicate
+        rgb = np.asarray(rgb)
+        h, w = rgb.shape[0], rgb.shape[1]
+        if h % 16 == 0 and w % 16 == 0:
+            return self.encode(rgb)
+        data = self.encode(pad_replicate(rgb))
+        return jfif.patch_sof_dims(data, w, h)
+
     def encode_region(self, rgb, area) -> bytes:
         """Encode an Area window of a larger frame as its own JPEG.
 
