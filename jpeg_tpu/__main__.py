@@ -40,7 +40,7 @@ def cmd_encode(args):
     from .pipelines.encode import JpegEncoder
     from .utils.profiling import encode_metrics
     img = read_ppm(args.input)
-    data = JpegEncoder(_cfg(args)).encode(img)
+    data = JpegEncoder(_cfg(args)).encode_any(img)  # any dims; pads MCUs
     with open(args.output, "wb") as f:
         f.write(data)
     m = encode_metrics(img, data)

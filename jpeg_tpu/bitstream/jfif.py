@@ -44,15 +44,26 @@ def dht_segment(tc_th: int, table: HuffmanTable) -> bytes:
         bytes(bits) + bytes(vals)
 
 
-def sof0_segment(width: int, height: int) -> bytes:
-    """Baseline SOF0, 3 components, Y sampling 2x2, chroma 1x1
-    (main/encoder.c:536,593-598)."""
+def sof0_segment(width: int, height: int, y_sampling: tuple[int, int] = (2, 2),
+                 gray: bool = False) -> bytes:
+    """Baseline SOF0.  Default: 3 components, Y sampling 2x2, chroma 1x1
+    (main/encoder.c:536,593-598); y_sampling=(1,1) gives 4:4:4; gray=True
+    emits a single-component frame."""
+    ys = ((y_sampling[0] << 4) | y_sampling[1]) & 0xFF
+    if gray:
+        return bytes([
+            0xFF, 0xC0, 0x00, 0x0B, 0x08,
+            (height >> 8) & 0xFF, height & 0xFF,
+            (width >> 8) & 0xFF, width & 0xFF,
+            0x01,
+            0x01, 0x11, 0x00,
+        ])
     return bytes([
         0xFF, 0xC0, 0x00, 0x11, 0x08,
         (height >> 8) & 0xFF, height & 0xFF,
         (width >> 8) & 0xFF, width & 0xFF,
         0x03,
-        0x01, 0x22, 0x00,
+        0x01, ys, 0x00,
         0x02, 0x11, 0x01,
         0x03, 0x11, 0x01,
     ])
@@ -89,6 +100,7 @@ def headers(
     chroma_q: np.ndarray,
     tables: dict[str, HuffmanTable],
     restart_interval: int = 0,
+    y_sampling: tuple[int, int] = (2, 2),
 ) -> bytes:
     """Everything from SOI up to (excluding) the first SOS.
 
@@ -104,7 +116,23 @@ def headers(
         dht_segment(0x10, tables["luma_ac"]),
         dht_segment(0x01, tables["chroma_dc"]),
         dht_segment(0x11, tables["chroma_ac"]),
-        sof0_segment(width, height),
+        sof0_segment(width, height, y_sampling=y_sampling),
+    ]
+    if restart_interval:
+        out.append(dri_segment(restart_interval))
+    return b"".join(out)
+
+
+def headers_gray(width: int, height: int, luma_q, tables,
+                 restart_interval: int = 0) -> bytes:
+    """Single-component (grayscale) header: luma tables only."""
+    out = [
+        SOI,
+        APP0,
+        dqt_segment(0, luma_q),
+        dht_segment(0x00, tables["luma_dc"]),
+        dht_segment(0x10, tables["luma_ac"]),
+        sof0_segment(width, height, gray=True),
     ]
     if restart_interval:
         out.append(dri_segment(restart_interval))

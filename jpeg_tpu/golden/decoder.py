@@ -239,8 +239,8 @@ def parse_coefficients(data: bytes):
                 comp.dc_table, comp.ac_table = tabs >> 4, tabs & 0x0F
                 scan_comps.append(comp)
             br = _BitReader(data, pos + seg_len)
-            _decode_scan(br, scan_comps, huff, coeffs, width, height,
-                         restart_interval)
+            _decode_scan(br, scan_comps, comps, huff, coeffs, width,
+                         height, restart_interval)
             # continue parsing at the marker the scan stopped on
             while br.pos < len(data) and data[br.pos] != 0xFF:
                 br.pos += 1
@@ -251,25 +251,28 @@ def parse_coefficients(data: bytes):
     return comps, coeffs, quant, width, height
 
 
-def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
-    hmax = max(c.h_samp for c in scan_comps) if len(scan_comps) > 1 else None
-    # coded geometry is padded to full MCUs; SOF dims may be smaller
-    # (arbitrary-size images, T.81 A.2.1) and are cropped in _reconstruct
-    width = -(-width // 16) * 16
-    height = -(-height // 16) * 16
+def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
+                 restart_interval):
+    """Entropy-decode one scan; general baseline sampling factors.
 
-    def blocks_dims(comp):
-        cw = width * comp.h_samp // 2 if _is_subsampled(comp) else width
-        ch = height * comp.v_samp // 2 if _is_subsampled(comp) else height
-        return cw, ch
+    Component plane dims follow T.81 A.1.1: ceil(dim * samp / smax),
+    padded to whole blocks; an interleaved MCU carries h x v blocks per
+    component in raster order within the MCU.
+    """
+    hmax = max(c.h_samp for c in all_comps)
+    vmax = max(c.v_samp for c in all_comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx = -(-width // mcu_w)
+    my = -(-height // mcu_h)
 
-    def _is_subsampled(comp):
-        return comp.h_samp == 1
+    def plane_blocks(comp):
+        # blocks per row/column of the component's padded plane
+        return mx * comp.h_samp, my * comp.v_samp
 
     if len(scan_comps) == 1:
         comp = scan_comps[0]
-        cw, ch = blocks_dims(comp)
-        nblocks = (cw // 8) * (ch // 8)
+        bw, bh = plane_blocks(comp)
+        nblocks = bw * bh
         out = np.zeros((nblocks, 64), dtype=np.int32)
         pred = 0
         dc_tab, ac_tab = huff[(0, comp.dc_table)], huff[(1, comp.ac_table)]
@@ -286,17 +289,16 @@ def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
         coeffs[comp.comp_id] = out
         return
 
-    # interleaved: MCU = 2x2 Y + Cb + Cr
-    mx, my = width // 16, height // 16
-    ycomp, cbcomp, crcomp = scan_comps
-    ny = (width // 8) * (height // 8)
-    ncc = mx * my
-    ydata = np.zeros((ny, 64), dtype=np.int32)
-    cbdata = np.zeros((ncc, 64), dtype=np.int32)
-    crdata = np.zeros((ncc, 64), dtype=np.int32)
-    preds = {c.comp_id: 0 for c in scan_comps}
-    tabs = {c.comp_id: (huff[(0, c.dc_table)], huff[(1, c.ac_table)]) for c in scan_comps}
-    bw = width // 8
+    data = {}
+    preds = {}
+    tabs = {}
+    bws = {}
+    for c in scan_comps:
+        bw, bh = plane_blocks(c)
+        data[c.comp_id] = np.zeros((bw * bh, 64), dtype=np.int32)
+        preds[c.comp_id] = 0
+        tabs[c.comp_id] = (huff[(0, c.dc_table)], huff[(1, c.ac_table)])
+        bws[c.comp_id] = bw
     count_since_rst = 0
     for r in range(my):
         for c in range(mx):
@@ -306,36 +308,45 @@ def _decode_scan(br, scan_comps, huff, coeffs, width, height, restart_interval):
                     raise ValueError(f"expected RST, got {code:#x}")
                 preds = {k: 0 for k in preds}
                 count_since_rst = 0
-            for dv in range(2):
-                for dh in range(2):
-                    bi = (2 * r + dv) * bw + 2 * c + dh
-                    ydata[bi], preds[ycomp.comp_id] = _decode_block(
-                        br, *tabs[ycomp.comp_id], preds[ycomp.comp_id])
-            mi = r * mx + c
-            cbdata[mi], preds[cbcomp.comp_id] = _decode_block(
-                br, *tabs[cbcomp.comp_id], preds[cbcomp.comp_id])
-            crdata[mi], preds[crcomp.comp_id] = _decode_block(
-                br, *tabs[crcomp.comp_id], preds[crcomp.comp_id])
+            for comp in scan_comps:
+                for dv in range(comp.v_samp):
+                    for dh in range(comp.h_samp):
+                        bi = ((comp.v_samp * r + dv) * bws[comp.comp_id]
+                              + comp.h_samp * c + dh)
+                        data[comp.comp_id][bi], preds[comp.comp_id] = \
+                            _decode_block(br, *tabs[comp.comp_id],
+                                          preds[comp.comp_id])
             count_since_rst += 1
-    coeffs[ycomp.comp_id] = ydata
-    coeffs[cbcomp.comp_id] = cbdata
-    coeffs[crcomp.comp_id] = crdata
+    for c in scan_comps:
+        coeffs[c.comp_id] = data[c.comp_id]
 
 
 def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
-    pw = -(-width // 16) * 16   # coded (padded) geometry
-    ph = -(-height // 16) * 16
+    """Planes -> image; general sampling, cropped to the SOF dims.
+
+    1 component -> [H, W] grayscale; 3 components -> [H, W, 3] RGB via
+    BT.601 with nearest-neighbor chroma upsampling.
+    """
+    hmax = max(c.h_samp for c in comps)
+    vmax = max(c.v_samp for c in comps)
+    pw = -(-width // (8 * hmax)) * 8 * hmax
+    ph = -(-height // (8 * vmax)) * 8 * vmax
     planes = {}
     for comp in comps:
-        sub = comp.h_samp == 1
-        cw = pw // 2 if sub else pw
-        ch = ph // 2 if sub else ph
+        cw = pw * comp.h_samp // hmax
+        ch = ph * comp.v_samp // vmax
         pix = _idct_blocks(coeffs[comp.comp_id], quant[comp.quant_id])
         plane = _from_blocks(pix, ch, cw)
-        if sub:
-            plane = np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+        if comp.h_samp != hmax or comp.v_samp != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // comp.v_samp, axis=0),
+                              hmax // comp.h_samp, axis=1)
         planes[comp.comp_id] = plane
-    y, cb, cr = planes[1], planes[2] - 128.0, planes[3] - 128.0
+    if len(comps) == 1:
+        y = planes[comps[0].comp_id]
+        return np.clip(np.round(y), 0, 255).astype(np.uint8)[:height, :width]
+    y = planes[comps[0].comp_id]
+    cb = planes[comps[1].comp_id] - 128.0
+    cr = planes[comps[2].comp_id] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

@@ -32,6 +32,17 @@ def rgb_to_ycbcr_420(rgb, dtype=jnp.float32):
     return yi, _avg2x2(cbi), _avg2x2(cri)
 
 
+def rgb_to_ycbcr_444(rgb, dtype=jnp.float32):
+    """[..., H, W, 3] uint8 -> full-resolution (y, cb, cr) int32 planes."""
+    x = rgb.astype(dtype)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = (0.299 * r + 0.587 * g) + 0.114 * b
+    cb = ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b
+    cr = ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b
+    return (jnp.floor(y).astype(jnp.int32), jnp.floor(cb).astype(jnp.int32),
+            jnp.floor(cr).astype(jnp.int32))
+
+
 def _avg2x2(plane_i32):
     """2x2 integer-truncating average (utils/original.c:393-404)."""
     h, w = plane_i32.shape[-2], plane_i32.shape[-1]

@@ -36,14 +36,18 @@ def _luts(table: HuffmanTable):
             jnp.asarray(table.length, dtype=jnp.int32))
 
 
-def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False):
+def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False,
+               sampling="420"):
     """Device stage 1: image -> symbol slots + histograms (3-scan layout).
 
     Use the jitted ``analyze`` wrapper for speed; call this un-jitted for
     exact float64 parity (XLA fuses mul+add into FMA inside jit, which
     perturbs the last ulp vs the reference's separate double ops).
     """
-    y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    if sampling == "444":
+        y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+    else:
+        y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
     out = {}
     hists = {}
     for name, plane, q in (("y", y, luma_q), ("cb", cb, chroma_q), ("cr", cr, chroma_q)):
@@ -58,7 +62,8 @@ def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False):
     return out, (luma_dc, luma_ac, chroma_dc, chroma_ac)
 
 
-analyze = functools.partial(jax.jit, static_argnames=("dtype", "exact"))(analyze_fn)
+analyze = functools.partial(
+    jax.jit, static_argnames=("dtype", "exact", "sampling"))(analyze_fn)
 
 
 @functools.partial(jax.jit, static_argnames=("max_words",))
@@ -123,6 +128,8 @@ class JpegEncoder:
             return self.config.engine
         if self.config.dtype == "float64":
             return "xla"  # bit-parity mode: exact un-jitted summation path
+        if self.config.subsampling != "420":
+            return "xla"  # fast-path kernels assume the 4:2:0 MCU layout
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def _payload(self, slots, tables, is_luma: bool):
@@ -150,17 +157,22 @@ class JpegEncoder:
         """Encode one [H, W, 3] uint8 RGB image to baseline JFIF bytes."""
         rgb = jnp.asarray(rgb, dtype=jnp.uint8)
         h, w = rgb.shape[0], rgb.shape[1]
-        if h % 16 or w % 16:
-            raise ValueError(f"dimensions must be multiples of 16, got {w}x{h}; "
-                             "pad with jpeg_tpu.io.editimage.resize_pad")
+        mcu = 16 if self.config.subsampling == "420" else 8
+        if h % mcu or w % mcu:
+            raise ValueError(
+                f"dimensions must be multiples of {mcu}, got {w}x{h}; "
+                "pad with jpeg_tpu.io.editimage, or use encode_any")
         if self.config.scan_layout == "interleaved":
             return self._encode_interleaved(rgb, h, w)
 
         fn = analyze_fn if self._exact() else analyze
         slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev,
-                          dtype=self._dtype(), exact=self._exact())
+                          dtype=self._dtype(), exact=self._exact(),
+                          sampling=self.config.subsampling)
         tables = self._build_tables(hists)
-        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables)
+        y_sampling = (2, 2) if self.config.subsampling == "420" else (1, 1)
+        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
+                              y_sampling=y_sampling)
         return jfif.assemble_3scan(
             header,
             self._payload(slots["y"], tables, True),
@@ -184,9 +196,10 @@ class JpegEncoder:
         from ..io.editimage import pad_replicate
         rgb = np.asarray(rgb)
         h, w = rgb.shape[0], rgb.shape[1]
-        if h % 16 == 0 and w % 16 == 0:
+        mcu = 16 if self.config.subsampling == "420" else 8
+        if h % mcu == 0 and w % mcu == 0:
             return self.encode(rgb)
-        data = self.encode(pad_replicate(rgb))
+        data = self.encode(pad_replicate(rgb, multiple=mcu))
         return jfif.patch_sof_dims(data, w, h)
 
     def encode_region(self, rgb, area) -> bytes:
@@ -226,6 +239,8 @@ class JpegEncoder:
         return cache[key].encode_batch(rgb[None])[0]
 
     def _encode_interleaved(self, rgb, h, w):
+        if self.config.subsampling == "444":
+            return self._encode_interleaved_444(rgb, h, w)
         if self._resolve_engine() == "pallas":
             return self._interleaved_fast(rgb, h, w)
         from ..golden.encoder import mcu_order_index  # host-precomputed index
@@ -260,6 +275,69 @@ class JpegEncoder:
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
                               restart_interval=interval)
         return jfif.assemble_interleaved(header, segments)
+
+    def _encode_interleaved_444(self, rgb, h, w):
+        """Interleaved 4:4:4 scan: each MCU is one 8x8 block per component."""
+        mx, my = w // 8, h // 8
+        rows_per_seg = self.config.restart_interval_mcu_rows or my
+        if my % rows_per_seg:
+            raise ValueError(
+                f"restart_interval_mcu_rows={rows_per_seg} must divide "
+                f"8px MCU rows {my}")
+        n_segs = my // rows_per_seg
+
+        fn = _analyze_interleaved_444_fn if self._exact() else _analyze_interleaved_444
+        slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev, n_segs,
+                          dtype=self._dtype(), exact=self._exact())
+        tables = self._build_tables(hists)
+        dc_l, len_l = _luts(tables["luma_dc"])
+        ac_l, alen_l = _luts(tables["luma_ac"])
+        dc_c, len_c = _luts(tables["chroma_dc"])
+        ac_c, alen_c = _luts(tables["chroma_ac"])
+        num_slots = int(np.prod(slots["sym"].shape[1:]))
+        mw = ops_pack.max_words_for_slots(num_slots)
+        words, totals = _pack_interleaved_segments(
+            slots, dc_l, len_l, ac_l, alen_l, dc_c, len_c, ac_c, alen_c, mw)
+        words_np = np.asarray(words)
+        totals_np = np.asarray(totals)
+        segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
+                    for s in range(n_segs)]
+        interval = rows_per_seg * mx if n_segs > 1 else 0
+        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
+                              restart_interval=interval, y_sampling=(1, 1))
+        return jfif.assemble_interleaved(header, segments)
+
+
+def _analyze_interleaved_444_fn(rgb, luma_q, chroma_q, n_segs,
+                                dtype=jnp.float32, exact=False):
+    """4:4:4 interleaved: per-segment slot arrays [n_segs, mps*3, 64]."""
+    y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+    zz = [ops_dct.dct_quantize_zigzag(ops_color.to_blocks(p), q,
+                                      dtype=dtype, exact=exact)
+          for p, q in ((y, luma_q), (cb, chroma_q), (cr, chroma_q))]
+    nm = zz[0].shape[0]  # MCUs == blocks (raster order is MCU order)
+    mps = nm // n_segs
+    segs = [ops_dct.diff_dc(z.reshape(n_segs, mps, 64)) for z in zz]
+    seq = jnp.stack(segs, axis=2).reshape(n_segs, mps * 3, 64)
+    slots = ops_symbols.symbolize(seq)
+
+    is_luma = jnp.tile(jnp.array([1, 0, 0], dtype=bool), (mps,))
+    is_luma = jnp.broadcast_to(is_luma[None, :, None],
+                               slots["valid"].shape[:2] + (1,))
+    valid = slots["valid"]
+    dc_mask = jnp.zeros_like(valid).at[..., 0].set(True)
+    hists = (
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & ~is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & ~is_luma),
+    )
+    slots["is_luma"] = jnp.broadcast_to(is_luma, slots["valid"].shape)
+    return slots, hists
+
+
+_analyze_interleaved_444 = functools.partial(
+    jax.jit, static_argnames=("n_segs", "dtype", "exact"))(_analyze_interleaved_444_fn)
 
 
 def _analyze_interleaved_fn(rgb, luma_q, chroma_q, y_mcu_index, n_segs,
@@ -340,6 +418,57 @@ def pack_interleaved_segments_fn(slots, dc_l, len_l, ac_l, alen_l,
 
 _pack_interleaved_segments = functools.partial(
     jax.jit, static_argnames=("max_words",))(pack_interleaved_segments_fn)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _analyze_gray(plane, luma_q):
+    zz = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(plane.astype(jnp.int32)),
+                                     luma_q)
+    slots = ops_symbols.symbolize(ops_dct.diff_dc(zz))
+    return slots, ops_symbols.dc_ac_histograms(slots)
+
+
+def encode_gray(plane, config: EncodeConfig | None = None) -> bytes:
+    """Encode an [H, W] uint8 grayscale plane as a 1-component JPEG.
+
+    Beyond the reference (3-component only); arbitrary dims are padded by
+    edge replication with the true size in SOF0.  The input is treated as
+    the Y channel directly (no color conversion, full-range).
+    """
+    cfg = config or EncodeConfig()
+    arr = np.asarray(plane)
+    if arr.ndim != 2:
+        raise ValueError(f"expected [H, W] grayscale, got shape {arr.shape}")
+    h, w = arr.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        arr = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    luma_q, _ = T.quant_tables(cfg.quality)
+    slots, hists = _analyze_gray(jnp.asarray(arr, jnp.uint8),
+                                 jnp.asarray(luma_q))
+    if cfg.huffman == "fixed":
+        tables = fixed_tables()
+    else:
+        from ..huffman.build import build_table
+        tables = {}
+        for name, freq in zip(("luma_dc", "luma_ac"), hists):
+            full = np.zeros(257, np.int64)
+            full[:256] = np.asarray(freq)
+            full[256] = 1
+            tables[name] = build_table(full)
+    num_slots = int(np.prod(slots["sym"].shape))
+    mw = ops_pack.max_words_for_slots(num_slots)
+    dc_code, dc_len = _luts(tables["luma_dc"])
+    ac_code, ac_len = _luts(tables["luma_ac"])
+    words, total = pack_scan(slots, dc_code, dc_len, ac_code, ac_len, mw)
+    payload = ops_pack.finish_scan(np.asarray(words), int(total))
+    header = jfif.headers_gray(pw, ph, luma_q, tables)
+    data = b"".join([header, jfif.sos_header_single(1, 0, 0), payload,
+                     jfif.EOI])
+    if (ph, pw) != (h, w):
+        data = jfif.patch_sof_dims(data, w, h)
+    return data
 
 
 def encode_jpeg(rgb, config: EncodeConfig | None = None) -> bytes:
