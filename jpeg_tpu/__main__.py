@@ -32,14 +32,24 @@ def _cfg(args):
         kw["huffman"] = "fixed"
     if getattr(args, "restart", 0):
         kw["restart_interval_mcu_rows"] = args.restart
+    if getattr(args, "subsampling", None):
+        kw["subsampling"] = args.subsampling
     return EncodeConfig(**kw)
 
 
 def cmd_encode(args):
     from .io.ppm import read_ppm
-    from .pipelines.encode import JpegEncoder
+    from .pipelines.encode import JpegEncoder, encode_gray
     from .utils.profiling import encode_metrics
     img = read_ppm(args.input)
+    if args.gray:
+        y = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+             + 0.114 * img[..., 2]).astype("uint8")
+        data = encode_gray(y, _cfg(args))
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"{args.output}: {len(data)} bytes (grayscale)")
+        return
     data = JpegEncoder(_cfg(args)).encode_any(img)  # any dims; pads MCUs
     with open(args.output, "wb") as f:
         f.write(data)
@@ -56,7 +66,11 @@ def cmd_decode(args):
         from .golden.decoder import decode as dec
     else:
         from .pipelines.decode import decode_jpeg as dec
-    write_ppm(args.output, dec(data))
+    out = dec(data)
+    if out.ndim == 2:  # grayscale -> replicate into RGB for PPM P6
+        import numpy as np
+        out = np.stack([out] * 3, axis=-1)
+    write_ppm(args.output, out)
     print(f"{args.output} written")
 
 
@@ -117,6 +131,9 @@ def main(argv=None) -> int:
     e.add_argument("--fixed", action="store_true")
     e.add_argument("--restart", type=int, default=0,
                    help="restart interval in MCU rows (implies interleaved)")
+    e.add_argument("--subsampling", choices=["420", "444"], default=None)
+    e.add_argument("--gray", action="store_true",
+                   help="encode as single-component grayscale")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

@@ -64,8 +64,11 @@ def decode_jpeg(data: bytes):
     4:2:0, 3 components (interleaved or 3-scan, with or without restarts).
     """
     comps, coeffs, quant, width, height = parse_coefficients(data)
-    if len(comps) != 3:
-        raise ValueError("device decoder expects 3-component 4:2:0 JPEGs")
+    samplings = [(c.h_samp, c.v_samp) for c in comps]
+    if len(comps) != 3 or samplings != [(2, 2), (1, 1), (1, 1)]:
+        # grayscale / 4:4:4 / other samplings: host reconstruction
+        from ..golden.decoder import _reconstruct
+        return _reconstruct(comps, coeffs, quant, width, height)
     by_id = {c.comp_id: c for c in comps}
     luma = by_id[1]
     ph, pw = -(-height // 16) * 16, -(-width // 16) * 16  # coded geometry

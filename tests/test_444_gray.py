@@ -74,3 +74,12 @@ def test_gray_fixed_tables():
     data = encode_gray(plane, EncodeConfig(huffman="fixed"))
     rec = gdec.decode(data)
     assert gdec.psnr(rec, plane) > 30.0
+
+
+def test_device_decode_falls_back_for_444_and_gray():
+    from jpeg_tpu.pipelines.decode import decode_jpeg as ddec
+    img = _img(32, 32, seed=5)
+    d444 = JpegEncoder(EncodeConfig(subsampling="444")).encode(img)
+    np.testing.assert_array_equal(ddec(d444), gdec.decode(d444))
+    g = encode_gray(img[..., 1].copy())
+    np.testing.assert_array_equal(ddec(g), gdec.decode(g))
