@@ -96,3 +96,21 @@ def test_stage_shapes(img64):
     assert stages["cb_zigzag"].shape == (16, 64)
     # DC differencing telescopes back to the original DCs
     assert np.array_equal(np.cumsum(stages["y_diff"][:, 0]), stages["y_zigzag"][:, 0])
+
+
+def test_decoder_rejects_corrupt_streams(img64):
+    """Malformed inputs raise ValueError cleanly (no crashes/hangs)."""
+    import pytest
+    from jpeg_tpu.golden import decoder as gdec
+    from jpeg_tpu.pipelines.encode import JpegEncoder
+    data = JpegEncoder().encode(__import__("numpy").asarray(img64))
+    for bad in (b"", b"\x00\x01", data[2:], data[:20]):
+        with pytest.raises((ValueError, IndexError)):
+            gdec.decode(bad)
+    # truncated mid-scan: the bit reader runs out of data
+    with pytest.raises((ValueError, IndexError)):
+        gdec.decode(data[:len(data) - 60])
+    # unknown markers are skipped per spec — this still decodes
+    mut = bytearray(data)
+    mut[3] = 0x99  # APP0 -> unknown (but well-formed) marker
+    assert gdec.decode(bytes(mut)).shape == (64, 64, 3)
