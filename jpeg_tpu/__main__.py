@@ -131,7 +131,7 @@ def main(argv=None) -> int:
     e.add_argument("--fixed", action="store_true")
     e.add_argument("--restart", type=int, default=0,
                    help="restart interval in MCU rows (implies interleaved)")
-    e.add_argument("--subsampling", choices=["420", "444"], default=None)
+    e.add_argument("--subsampling", choices=["420", "422", "444"], default=None)
     e.add_argument("--gray", action="store_true",
                    help="encode as single-component grayscale")
     e.set_defaults(fn=cmd_encode)

@@ -71,9 +71,10 @@ class EncodeConfig:
     quality: int | None = None
     scan_layout: ScanLayout = "3scan"
     huffman: Literal["dynamic", "fixed"] = "dynamic"
-    # Chroma subsampling: "420" (the reference's only mode) or "444"
-    # (full-resolution chroma; MCU is a single 8x8 block per component).
-    subsampling: Literal["420", "444"] = "420"
+    # Chroma subsampling: "420" (the reference's only mode), "422"
+    # (horizontal-only; 16x8 MCUs), or "444" (full-resolution chroma;
+    # 8x8 MCUs).
+    subsampling: Literal["420", "422", "444"] = "420"
     restart_interval_mcu_rows: int = 0
     dtype: str = "float32"  # DCT compute dtype on device ("float32"/"float64")
     # Entropy-stage engine: "pallas" = VMEM LUT-attach + hierarchical pack

@@ -32,6 +32,20 @@ def rgb_to_ycbcr_420(rgb, dtype=jnp.float32):
     return yi, _avg2x2(cbi), _avg2x2(cri)
 
 
+def rgb_to_ycbcr_422(rgb, dtype=jnp.float32):
+    """[..., H, W, 3] uint8 -> (y [H,W], cb [H,W/2], cr) int32 planes.
+
+    Horizontal-only chroma subsampling (trunc-average of 2 samples)."""
+    y, cb, cr = rgb_to_ycbcr_444(rgb, dtype=dtype)
+    return y, _avg1x2(cb), _avg1x2(cr)
+
+
+def _avg1x2(plane_i32):
+    w = plane_i32.shape[-1]
+    q = plane_i32.reshape(*plane_i32.shape[:-1], w // 2, 2)
+    return (q[..., 0] + q[..., 1]) // 2
+
+
 def rgb_to_ycbcr_444(rgb, dtype=jnp.float32):
     """[..., H, W, 3] uint8 -> full-resolution (y, cb, cr) int32 planes."""
     x = rgb.astype(dtype)

@@ -46,6 +46,8 @@ def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False,
     """
     if sampling == "444":
         y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+    elif sampling == "422":
+        y, cb, cr = ops_color.rgb_to_ycbcr_422(rgb, dtype=dtype)
     else:
         y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
     out = {}
@@ -157,11 +159,12 @@ class JpegEncoder:
         """Encode one [H, W, 3] uint8 RGB image to baseline JFIF bytes."""
         rgb = jnp.asarray(rgb, dtype=jnp.uint8)
         h, w = rgb.shape[0], rgb.shape[1]
-        mcu = 16 if self.config.subsampling == "420" else 8
-        if h % mcu or w % mcu:
+        mcu_w, mcu_h = {"420": (16, 16), "422": (16, 8),
+                        "444": (8, 8)}[self.config.subsampling]
+        if h % mcu_h or w % mcu_w:
             raise ValueError(
-                f"dimensions must be multiples of {mcu}, got {w}x{h}; "
-                "pad with jpeg_tpu.io.editimage, or use encode_any")
+                f"dimensions must be multiples of {mcu_w}x{mcu_h}, got "
+                f"{w}x{h}; pad with jpeg_tpu.io.editimage, or use encode_any")
         if self.config.scan_layout == "interleaved":
             return self._encode_interleaved(rgb, h, w)
 
@@ -170,7 +173,8 @@ class JpegEncoder:
                           dtype=self._dtype(), exact=self._exact(),
                           sampling=self.config.subsampling)
         tables = self._build_tables(hists)
-        y_sampling = (2, 2) if self.config.subsampling == "420" else (1, 1)
+        y_sampling = {"420": (2, 2), "422": (2, 1),
+                      "444": (1, 1)}[self.config.subsampling]
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
                               y_sampling=y_sampling)
         return jfif.assemble_3scan(
@@ -196,7 +200,7 @@ class JpegEncoder:
         from ..io.editimage import pad_replicate
         rgb = np.asarray(rgb)
         h, w = rgb.shape[0], rgb.shape[1]
-        mcu = 16 if self.config.subsampling == "420" else 8
+        mcu = 16 if self.config.subsampling != "444" else 8
         if h % mcu == 0 and w % mcu == 0:
             return self.encode(rgb)
         data = self.encode(pad_replicate(rgb, multiple=mcu))
@@ -239,8 +243,8 @@ class JpegEncoder:
         return cache[key].encode_batch(rgb[None])[0]
 
     def _encode_interleaved(self, rgb, h, w):
-        if self.config.subsampling == "444":
-            return self._encode_interleaved_444(rgb, h, w)
+        if self.config.subsampling in ("444", "422"):
+            return self._encode_interleaved_alt(rgb, h, w)
         if self._resolve_engine() == "pallas":
             return self._interleaved_fast(rgb, h, w)
         from ..golden.encoder import mcu_order_index  # host-precomputed index
@@ -276,9 +280,12 @@ class JpegEncoder:
                               restart_interval=interval)
         return jfif.assemble_interleaved(header, segments)
 
-    def _encode_interleaved_444(self, rgb, h, w):
-        """Interleaved 4:4:4 scan: each MCU is one 8x8 block per component."""
-        mx, my = w // 8, h // 8
+    def _encode_interleaved_alt(self, rgb, h, w):
+        """Interleaved scan for 4:4:4 (8x8 MCU: Y,Cb,Cr) or 4:2:2
+        (16x8 MCU: Y,Y,Cb,Cr)."""
+        sampling = self.config.subsampling
+        mcu_w = 8 if sampling == "444" else 16
+        mx, my = w // mcu_w, h // 8
         rows_per_seg = self.config.restart_interval_mcu_rows or my
         if my % rows_per_seg:
             raise ValueError(
@@ -286,9 +293,9 @@ class JpegEncoder:
                 f"8px MCU rows {my}")
         n_segs = my // rows_per_seg
 
-        fn = _analyze_interleaved_444_fn if self._exact() else _analyze_interleaved_444
+        fn = _analyze_interleaved_alt_fn if self._exact() else _analyze_interleaved_alt
         slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev, n_segs,
-                          dtype=self._dtype(), exact=self._exact())
+                          sampling, dtype=self._dtype(), exact=self._exact())
         tables = self._build_tables(hists)
         dc_l, len_l = _luts(tables["luma_dc"])
         ac_l, alen_l = _luts(tables["luma_ac"])
@@ -303,25 +310,44 @@ class JpegEncoder:
         segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
                     for s in range(n_segs)]
         interval = rows_per_seg * mx if n_segs > 1 else 0
+        y_sampling = (1, 1) if sampling == "444" else (2, 1)
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
-                              restart_interval=interval, y_sampling=(1, 1))
+                              restart_interval=interval, y_sampling=y_sampling)
         return jfif.assemble_interleaved(header, segments)
 
 
-def _analyze_interleaved_444_fn(rgb, luma_q, chroma_q, n_segs,
+def _analyze_interleaved_alt_fn(rgb, luma_q, chroma_q, n_segs, sampling,
                                 dtype=jnp.float32, exact=False):
-    """4:4:4 interleaved: per-segment slot arrays [n_segs, mps*3, 64]."""
-    y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+    """4:4:4 / 4:2:2 interleaved: per-segment slot arrays.
+
+    444: MCU blocks (Y, Cb, Cr) -> [n_segs, mps*3, 64];
+    422: MCU blocks (Y, Y, Cb, Cr) -> [n_segs, mps*4, 64].
+    In both, raster block order within each component already matches the
+    MCU walk (one block row per MCU row), so no reorder gather is needed.
+    """
+    if sampling == "444":
+        y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+        y_per_mcu = 1
+    else:
+        y, cb, cr = ops_color.rgb_to_ycbcr_422(rgb, dtype=dtype)
+        y_per_mcu = 2
     zz = [ops_dct.dct_quantize_zigzag(ops_color.to_blocks(p), q,
                                       dtype=dtype, exact=exact)
           for p, q in ((y, luma_q), (cb, chroma_q), (cr, chroma_q))]
-    nm = zz[0].shape[0]  # MCUs == blocks (raster order is MCU order)
+    nm = zz[1].shape[0]  # MCUs == chroma blocks
     mps = nm // n_segs
-    segs = [ops_dct.diff_dc(z.reshape(n_segs, mps, 64)) for z in zz]
-    seq = jnp.stack(segs, axis=2).reshape(n_segs, mps * 3, 64)
+    y_seg = ops_dct.diff_dc(zz[0].reshape(n_segs, mps * y_per_mcu, 64))
+    cb_seg = ops_dct.diff_dc(zz[1].reshape(n_segs, mps, 64))
+    cr_seg = ops_dct.diff_dc(zz[2].reshape(n_segs, mps, 64))
+    seq = jnp.concatenate([
+        y_seg.reshape(n_segs, mps, y_per_mcu, 64),
+        cb_seg.reshape(n_segs, mps, 1, 64),
+        cr_seg.reshape(n_segs, mps, 1, 64),
+    ], axis=2).reshape(n_segs, mps * (y_per_mcu + 2), 64)
     slots = ops_symbols.symbolize(seq)
 
-    is_luma = jnp.tile(jnp.array([1, 0, 0], dtype=bool), (mps,))
+    pattern = [1] * y_per_mcu + [0, 0]
+    is_luma = jnp.tile(jnp.array(pattern, dtype=bool), (mps,))
     is_luma = jnp.broadcast_to(is_luma[None, :, None],
                                slots["valid"].shape[:2] + (1,))
     valid = slots["valid"]
@@ -336,8 +362,9 @@ def _analyze_interleaved_444_fn(rgb, luma_q, chroma_q, n_segs,
     return slots, hists
 
 
-_analyze_interleaved_444 = functools.partial(
-    jax.jit, static_argnames=("n_segs", "dtype", "exact"))(_analyze_interleaved_444_fn)
+_analyze_interleaved_alt = functools.partial(
+    jax.jit, static_argnames=("n_segs", "sampling", "dtype", "exact"))(
+        _analyze_interleaved_alt_fn)
 
 
 def _analyze_interleaved_fn(rgb, luma_q, chroma_q, y_mcu_index, n_segs,

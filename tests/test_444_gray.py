@@ -83,3 +83,42 @@ def test_device_decode_falls_back_for_444_and_gray():
     np.testing.assert_array_equal(ddec(d444), gdec.decode(d444))
     g = encode_gray(img[..., 1].copy())
     np.testing.assert_array_equal(ddec(g), gdec.decode(g))
+
+
+@pytest.mark.parametrize("layout", ["3scan", "interleaved"])
+def test_422_roundtrip(layout):
+    img = _img(48, 64, seed=7)
+    cfg = EncodeConfig(scan_layout=layout, subsampling="422")
+    data = JpegEncoder(cfg).encode(img)
+    rec = gdec.decode(data)
+    assert rec.shape == img.shape
+    assert gdec.psnr(rec, img) > 22.0
+
+
+def test_422_interleaved_restarts_pil():
+    PIL = pytest.importorskip("PIL.Image")
+    img = _img(48, 64, seed=8)
+    cfg = EncodeConfig(scan_layout="interleaved", subsampling="422",
+                       restart_interval_mcu_rows=2, huffman="fixed")
+    data = JpegEncoder(cfg).encode(img)
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (64, 48)
+    pil_422 = gdec.psnr(np.asarray(im.convert("RGB")), img)
+    # an independent decoder sees >= 4:2:0 quality from the 4:2:2 stream
+    # (upsampling filters differ between decoders, so compare PIL-to-PIL)
+    d420 = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                    huffman="fixed")).encode(img)
+    pil_420 = gdec.psnr(np.asarray(PIL.open(io.BytesIO(d420)).convert("RGB")), img)
+    assert pil_422 >= pil_420 - 0.1
+
+
+def test_422_chroma_fidelity_between_420_and_444():
+    img = _img(64, 64, seed=9)
+    img[:, ::2, 0] = 255
+    img[:, 1::2, 0] = 0
+    res = {}
+    for s in ("420", "422", "444"):
+        d = JpegEncoder(EncodeConfig(subsampling=s)).encode(img)
+        res[s] = gdec.psnr(gdec.decode(d), img)
+    assert res["420"] <= res["422"] <= res["444"]
