@@ -155,6 +155,32 @@ def _idct_blocks(zz: np.ndarray, quant: np.ndarray) -> np.ndarray:
     return np.clip(np.round(x + 128.0), 0, 255)
 
 
+def _upsample2x_h(p: np.ndarray) -> np.ndarray:
+    """Horizontal 2x triangle-filter upsample (libjpeg "fancy": 3/4-1/4
+    weights, centered chroma siting, edge replication)."""
+    left = np.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    out = np.empty((p.shape[0], p.shape[1] * 2), dtype=p.dtype)
+    out[:, 0::2] = 0.75 * p + 0.25 * left
+    out[:, 1::2] = 0.75 * p + 0.25 * right
+    return out
+
+
+def _upsample2x_v(p: np.ndarray) -> np.ndarray:
+    return _upsample2x_h(p.T).T
+
+
+def _upsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """Triangle-filter for 2x factors, sample replication otherwise."""
+    while fv > 1:
+        plane = _upsample2x_v(plane) if fv == 2 else np.repeat(plane, fv, 0)
+        fv = 1 if fv == 2 else 1
+    while fh > 1:
+        plane = _upsample2x_h(plane) if fh == 2 else np.repeat(plane, fh, 1)
+        fh = 1 if fh == 2 else 1
+    return plane
+
+
 def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
     return (blocks.reshape(h // 8, w // 8, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -338,8 +364,7 @@ def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
         pix = _idct_blocks(coeffs[comp.comp_id], quant[comp.quant_id])
         plane = _from_blocks(pix, ch, cw)
         if comp.h_samp != hmax or comp.v_samp != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // comp.v_samp, axis=0),
-                              hmax // comp.h_samp, axis=1)
+            plane = _upsample(plane, hmax // comp.h_samp, vmax // comp.v_samp)
         planes[comp.comp_id] = plane
     if len(comps) == 1:
         y = planes[comps[0].comp_id]

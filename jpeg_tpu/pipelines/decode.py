@@ -41,15 +41,27 @@ def reconstruct_420(y_zz, cb_zz, cr_zz, luma_q, chroma_q,
         blocks = x.reshape(ph // 8, pw // 8, 8, 8)
         return blocks.transpose(0, 2, 1, 3).reshape(ph, pw)
 
-    y = plane(y_zz, luma_q, height, width)
-    cb = plane(cb_zz, chroma_q, height // 2, width // 2)
-    cr = plane(cr_zz, chroma_q, height // 2, width // 2)
-    cb = jnp.repeat(jnp.repeat(cb, 2, axis=0), 2, axis=1) - 128.0
-    cr = jnp.repeat(jnp.repeat(cr, 2, axis=0), 2, axis=1) - 128.0
-    # pixel clip before color conversion, matching the host decoder
-    y = jnp.clip(jnp.round(y), 0, 255)
-    cb = jnp.clip(jnp.round(cb + 128.0), 0, 255) - 128.0
-    cr = jnp.clip(jnp.round(cr + 128.0), 0, 255) - 128.0
+    def up2h(p):
+        # triangle-filter 2x upsample (3/4-1/4, edge-replicated), matching
+        # the host decoder and libjpeg's "fancy" mode
+        left = jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+        right = jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        a = 0.75 * p + 0.25 * left
+        b = 0.75 * p + 0.25 * right
+        return jnp.stack([a, b], axis=2).reshape(p.shape[0], p.shape[1] * 2)
+
+    def up2(p):
+        return up2h(up2h(p.T).T)
+
+    # pixel round+clip per plane BEFORE upsampling, matching the host
+    # decoder's _idct_blocks -> _upsample order
+    y = jnp.clip(jnp.round(plane(y_zz, luma_q, height, width)), 0, 255)
+    cb = jnp.clip(jnp.round(plane(cb_zz, chroma_q, height // 2, width // 2)),
+                  0, 255)
+    cr = jnp.clip(jnp.round(plane(cr_zz, chroma_q, height // 2, width // 2)),
+                  0, 255)
+    cb = up2(cb) - 128.0
+    cr = up2(cr) - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb

@@ -33,7 +33,7 @@ def test_encode_any_roundtrip(h, w):
     data = JpegEncoder(EncodeConfig()).encode_any(img)
     rec = gdec.decode(data)
     assert rec.shape == (h, w, 3)
-    assert gdec.psnr(rec, img) > 20.0
+    assert gdec.psnr(rec, img) > 18.0
     dev = device_decode(data)
     assert dev.shape == (h, w, 3)
     assert np.abs(dev.astype(int) - rec.astype(int)).max() <= 1
