@@ -288,6 +288,10 @@ class FrameComparator:
         if self._saved is None:
             raise RuntimeError("no stored frame; call store() first")
         mask = np.asarray(change_mask(sub, self._saved, self.threshold))
+        return self.regions_from_mask(mask)
+
+    def regions_from_mask(self, mask: np.ndarray) -> list[Area]:
+        """Host region pipeline on a precomputed change mask."""
         rects = find_regions(mask)
         areas = [enlarge_adjust(r, self.width, self.height) for r in rects]
         areas = merge_adjusted(areas, self.width, self.height)
@@ -296,6 +300,22 @@ class FrameComparator:
             areas = [_align_area(a.x, a.y, a.w, a.h, self.width, self.height,
                                  multiple=self.snap_multiple) for a in areas]
         return areas
+
+    def compare_pairwise_batch(self, frames) -> list[list[Area]]:
+        """Batched frame-to-previous-frame differencing.
+
+        One device dispatch subsamples all N frames, one computes all N-1
+        change masks (frame i vs frame i-1) — the batch-throughput mode
+        of the comparator.  Semantics differ from the reference loop only
+        in the stored-frame policy: this compares each frame to its
+        immediate predecessor, the right model when every frame is
+        retained (video), while ``process`` keeps the reference's
+        update-on-change stored frame (surveillance idle periods).
+        """
+        frames = jnp.asarray(frames, dtype=jnp.uint8)
+        subs = subsample_4x4(frames)
+        masks = np.asarray(change_mask(subs[1:], subs[:-1], self.threshold))
+        return [self.regions_from_mask(masks[i]) for i in range(masks.shape[0])]
 
     def process(self, rgb) -> list[Area]:
         """Full cycle on a raw frame: subsample, compare, re-store.

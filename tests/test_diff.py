@@ -132,3 +132,15 @@ def test_comparator_save_load_roundtrip(tmp_path, img640, img640_diffs):
     areas_a = comp.compare(comp.subsample(img640_diffs))
     areas_b = fresh.compare(fresh.subsample(img640_diffs))
     assert areas_a == areas_b and areas_a
+
+
+def test_pairwise_batch_matches_sequential(img640, img640_diffs):
+    frames = np.stack([img640, img640_diffs, img640_diffs])
+    comp = D.FrameComparator(640, 640)
+    batched = comp.compare_pairwise_batch(frames)
+    assert len(batched) == 2
+    # frame1 vs frame0 == the stored-frame compare on the same pair
+    comp.store(comp.subsample(frames[0]))
+    assert batched[0] == comp.compare(comp.subsample(frames[1]))
+    # identical consecutive frames -> no regions
+    assert batched[1] == []
