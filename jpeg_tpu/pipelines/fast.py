@@ -172,18 +172,24 @@ class FastBatchEncoder:
     def _attach_pack(self, slots, lut_per_seg):
         """slots leaves [B, S, nblk, 64]; lut_per_seg [B*S or 1, 1024]."""
         B, S = slots["idx"].shape[0], slots["idx"].shape[1]
-        idx = slots["idx"].reshape(B * S, -1)
-        extra = slots["extra"].reshape(B * S, -1)
-        extra_n = slots["extra_n"].reshape(B * S, -1)
         if lut_per_seg.shape[0] == 1:
-            value, nbits = klut.attach(lut_per_seg[0], idx, extra, extra_n,
-                                       interpret=self.interpret)
+            # fixed tables: fused attach+pack (transposed layout end to end)
+            from ..kernels import fused as kfused
+            words, total_bits = kfused.attach_pack_segments(
+                lut_per_seg[0],
+                slots["idx"].reshape(B * S, -1, 64),
+                slots["extra"].reshape(B * S, -1, 64),
+                slots["extra_n"].reshape(B * S, -1, 64),
+                B * S, self.seg_rows, interpret=self.interpret)
         else:
+            idx = slots["idx"].reshape(B * S, -1)
+            extra = slots["extra"].reshape(B * S, -1)
+            extra_n = slots["extra_n"].reshape(B * S, -1)
             value, nbits = klut.attach_grouped(lut_per_seg, idx, extra, extra_n,
                                                interpret=self.interpret)
-        words, total_bits = kpack.pack_segments(
-            value.reshape(B * S, -1, 64), nbits.reshape(B * S, -1, 64),
-            B * S, self.seg_rows, interpret=self.interpret)
+            words, total_bits = kpack.pack_segments(
+                value.reshape(B * S, -1, 64), nbits.reshape(B * S, -1, 64),
+                B * S, self.seg_rows, interpret=self.interpret)
         return (words.reshape(B, S, -1), total_bits.reshape(B, S))
 
     def _step_fn(self, rgbs, lut, with_hist: bool):
