@@ -11,9 +11,13 @@ reference ESP32 JPEG encoder + frame-differencing firmware
 * a bit-exact NumPy golden path (oracle) and a full baseline decoder.
 
 Public API:
-    encode_jpeg(rgb, config)        — single-image encode on device
-    encode_jpeg_batch(rgbs, config) — batched encode
-    golden.encode / golden.decode   — host oracle encoder/decoder
+    encode_jpeg(rgb, config)             — single-image encode on device
+    decode_jpeg(data)                    — decode (device reconstruction)
+    pipelines.fast.FastBatchEncoder      — fused batch encode (Pallas)
+    pipelines.bucket.BucketedEncoder     — mixed-resolution batches
+    parallel.sharded.ShardedEncoder      — multi-chip (data, space) mesh
+    pipelines.monitor.ChangeMonitor      — frame-differencing workload
+    golden.encoder / golden.decoder      — float64 host oracle
 """
 from .core.types import Area, EncodeConfig  # noqa: F401
 

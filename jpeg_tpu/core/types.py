@@ -87,3 +87,13 @@ class EncodeConfig:
             raise ValueError(f"quality must be in [1, 100], got {self.quality}")
         if self.restart_interval_mcu_rows and self.scan_layout != "interleaved":
             raise ValueError("restart intervals require scan_layout='interleaved'")
+        if self.scan_layout not in ("3scan", "interleaved"):
+            raise ValueError(f"unknown scan_layout {self.scan_layout!r}")
+        if self.huffman not in ("dynamic", "fixed"):
+            raise ValueError(f"unknown huffman mode {self.huffman!r}")
+        if self.subsampling not in ("420", "422", "444"):
+            raise ValueError(f"unknown subsampling {self.subsampling!r}")
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unknown dtype {self.dtype!r}")
+        if self.engine not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown engine {self.engine!r}")

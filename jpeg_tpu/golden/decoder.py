@@ -32,6 +32,11 @@ class _Component:
     quant_id: int
     dc_table: int = 0
     ac_table: int = 0
+    # block-grid dims of the coefficient array, set by _decode_scan:
+    # T.81 A.2.2 — non-interleaved scans carry ceil(comp_dim/8) blocks,
+    # interleaved scans the MCU-padded count.
+    bw: int = 0
+    bh: int = 0
 
 
 class _BitReader:
@@ -287,6 +292,7 @@ def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
     """
     hmax = max(c.h_samp for c in all_comps)
     vmax = max(c.v_samp for c in all_comps)
+    true_width, true_height = width, height
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mx = -(-width // mcu_w)
     my = -(-height // mcu_h)
@@ -296,8 +302,13 @@ def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
         return mx * comp.h_samp, my * comp.v_samp
 
     if len(scan_comps) == 1:
+        # T.81 A.2.2: a non-interleaved scan carries ceil(cw/8) x ceil(ch/8)
+        # blocks of the component's true (unpadded-to-MCU) plane
         comp = scan_comps[0]
-        bw, bh = plane_blocks(comp)
+        cw = -(-true_width * comp.h_samp // hmax)
+        ch = -(-true_height * comp.v_samp // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        comp.bw, comp.bh = bw, bh
         nblocks = bw * bh
         out = np.zeros((nblocks, 64), dtype=np.int32)
         pred = 0
@@ -321,6 +332,7 @@ def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
     bws = {}
     for c in scan_comps:
         bw, bh = plane_blocks(c)
+        c.bw, c.bh = bw, bh
         data[c.comp_id] = np.zeros((bw * bh, 64), dtype=np.int32)
         preds[c.comp_id] = 0
         tabs[c.comp_id] = (huff[(0, c.dc_table)], huff[(1, c.ac_table)])
@@ -355,17 +367,24 @@ def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
     """
     hmax = max(c.h_samp for c in comps)
     vmax = max(c.v_samp for c in comps)
-    pw = -(-width // (8 * hmax)) * 8 * hmax
-    ph = -(-height // (8 * vmax)) * 8 * vmax
+    # target plane geometry: the max-sampling component's block grid
+    # (MCU-padded for interleaved scans, ceil(dim/8) for non-interleaved)
+    lead = next(c for c in comps if (c.h_samp, c.v_samp) == (hmax, vmax))
+    if not lead.bw:  # fallback: MCU-padded geometry
+        lead.bw = -(-width // (8 * hmax)) * hmax
+        lead.bh = -(-height // (8 * vmax)) * vmax
+    tw, th = lead.bw * 8, lead.bh * 8
     planes = {}
     for comp in comps:
-        cw = pw * comp.h_samp // hmax
-        ch = ph * comp.v_samp // vmax
+        bw, bh = comp.bw, comp.bh
+        if not bw:
+            bw = -(-width // (8 * hmax)) * comp.h_samp
+            bh = -(-height // (8 * vmax)) * comp.v_samp
         pix = _idct_blocks(coeffs[comp.comp_id], quant[comp.quant_id])
-        plane = _from_blocks(pix, ch, cw)
+        plane = _from_blocks(pix, bh * 8, bw * 8)
         if comp.h_samp != hmax or comp.v_samp != vmax:
             plane = _upsample(plane, hmax // comp.h_samp, vmax // comp.v_samp)
-        planes[comp.comp_id] = plane
+        planes[comp.comp_id] = plane[:th, :tw]
     if len(comps) == 1:
         y = planes[comps[0].comp_id]
         return np.clip(np.round(y), 0, 255).astype(np.uint8)[:height, :width]

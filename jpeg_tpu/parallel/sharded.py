@@ -60,6 +60,8 @@ class ShardedEncoder:
         if self.config.scan_layout != "interleaved":
             raise ValueError("sharded encoding requires the interleaved layout "
                              "(restart markers delimit the shards)")
+        if self.config.subsampling != "420":
+            raise ValueError("sharded encoding supports 4:2:0 only")
         self.height, self.width = height, width
         ns = mesh.shape[SPACE_AXIS]
         if height % (ns * 16 * segs_per_device):

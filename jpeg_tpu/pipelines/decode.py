@@ -81,12 +81,19 @@ def decode_jpeg(data: bytes):
         # grayscale / 4:4:4 / other samplings: host reconstruction
         from ..golden.decoder import _reconstruct
         return _reconstruct(comps, coeffs, quant, width, height)
-    by_id = {c.comp_id: c for c in comps}
-    luma = by_id[1]
+    # components in SOF order (Y, Cb, Cr per the sampling check); ids are
+    # whatever the encoder chose — do not assume 1/2/3
+    luma, cb, cr = comps
     ph, pw = -(-height // 16) * 16, -(-width // 16) * 16  # coded geometry
+    if luma.bw and (luma.bw * 8 != pw or luma.bh * 8 != ph):
+        # non-MCU-padded block grid (padded non-interleaved stream from
+        # another encoder): host reconstruction handles the general case
+        from ..golden.decoder import _reconstruct
+        return _reconstruct(comps, coeffs, quant, width, height)
     out = np.asarray(reconstruct_420(
-        jnp.asarray(coeffs[1]), jnp.asarray(coeffs[2]), jnp.asarray(coeffs[3]),
+        jnp.asarray(coeffs[luma.comp_id]), jnp.asarray(coeffs[cb.comp_id]),
+        jnp.asarray(coeffs[cr.comp_id]),
         jnp.asarray(quant[luma.quant_id]),
-        jnp.asarray(quant[by_id[2].quant_id]),
+        jnp.asarray(quant[cb.quant_id]),
         ph, pw))
     return out[:height, :width]

@@ -15,6 +15,7 @@ like the reference's per-image ``init_huffman``); fixed-table mode
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -192,10 +193,17 @@ class JpegEncoder:
     def encode_any(self, rgb) -> bytes:
         """Encode an image of arbitrary dimensions.
 
-        Pads to full 16x16 MCUs by edge replication and declares the true
-        size in SOF0 (decoders crop — T.81 A.2.1).  The reference rejects
-        such inputs outright (``utils/original.c:327-331``); this is the
+        Pads to full MCUs by edge replication and declares the true size
+        in SOF0 (decoders crop — T.81 A.2.1).  The reference rejects such
+        inputs outright (``utils/original.c:327-331``); this is the
         standard-JPEG upgrade of that constraint.
+
+        When padding is needed, the interleaved layout is used regardless
+        of ``scan_layout``: T.81 A.2.2 requires *non-interleaved* scans to
+        carry exactly ceil(component_dim/8) blocks per row — not the
+        MCU-padded count this pipeline produces — so a padded 3-scan
+        stream would desync standard decoders.  (Interleaved scans are
+        MCU-complete by definition.)
         """
         from ..io.editimage import pad_replicate
         rgb = np.asarray(rgb)
@@ -203,7 +211,12 @@ class JpegEncoder:
         mcu = 16 if self.config.subsampling != "444" else 8
         if h % mcu == 0 and w % mcu == 0:
             return self.encode(rgb)
-        data = self.encode(pad_replicate(rgb, multiple=mcu))
+        enc = self
+        if self.config.scan_layout != "interleaved":
+            cfg = dataclasses.replace(self.config, scan_layout="interleaved",
+                                      restart_interval_mcu_rows=0)
+            enc = self.__dict__.setdefault("_any_encoder", JpegEncoder(cfg))
+        data = enc.encode(pad_replicate(rgb, multiple=mcu))
         return jfif.patch_sof_dims(data, w, h)
 
     def encode_region(self, rgb, area) -> bytes:
@@ -256,10 +269,13 @@ class JpegEncoder:
                 f"restart_interval_mcu_rows={rows_per_seg} must divide MCU rows {my}")
         n_segs = my // rows_per_seg
 
+        idx_cache = self.__dict__.setdefault("_mcu_index_cache", {})
+        if (w, h) not in idx_cache:
+            idx_cache[(w, h)] = jnp.asarray(mcu_order_index(w, h))
         fn = _analyze_interleaved_fn if self._exact() else _analyze_interleaved
         slots, hists = fn(
             rgb, self._luma_q_dev, self._chroma_q_dev,
-            jnp.asarray(mcu_order_index(w, h)), n_segs,
+            idx_cache[(w, h)], n_segs,
             dtype=self._dtype(), exact=self._exact())
         tables = self._build_tables(hists)
 
@@ -447,12 +463,15 @@ _pack_interleaved_segments = functools.partial(
     jax.jit, static_argnames=("max_words",))(pack_interleaved_segments_fn)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _analyze_gray(plane, luma_q):
+def _analyze_gray_fn(plane, luma_q, exact=False):
     zz = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(plane.astype(jnp.int32)),
-                                     luma_q)
+                                     luma_q, dtype=jnp.float64 if exact else jnp.float32,
+                                     exact=exact)
     slots = ops_symbols.symbolize(ops_dct.diff_dc(zz))
     return slots, ops_symbols.dc_ac_histograms(slots)
+
+
+_analyze_gray = functools.partial(jax.jit, static_argnames=("exact",))(_analyze_gray_fn)
 
 
 def encode_gray(plane, config: EncodeConfig | None = None) -> bytes:
@@ -472,8 +491,10 @@ def encode_gray(plane, config: EncodeConfig | None = None) -> bytes:
         arr = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
 
     luma_q, _ = T.quant_tables(cfg.quality)
-    slots, hists = _analyze_gray(jnp.asarray(arr, jnp.uint8),
-                                 jnp.asarray(luma_q))
+    exact = cfg.dtype == "float64"
+    fn = _analyze_gray_fn if exact else _analyze_gray  # exact runs un-jitted
+    slots, hists = fn(jnp.asarray(arr, jnp.uint8), jnp.asarray(luma_q),
+                      exact=exact)
     if cfg.huffman == "fixed":
         tables = fixed_tables()
     else:

@@ -134,6 +134,9 @@ class FastBatchEncoder:
                                              huffman="fixed")
         if self.config.scan_layout != "interleaved":
             raise ValueError("FastBatchEncoder is interleaved-only")
+        if self.config.subsampling != "420":
+            raise ValueError("FastBatchEncoder supports 4:2:0 only; use "
+                             "JpegEncoder for 4:2:2/4:4:4")
         self.height, self.width = height, width
         self.mcus_x, self.mcus_y = width // 16, height // 16
         nm = self.mcus_x * self.mcus_y

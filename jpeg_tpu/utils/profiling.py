@@ -42,8 +42,13 @@ class StageTimer:
         finally:
             if self.sync:
                 try:
+                    # enqueue-and-block on a trivial op: TPU executes its
+                    # stream in order, so this drains all work dispatched
+                    # inside the stage (effects_barrier only covers
+                    # side-effecting computations)
                     import jax
-                    jax.effects_barrier()
+                    import jax.numpy as jnp
+                    jax.block_until_ready(jnp.zeros(()))
                 except Exception:
                     pass
             dt = time.perf_counter() - t0

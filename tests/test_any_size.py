@@ -57,3 +57,23 @@ def test_encode_any_multiple_of_16_is_plain_encode(img64):
     img = np.asarray(img64)
     enc = JpegEncoder(EncodeConfig())
     assert enc.encode_any(img) == enc.encode(img)
+
+
+def test_encode_any_3scan_config_is_pil_decodable():
+    """Regression: a padded non-interleaved scan violates T.81 A.2.2 (block
+    count per scan must be ceil(comp_dim/8), not the MCU-padded count), so
+    encode_any must switch to the interleaved layout when padding.  A 40x40
+    image through the default (3scan) config previously decoded to garbage
+    in libjpeg (12 dB) while our own decoder hid the bug."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = _img(40, 40, seed=11)
+    data = JpegEncoder(EncodeConfig()).encode_any(img)  # default 3scan cfg
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (40, 40)
+    pil = np.asarray(im.convert("RGB"))
+    ours = gdec.decode(data)
+    # content-limited PSNR; the point is both decoders agree (pre-fix,
+    # libjpeg read ~8 dB below our decoder on padded 3-scan streams)
+    assert gdec.psnr(pil, img) > 18.0
+    assert abs(gdec.psnr(pil, img) - gdec.psnr(ours, img)) < 2.0
