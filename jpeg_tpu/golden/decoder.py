@@ -177,12 +177,14 @@ def _upsample2x_v(p: np.ndarray) -> np.ndarray:
 
 def _upsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
     """Triangle-filter for 2x factors, sample replication otherwise."""
-    while fv > 1:
-        plane = _upsample2x_v(plane) if fv == 2 else np.repeat(plane, fv, 0)
-        fv = 1 if fv == 2 else 1
-    while fh > 1:
-        plane = _upsample2x_h(plane) if fh == 2 else np.repeat(plane, fh, 1)
-        fh = 1 if fh == 2 else 1
+    if fv == 2:
+        plane = _upsample2x_v(plane)
+    elif fv > 1:
+        plane = np.repeat(plane, fv, axis=0)
+    if fh == 2:
+        plane = _upsample2x_h(plane)
+    elif fh > 1:
+        plane = np.repeat(plane, fh, axis=1)
     return plane
 
 
@@ -363,7 +365,8 @@ def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:
     """Planes -> image; general sampling, cropped to the SOF dims.
 
     1 component -> [H, W] grayscale; 3 components -> [H, W, 3] RGB via
-    BT.601 with nearest-neighbor chroma upsampling.
+    BT.601; 2x chroma factors use the libjpeg-style 3/4-1/4 triangle
+    filter, other factors sample replication.
     """
     hmax = max(c.h_samp for c in comps)
     vmax = max(c.v_samp for c in comps)

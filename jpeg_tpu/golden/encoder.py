@@ -415,6 +415,8 @@ def _encode_interleaved(stages, restart_interval_mcu_rows, huffman) -> bytes:
             np.where(lum, tables["luma_ac"].length[sym], tables["chroma_ac"].length[sym]),
         ).astype(np.int64)
         valid = slots["valid"]
+        if np.any((code[valid] < 0) | (clen[valid] == 0)):
+            raise ValueError("symbol without a Huffman code")
         value = (code << slots["extra_n"]) | slots["extra"]
         nbits = clen + slots["extra_n"]
         segments.append(pack_bits(value[valid], nbits[valid]))

@@ -126,8 +126,15 @@ def build_table(sym_freq: np.ndarray) -> HuffmanTable:
         raise ValueError(f"sym_freq must have shape (257,), got {sym_freq.shape}")
     if sym_freq[256] != 1:
         raise ValueError("sym_freq[256] must be 1 (reserved code point)")
+    if int(sym_freq[:256].sum()) == 0:
+        raise ValueError("empty symbol histogram: nothing to encode "
+                         "(zero-sized image?)")
 
     code_len = _derive_code_lengths(sym_freq)
+    if int(code_len.max(initial=0)) >= 32:
+        # the K.2 limiter assumes lengths < 32 (libjpeg raises
+        # JERR_HUFF_CLEN_OVERFLOW for the same pathological histograms)
+        raise ValueError("Huffman code length overflow (>= 32 bits)")
 
     code_len_freq = np.zeros(32, dtype=np.int64)
     for length in code_len[code_len != 0]:

@@ -99,6 +99,8 @@ def attach_pack_segments(lut, idx, extra, extra_n, n_segments: int,
     (words [S, seg_rows*128] u32, total_bits [S] i32).
     """
     S, nblk_seg, _ = idx.shape
+    if n_segments != S:
+        raise ValueError(f"n_segments={n_segments} != leading dim {S}")
     if S * seg_rows * 128 * 32 >= 2 ** 31:
         raise ValueError("segment space exceeds int32 bit offsets; "
                          "pack in smaller groups")

@@ -249,6 +249,8 @@ def pack_segments(value, nbits, n_segments: int, seg_rows: int,
     segments; ``seg_rows`` includes straddle slack rows).
     """
     S, nblk_seg, _ = value.shape
+    if n_segments != S:
+        raise ValueError(f"n_segments={n_segments} != leading dim {S}")
     if S * seg_rows * 128 * 32 >= 2 ** 31:
         raise ValueError(
             f"{S} segments x {seg_rows} rows exceeds the int32 bit-offset "

@@ -25,19 +25,27 @@ def initialize(coordinator_address: str | None = None,
     On TPU pods, ``jax.distributed.initialize()`` discovers everything
     from the runtime; arguments are only needed for manual/CPU testing
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+
+    Must run before any other JAX call: probing (e.g. jax.process_count())
+    initializes the XLA backend and makes distributed init fail, so this
+    function probes nothing and instead treats "already initialized" as
+    success.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
-        try:
+    try:
+        if addr is None and num_processes is None:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process run
-        return
-    jax.distributed.initialize(coordinator_address=addr,
-                               num_processes=num_processes,
-                               process_id=process_id)
+        else:
+            jax.distributed.initialize(coordinator_address=addr,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "already" in msg and "initialize" in msg:
+            return  # idempotent
+        if addr is None and num_processes is None:
+            return  # single-process run without a coordinator
+        raise
 
 
 def global_mesh(space_per_host: int | None = None):
@@ -57,6 +65,11 @@ def global_mesh(space_per_host: int | None = None):
 
 def process_batch_slice(batch_size: int) -> slice:
     """The slice of a global batch this process should feed (data axis)."""
-    per = batch_size // jax.process_count()
+    n = jax.process_count()
+    if batch_size % n:
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by the "
+            f"{n} processes (pad the batch or drop the remainder explicitly)")
+    per = batch_size // n
     start = per * jax.process_index()
     return slice(start, start + per)

@@ -95,8 +95,14 @@ class ShardedEncoder:
         """Pallas per-device kernels on TPU for the fixed-table fused step;
         dynamic-table mode keeps the XLA engine (same bytes either way)."""
         if self.config.engine != "auto":
-            return self.config.engine
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+            eng = self.config.engine
+        else:
+            eng = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if eng == "pallas" and self.config.dtype == "float64":
+            # the Pallas analyze stage has no exact-summation mode; keep
+            # the f64 bit-parity contract on the XLA engine
+            eng = "xla"
+        return eng
 
     # -- jitted steps ----------------------------------------------------
 
@@ -104,7 +110,13 @@ class ShardedEncoder:
         return NamedSharding(self.mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
 
     def _analyze_one(self, rgb_slab):
-        """[slab_h, W, 3] -> (slots dict [segs, mps*6, 64], hists [4, 256])."""
+        """[slab_h, W, 3] -> (slots dict [segs, mps*6, 64], hists [4, 256]).
+
+        Note: in f64 exact mode this still runs under jit (shard_map
+        requires it); if a backend fuses f64 mul+add into FMA the last
+        ulp could differ from the un-jitted single-device exact path.
+        The byte-parity test (sharded == single-device) guards this.
+        """
         slots, hists = _analyze_interleaved_fn(
             rgb_slab, jnp.asarray(self._luma_q), jnp.asarray(self._chroma_q),
             self._mcu_index, self.segs_per_device, dtype=self._dtype,

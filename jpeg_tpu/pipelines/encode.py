@@ -160,6 +160,8 @@ class JpegEncoder:
         """Encode one [H, W, 3] uint8 RGB image to baseline JFIF bytes."""
         rgb = jnp.asarray(rgb, dtype=jnp.uint8)
         h, w = rgb.shape[0], rgb.shape[1]
+        if h == 0 or w == 0:
+            raise ValueError("image has zero pixels")
         mcu_w, mcu_h = {"420": (16, 16), "422": (16, 8),
                         "444": (8, 8)}[self.config.subsampling]
         if h % mcu_h or w % mcu_w:
@@ -486,6 +488,8 @@ def encode_gray(plane, config: EncodeConfig | None = None) -> bytes:
     if arr.ndim != 2:
         raise ValueError(f"expected [H, W] grayscale, got shape {arr.shape}")
     h, w = arr.shape
+    if h == 0 or w == 0:
+        raise ValueError("image has zero pixels")
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     if (ph, pw) != (h, w):
         arr = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")

@@ -96,3 +96,18 @@ def test_sharded_rejects_bad_geometry():
     with pytest.raises(ValueError):
         ShardedEncoder(mesh, 64, 64,
                        config=EncodeConfig(scan_layout="3scan"))
+
+def test_zero_sized_image_rejected():
+    with pytest.raises(ValueError):
+        JpegEncoder().encode(np.zeros((0, 0, 3), np.uint8))
+    from jpeg_tpu.pipelines.encode import encode_gray
+    with pytest.raises(ValueError):
+        encode_gray(np.zeros((0, 0), np.uint8))
+
+
+def test_huffman_empty_histogram_rejected():
+    from jpeg_tpu.huffman.build import build_table
+    freq = np.zeros(257, np.int64)
+    freq[256] = 1
+    with pytest.raises(ValueError):
+        build_table(freq)
