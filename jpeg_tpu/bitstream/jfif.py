@@ -174,6 +174,29 @@ def assemble_3scan(header: bytes, y_scan: bytes, cb_scan: bytes, cr_scan: bytes)
     ])
 
 
+def assemble_3scan_restarts(header: bytes,
+                            scans: list[tuple[int, list[bytes]]]) -> bytes:
+    """Non-interleaved scans with per-scan restart intervals.
+
+    ``scans`` is [(interval_blocks, segments), ...] in Y, Cb, Cr order.
+    Each scan gets its own DRI (intervals differ because per-component
+    block counts differ — T.81 permits DRI between scans); RSTn markers
+    separate the segments, with the RST counter reset per scan.
+    """
+    comp = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    out = [header]
+    for (interval, segments), (cid, dc, ac) in zip(scans, comp):
+        if interval:
+            out.append(dri_segment(interval))
+        out.append(sos_header_single(cid, dc, ac))
+        for i, seg in enumerate(segments):
+            if i:
+                out.append(rst_marker(i - 1))
+            out.append(seg)
+    out.append(EOI)
+    return b"".join(out)
+
+
 def assemble_interleaved(header: bytes, segments: list[bytes]) -> bytes:
     """One interleaved scan built from restart-delimited segments.
 

@@ -85,8 +85,10 @@ class EncodeConfig:
     def __post_init__(self):
         if self.quality is not None and not (1 <= self.quality <= 100):
             raise ValueError(f"quality must be in [1, 100], got {self.quality}")
-        if self.restart_interval_mcu_rows and self.scan_layout != "interleaved":
-            raise ValueError("restart intervals require scan_layout='interleaved'")
+        # restart intervals are supported in both layouts: interleaved
+        # counts 16px MCU rows; 3scan counts 8px block rows per component
+        # (each scan gets its own DRI, since per-component block counts
+        # differ — T.81 allows DRI changes between scans)
         if self.scan_layout not in ("3scan", "interleaved"):
             raise ValueError(f"unknown scan_layout {self.scan_layout!r}")
         if self.huffman not in ("dynamic", "fixed"):

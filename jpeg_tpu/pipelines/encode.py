@@ -170,6 +170,8 @@ class JpegEncoder:
                 f"{w}x{h}; pad with jpeg_tpu.io.editimage, or use encode_any")
         if self.config.scan_layout == "interleaved":
             return self._encode_interleaved(rgb, h, w)
+        if self.config.restart_interval_mcu_rows:
+            return self._encode_3scan_restarts(rgb, h, w)
 
         fn = analyze_fn if self._exact() else analyze
         slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev,
@@ -237,6 +239,43 @@ class JpegEncoder:
         window = jax.lax.dynamic_slice(
             rgb, (area.y, area.x, 0), (area.h, area.w, 3))
         return self.encode(window)
+
+    # -- 3-scan with restart markers -------------------------------------
+
+    def _encode_3scan_restarts(self, rgb, h, w):
+        """Non-interleaved scans split into restart segments.
+
+        ``restart_interval_mcu_rows`` counts 8px block rows of each
+        component's own grid (a non-interleaved MCU is one block, T.81
+        A.2.2); each scan carries its own DRI since per-component block
+        counts differ.  DC prediction resets per segment, enabling the
+        same segment-parallel packing as the interleaved layout.
+        """
+        rows_per_seg = self.config.restart_interval_mcu_rows
+        fn = _analyze_3scan_segments_fn if self._exact() else _analyze_3scan_segments
+        comps, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev,
+                          rows_per_seg, self.config.subsampling,
+                          dtype=self._dtype(), exact=self._exact())
+        tables = self._build_tables(hists)
+        y_sampling = {"420": (2, 2), "422": (2, 1),
+                      "444": (1, 1)}[self.config.subsampling]
+        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
+                              y_sampling=y_sampling)
+        scans = []
+        for (slots, interval), is_luma in zip(comps, (True, False, False)):
+            dc_tab = tables["luma_dc" if is_luma else "chroma_dc"]
+            ac_tab = tables["luma_ac" if is_luma else "chroma_ac"]
+            n_slots = int(np.prod(slots["sym"].shape[1:]))
+            mw = ops_pack.max_words_for_slots(n_slots)
+            dc_code, dc_len = _luts(dc_tab)
+            ac_code, ac_len = _luts(ac_tab)
+            words, totals = _pack_scan_segments(slots, dc_code, dc_len,
+                                                ac_code, ac_len, mw)
+            words_np, totals_np = np.asarray(words), np.asarray(totals)
+            segs = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
+                    for s in range(words_np.shape[0])]
+            scans.append((interval if len(segs) > 1 else 0, segs))
+        return jfif.assemble_3scan_restarts(header, scans)
 
     # -- interleaved (restart-capable) layout ----------------------------
 
@@ -332,6 +371,58 @@ class JpegEncoder:
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
                               restart_interval=interval, y_sampling=y_sampling)
         return jfif.assemble_interleaved(header, segments)
+
+
+def _analyze_3scan_segments_fn(rgb, luma_q, chroma_q, rows_per_seg, sampling,
+                               dtype=jnp.float32, exact=False):
+    """Per-component restart segments for the non-interleaved layout.
+
+    Returns ([(slots [S_c, n_c, 64], interval_blocks_c)] for Y, Cb, Cr,
+    hists 4-tuple).  Each component's segment count S_c follows its own
+    block grid (rows_per_seg must divide each grid's rows).
+    """
+    if sampling == "444":
+        y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
+    elif sampling == "422":
+        y, cb, cr = ops_color.rgb_to_ycbcr_422(rgb, dtype=dtype)
+    else:
+        y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    comps = []
+    hists = {}
+    for name, plane, q in (("y", y, luma_q), ("cb", cb, chroma_q),
+                           ("cr", cr, chroma_q)):
+        bh, bw = plane.shape[-2] // 8, plane.shape[-1] // 8
+        if bh % rows_per_seg:
+            raise ValueError(
+                f"restart_interval_mcu_rows={rows_per_seg} must divide the "
+                f"{name} component's {bh} block rows (3-scan layout)")
+        n_segs = bh // rows_per_seg
+        zz = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(plane), q,
+                                         dtype=dtype, exact=exact)
+        seg = ops_dct.diff_dc(zz.reshape(n_segs, (bh // n_segs) * bw, 64))
+        slots = ops_symbols.symbolize(seg)
+        comps.append((slots, rows_per_seg * bw))
+        hists[name] = ops_symbols.dc_ac_histograms(slots)
+    luma_dc, luma_ac = hists["y"]
+    chroma_dc = hists["cb"][0] + hists["cr"][0]
+    chroma_ac = hists["cb"][1] + hists["cr"][1]
+    return comps, (luma_dc, luma_ac, chroma_dc, chroma_ac)
+
+
+_analyze_3scan_segments = functools.partial(
+    jax.jit, static_argnames=("rows_per_seg", "sampling", "dtype", "exact"))(
+        _analyze_3scan_segments_fn)
+
+
+@functools.partial(jax.jit, static_argnames=("max_words",))
+def _pack_scan_segments(slots, dc_code, dc_len, ac_code, ac_len, max_words):
+    """Per-segment packing for one non-interleaved scan ([S, n, 64] slots)."""
+    values, nbits = ops_symbols.attach_codes(slots, dc_code, dc_len,
+                                             ac_code, ac_len)
+    S = values.shape[0]
+    return jax.vmap(lambda v, n: ops_pack.pack_fields(
+        v, n, max_words=max_words))(values.reshape(S, -1),
+                                    nbits.reshape(S, -1))
 
 
 def _analyze_interleaved_alt_fn(rgb, luma_q, chroma_q, n_segs, sampling,

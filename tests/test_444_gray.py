@@ -122,3 +122,22 @@ def test_422_chroma_fidelity_between_420_and_444():
         d = JpegEncoder(EncodeConfig(subsampling=s)).encode(img)
         res[s] = gdec.psnr(gdec.decode(d), img)
     assert res["420"] <= res["422"] <= res["444"]
+
+
+def test_3scan_restart_markers():
+    """Non-interleaved scans with per-scan DRI/RSTn (beyond the reference)."""
+    PIL = pytest.importorskip("PIL.Image")
+    img = _img(64, 64, seed=12)
+    cfg = EncodeConfig(scan_layout="3scan", restart_interval_mcu_rows=2)
+    data = JpegEncoder(cfg).encode(img)
+    assert data.count(b"\xff\xdd") == 3  # one DRI per scan
+    assert b"\xff\xd0" in data
+    rec = gdec.decode(data)
+    # identical pixels to the restart-free 3-scan stream (same coefficients)
+    plain = gdec.decode(JpegEncoder(EncodeConfig()).encode(img))
+    np.testing.assert_array_equal(rec, plain)
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (64, 64)
+    assert abs(gdec.psnr(np.asarray(im.convert("RGB")), img)
+               - gdec.psnr(rec, img)) < 2.0
