@@ -70,7 +70,11 @@ def sof0_segment(width: int, height: int, y_sampling: tuple[int, int] = (2, 2),
 
 
 def dri_segment(restart_interval: int) -> bytes:
-    """DRI: restart interval in MCUs."""
+    """DRI: restart interval in MCUs (16-bit field, T.81 B.2.4.4)."""
+    if not (0 < restart_interval <= 0xFFFF):
+        raise ValueError(
+            f"restart interval {restart_interval} exceeds the 16-bit DRI "
+            "field; use more segments (smaller restart_interval_mcu_rows)")
     return bytes([0xFF, 0xDD, 0x00, 0x04,
                   (restart_interval >> 8) & 0xFF, restart_interval & 0xFF])
 

@@ -32,7 +32,8 @@ def _load():
         try:
             src = os.path.abspath(_SRC)
             if not os.path.exists(_SO) or (
-                    os.path.getmtime(_SO) < os.path.getmtime(src)):
+                    os.path.exists(src)
+                    and os.path.getmtime(_SO) < os.path.getmtime(src)):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 subprocess.run(
                     ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, src],

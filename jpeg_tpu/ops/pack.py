@@ -93,4 +93,10 @@ def finish_scan(words: np.ndarray, total_bits: int) -> bytes:
     ff = full == 0xFF
     out = np.zeros(nfull + int(ff.sum()), dtype=np.uint8)
     out[np.arange(nfull) + np.concatenate([[0], np.cumsum(ff[:-1])])] = full
-    return out.tobytes() + bytes([pad])
+    tail = bytes([pad])
+    if rem and pad == 0xFF:
+        # T.81 B.1.1.5: a data-carrying 0xFF must be stuffed.  The
+        # reference omits this (fill_last_byte) — deliberate spec fix,
+        # see PARITY.md.  A rem==0 bare 0xFF is a legal fill byte.
+        tail += b"\x00"
+    return out.tobytes() + tail

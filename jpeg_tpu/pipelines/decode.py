@@ -85,6 +85,11 @@ def decode_jpeg(data: bytes):
     # whatever the encoder chose — do not assume 1/2/3
     luma, cb, cr = comps
     ph, pw = -(-height // 16) * 16, -(-width // 16) * 16  # coded geometry
+    if cb.quant_id != cr.quant_id:
+        # reconstruct_420 takes one chroma quantizer; rare 3-table streams
+        # go through the general host path
+        from ..golden.decoder import _reconstruct
+        return _reconstruct(comps, coeffs, quant, width, height)
     if luma.bw and (luma.bw * 8 != pw or luma.bh * 8 != ph):
         # non-MCU-padded block grid (padded non-interleaved stream from
         # another encoder): host reconstruction handles the general case

@@ -212,15 +212,26 @@ class JpegEncoder:
         from ..io.editimage import pad_replicate
         rgb = np.asarray(rgb)
         h, w = rgb.shape[0], rgb.shape[1]
-        mcu = 16 if self.config.subsampling != "444" else 8
-        if h % mcu == 0 and w % mcu == 0:
+        mcu_w, mcu_h = {"420": (16, 16), "422": (16, 8),
+                        "444": (8, 8)}[self.config.subsampling]
+        if h % mcu_h == 0 and w % mcu_w == 0:
             return self.encode(rgb)
         enc = self
         if self.config.scan_layout != "interleaved":
-            cfg = dataclasses.replace(self.config, scan_layout="interleaved",
-                                      restart_interval_mcu_rows=0)
-            enc = self.__dict__.setdefault("_any_encoder", JpegEncoder(cfg))
-        data = enc.encode(pad_replicate(rgb, multiple=mcu))
+            if "_any_encoder" not in self.__dict__:
+                cfg = dataclasses.replace(self.config,
+                                          scan_layout="interleaved",
+                                          restart_interval_mcu_rows=0)
+                self._any_encoder = JpegEncoder(cfg)
+            enc = self._any_encoder
+        padded = rgb
+        if h % mcu_h:
+            padded = np.pad(padded, ((0, (-h) % mcu_h), (0, 0), (0, 0)),
+                            mode="edge")
+        if w % mcu_w:
+            padded = np.pad(padded, ((0, 0), (0, (-w) % mcu_w), (0, 0)),
+                            mode="edge")
+        data = enc.encode(padded)
         return jfif.patch_sof_dims(data, w, h)
 
     def encode_region(self, rgb, area) -> bytes:

@@ -237,8 +237,11 @@ class FastBatchEncoder:
             tables = []
             luts = np.empty((rgbs.shape[0], 1024), np.int32)
             for b in range(rgbs.shape[0]):
-                ldc, lac, cdc, cac = (np.asarray(x) for x in
-                                      split_hists(jnp.asarray(h_np[b])))
+                hb = h_np[b].reshape(4, 256)
+                # group order per slot_index bits (see split_hists); drop
+                # the NULL_INDEX bin
+                cac, cdc, lac, ldc = hb[0], hb[1], hb[2], hb[3].copy()
+                ldc[255] = 0
                 t = build_tables_from_histograms(ldc, lac, cdc, cac)
                 tables.append(t)
                 luts[b] = klut.build_combined_lut(t)

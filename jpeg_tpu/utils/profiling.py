@@ -35,7 +35,7 @@ class StageTimer:
         self.counts: dict[str, int] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, result=None):
+    def stage(self, name: str):
         t0 = time.perf_counter()
         try:
             yield

@@ -17,9 +17,9 @@
 extern "C" {
 
 // Worst-case output size for a scan of total_bits (callers size buffers):
-// every full byte could be 0xFF (stuffed) + 1 tail byte.
+// every full byte could be 0xFF (stuffed) + tail byte + its stuffing.
 int64_t jt_finish_scan_max_out(int64_t total_bits) {
-  return 2 * (total_bits / 8) + 1;
+  return 2 * (total_bits / 8) + 2;
 }
 
 // words:      big-endian-packed stream, words[i] holds bits [32i, 32i+32)
@@ -40,15 +40,20 @@ int64_t jt_finish_scan(const uint32_t* words, int64_t total_bits,
     out[o++] = b;
     if (b == 0xFF) out[o++] = 0x00;
   }
-  uint8_t tail;
   if (rem) {
     const uint32_t w = words[nfull >> 2];
     const uint8_t b = static_cast<uint8_t>(w >> (8 * (3 - (nfull & 3))));
-    tail = static_cast<uint8_t>(b | ((1u << (8 - rem)) - 1u));
+    const uint8_t tail = static_cast<uint8_t>(b | ((1u << (8 - rem)) - 1u));
+    out[o++] = tail;
+    // T.81 B.1.1.5: a data-carrying 0xFF must be stuffed.  The reference
+    // omits this (fill_last_byte, main/encoder.c:425-432) — a spec defect
+    // we deliberately fix (divergence documented in PARITY.md).
+    if (tail == 0xFF) out[o++] = 0x00;
   } else {
-    tail = 0xFF;  // fill_last_byte always emits one ones-padded byte
+    // pure ones-pad with no data bits: a legal fill byte before the next
+    // marker, matching the reference byte-for-byte
+    out[o++] = 0xFF;
   }
-  out[o++] = tail;  // tail byte is never stuffed (main/encoder.c:425-432)
   return o;
 }
 

@@ -17,7 +17,10 @@ def _numpy_finish(words, total_bits):
     ff = full == 0xFF
     out = np.zeros(nfull + int(ff.sum()), dtype=np.uint8)
     out[np.arange(nfull) + np.concatenate([[0], np.cumsum(ff[:-1])])] = full
-    return out.tobytes() + bytes([pad])
+    tail = bytes([pad])
+    if rem and pad == 0xFF:
+        tail += b"\x00"   # data-carrying 0xFF tail is stuffed (T.81)
+    return out.tobytes() + tail
 
 
 @pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
