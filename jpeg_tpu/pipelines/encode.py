@@ -329,8 +329,15 @@ class JpegEncoder:
             rgb, self._luma_q_dev, self._chroma_q_dev,
             idx_cache[(w, h)], n_segs,
             dtype=self._dtype(), exact=self._exact())
-        tables = self._build_tables(hists)
+        return self._pack_and_assemble_interleaved(
+            slots, hists, w, h, n_segs,
+            interval=rows_per_seg * mx, y_sampling=(2, 2))
 
+    def _pack_and_assemble_interleaved(self, slots, hists, w, h, n_segs,
+                                       interval, y_sampling):
+        """Shared tail of the interleaved paths: tables, per-segment pack,
+        finalize, assemble."""
+        tables = self._build_tables(hists)
         dc_l, len_l = _luts(tables["luma_dc"])
         ac_l, alen_l = _luts(tables["luma_ac"])
         dc_c, len_c = _luts(tables["chroma_dc"])
@@ -343,9 +350,9 @@ class JpegEncoder:
         totals_np = np.asarray(totals)
         segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
                     for s in range(n_segs)]
-        interval = rows_per_seg * mx if n_segs > 1 else 0
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
-                              restart_interval=interval)
+                              restart_interval=interval if n_segs > 1 else 0,
+                              y_sampling=y_sampling)
         return jfif.assemble_interleaved(header, segments)
 
     def _encode_interleaved_alt(self, rgb, h, w):
@@ -364,24 +371,32 @@ class JpegEncoder:
         fn = _analyze_interleaved_alt_fn if self._exact() else _analyze_interleaved_alt
         slots, hists = fn(rgb, self._luma_q_dev, self._chroma_q_dev, n_segs,
                           sampling, dtype=self._dtype(), exact=self._exact())
-        tables = self._build_tables(hists)
-        dc_l, len_l = _luts(tables["luma_dc"])
-        ac_l, alen_l = _luts(tables["luma_ac"])
-        dc_c, len_c = _luts(tables["chroma_dc"])
-        ac_c, alen_c = _luts(tables["chroma_ac"])
-        num_slots = int(np.prod(slots["sym"].shape[1:]))
-        mw = ops_pack.max_words_for_slots(num_slots)
-        words, totals = _pack_interleaved_segments(
-            slots, dc_l, len_l, ac_l, alen_l, dc_c, len_c, ac_c, alen_c, mw)
-        words_np = np.asarray(words)
-        totals_np = np.asarray(totals)
-        segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
-                    for s in range(n_segs)]
-        interval = rows_per_seg * mx if n_segs > 1 else 0
-        y_sampling = (1, 1) if sampling == "444" else (2, 1)
-        header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
-                              restart_interval=interval, y_sampling=y_sampling)
-        return jfif.assemble_interleaved(header, segments)
+        return self._pack_and_assemble_interleaved(
+            slots, hists, w, h, n_segs, interval=rows_per_seg * mx,
+            y_sampling=(1, 1) if sampling == "444" else (2, 1))
+
+
+def _interleaved_slots_hists(seq, pattern, mps):
+    """Shared symbolization + per-table histograms for interleaved layouts.
+
+    ``pattern`` is the per-MCU block luma mask (e.g. [1,1,1,1,0,0] for
+    4:2:0); seq is [n_segs, mps*len(pattern), 64] with DC already
+    differenced per segment.
+    """
+    slots = ops_symbols.symbolize(seq)
+    is_luma = jnp.tile(jnp.array(pattern, dtype=bool), (mps,))
+    is_luma = jnp.broadcast_to(is_luma[None, :, None],
+                               slots["valid"].shape[:2] + (1,))
+    valid = slots["valid"]
+    dc_mask = jnp.zeros_like(valid).at[..., 0].set(True)
+    hists = (
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & ~is_luma),
+        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & ~is_luma),
+    )
+    slots["is_luma"] = jnp.broadcast_to(is_luma, slots["valid"].shape)
+    return slots, hists
 
 
 def _analyze_3scan_segments_fn(rgb, luma_q, chroma_q, rows_per_seg, sampling,
@@ -464,22 +479,7 @@ def _analyze_interleaved_alt_fn(rgb, luma_q, chroma_q, n_segs, sampling,
         cb_seg.reshape(n_segs, mps, 1, 64),
         cr_seg.reshape(n_segs, mps, 1, 64),
     ], axis=2).reshape(n_segs, mps * (y_per_mcu + 2), 64)
-    slots = ops_symbols.symbolize(seq)
-
-    pattern = [1] * y_per_mcu + [0, 0]
-    is_luma = jnp.tile(jnp.array(pattern, dtype=bool), (mps,))
-    is_luma = jnp.broadcast_to(is_luma[None, :, None],
-                               slots["valid"].shape[:2] + (1,))
-    valid = slots["valid"]
-    dc_mask = jnp.zeros_like(valid).at[..., 0].set(True)
-    hists = (
-        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & ~is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & ~is_luma),
-    )
-    slots["is_luma"] = jnp.broadcast_to(is_luma, slots["valid"].shape)
-    return slots, hists
+    return _interleaved_slots_hists(seq, [1] * y_per_mcu + [0, 0], mps)
 
 
 _analyze_interleaved_alt = functools.partial(
@@ -519,21 +519,7 @@ def _analyze_interleaved_fn(rgb, luma_q, chroma_q, y_mcu_index, n_segs,
         cb_seg.reshape(n_segs, mps, 1, 64),
         cr_seg.reshape(n_segs, mps, 1, 64),
     ], axis=2).reshape(n_segs, mps * 6, 64)
-
-    slots = ops_symbols.symbolize(seq)
-
-    is_luma = jnp.tile(jnp.array([1, 1, 1, 1, 0, 0], dtype=bool), (mps,))
-    is_luma = jnp.broadcast_to(is_luma[None, :, None], slots["valid"].shape[:2] + (1,))
-    valid = slots["valid"]
-    dc_mask = jnp.zeros_like(valid).at[..., 0].set(True)
-    hists = (
-        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & dc_mask & ~is_luma),
-        ops_symbols.histogram_256(slots["sym"], valid & ~dc_mask & ~is_luma),
-    )
-    slots["is_luma"] = jnp.broadcast_to(is_luma, slots["valid"].shape)
-    return slots, hists
+    return _interleaved_slots_hists(seq, [1, 1, 1, 1, 0, 0], mps)
 
 
 _analyze_interleaved = functools.partial(
