@@ -111,3 +111,21 @@ def test_huffman_empty_histogram_rejected():
     freq[256] = 1
     with pytest.raises(ValueError):
         build_table(freq)
+
+
+@pytest.mark.parametrize("layout", ["3scan", "interleaved"])
+@pytest.mark.parametrize("subsampling", ["420", "422", "444"])
+@pytest.mark.parametrize("huffman", ["dynamic", "fixed"])
+def test_config_matrix_roundtrips(layout, subsampling, huffman):
+    """Every (layout, subsampling, huffman) combination produces a valid
+    stream that decodes at the right shape, with and without restarts."""
+    rng = np.random.default_rng(hash((layout, subsampling, huffman)) % 2**32)
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    img[8:24, 8:24] = 128  # mix of flat + noise
+    for restart in (0, 1):
+        cfg = EncodeConfig(scan_layout=layout, subsampling=subsampling,
+                           huffman=huffman, restart_interval_mcu_rows=restart)
+        data = JpegEncoder(cfg).encode(img)
+        rec = gdec.decode(data)
+        assert rec.shape == img.shape
+        assert gdec.psnr(rec, img) > 10.0  # decodes coherently
