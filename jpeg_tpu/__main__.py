@@ -50,6 +50,13 @@ def cmd_encode(args):
             f.write(data)
         print(f"{args.output}: {len(data)} bytes (grayscale)")
         return
+    if args.progressive:
+        from .pipelines.progressive import encode_progressive
+        data = encode_progressive(img, _cfg(args))
+        with open(args.output, "wb") as f:
+            f.write(data)
+        print(f"{args.output}: {len(data)} bytes (progressive)")
+        return
     data = JpegEncoder(_cfg(args)).encode_any(img)  # any dims; pads MCUs
     with open(args.output, "wb") as f:
         f.write(data)
@@ -134,6 +141,8 @@ def main(argv=None) -> int:
     e.add_argument("--subsampling", choices=["420", "422", "444"], default=None)
     e.add_argument("--gray", action="store_true",
                    help="encode as single-component grayscale")
+    e.add_argument("--progressive", action="store_true",
+                   help="progressive (SOF2) spectral-selection stream")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

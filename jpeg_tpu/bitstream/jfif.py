@@ -105,12 +105,15 @@ def headers(
     tables: dict[str, HuffmanTable],
     restart_interval: int = 0,
     y_sampling: tuple[int, int] = (2, 2),
+    progressive: bool = False,
 ) -> bytes:
     """Everything from SOI up to (excluding) the first SOS.
 
     Byte-identical to the reference's emission for restart_interval=0
-    (main/encoder.c:552-603).
+    (main/encoder.c:552-603).  progressive=True emits SOF2 instead.
     """
+    sof = (sof2_segment if progressive else sof0_segment)(
+        width, height, y_sampling=y_sampling)
     out = [
         SOI,
         APP0,
@@ -120,7 +123,7 @@ def headers(
         dht_segment(0x10, tables["luma_ac"]),
         dht_segment(0x01, tables["chroma_dc"]),
         dht_segment(0x11, tables["chroma_ac"]),
-        sof0_segment(width, height, y_sampling=y_sampling),
+        sof,
     ]
     if restart_interval:
         out.append(dri_segment(restart_interval))
@@ -140,6 +143,43 @@ def headers_gray(width: int, height: int, luma_q, tables,
     ]
     if restart_interval:
         out.append(dri_segment(restart_interval))
+    return b"".join(out)
+
+
+def sof2_segment(width: int, height: int,
+                 y_sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Progressive DCT SOF2 (same payload layout as SOF0)."""
+    seg = bytearray(sof0_segment(width, height, y_sampling=y_sampling))
+    seg[1] = 0xC2
+    return bytes(seg)
+
+
+def sos_header_progressive_dc() -> bytes:
+    """Interleaved 3-component DC scan (Ss=0, Se=0, Ah=0, Al=0)."""
+    return bytes([0xFF, 0xDA, 0x00, 0x0C, 0x03,
+                  0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
+                  0x00, 0x00, 0x00])
+
+
+def sos_header_progressive_ac(component_id: int, ac_table: int,
+                              ss: int = 1, se: int = 63) -> bytes:
+    """Single-component AC band scan (progressive AC scans must be
+    non-interleaved, T.81 G.1.1.1.1)."""
+    return bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, component_id,
+                  (ac_table & 0x0F), ss, se, 0x00])
+
+
+def assemble_progressive(header: bytes, dc_scan: bytes,
+                         ac_scans: list[tuple[int, int, int, int, bytes]]) -> bytes:
+    """SOF2 stream: one interleaved DC scan, then AC band scans.
+
+    ``ac_scans`` entries are (component_id, ac_table, ss, se, payload).
+    """
+    out = [header, sos_header_progressive_dc(), dc_scan]
+    for cid, tab, ss, se, payload in ac_scans:
+        out.append(sos_header_progressive_ac(cid, tab, ss, se))
+        out.append(payload)
+    out.append(EOI)
     return b"".join(out)
 
 

@@ -1,0 +1,55 @@
+"""Progressive (SOF2) encoding, oracled by PIL/libjpeg."""
+import io
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL.Image")
+
+from jpeg_tpu.core.types import EncodeConfig
+from jpeg_tpu.golden import decoder as gdec
+from jpeg_tpu.pipelines.encode import JpegEncoder
+from jpeg_tpu.pipelines.progressive import encode_progressive
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((yy // 16 + xx // 16) % 2) * 140 + 50
+    img = np.stack([base, 255 - base, xx * 255 // max(w - 1, 1)], axis=-1)
+    return np.clip(img + rng.integers(-10, 11, size=img.shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("huffman", ["dynamic", "fixed"])
+def test_progressive_pil_roundtrip(huffman):
+    img = _img(64, 64)
+    data = encode_progressive(img, EncodeConfig(huffman=huffman))
+    assert b"\xff\xc2" in data            # SOF2
+    assert data.count(b"\xff\xda") == 4   # 1 DC + 3 AC scans
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (64, 64)
+    pil = np.asarray(im.convert("RGB"))
+
+    # same coefficients as baseline: reconstruction quality must match the
+    # baseline stream PIL-decodes from the same source
+    base = JpegEncoder(EncodeConfig(huffman=huffman)).encode(img)
+    pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
+    assert abs(gdec.psnr(pil, img) - gdec.psnr(pil_base, img)) < 0.5
+
+
+def test_progressive_quality_param():
+    img = _img(64, 64, seed=1)
+    lo = encode_progressive(img, EncodeConfig(quality=30))
+    hi = encode_progressive(img, EncodeConfig(quality=90))
+    assert len(lo) < len(hi)
+    im = PIL.open(io.BytesIO(hi))
+    im.load()
+    assert im.size == (64, 64)
+
+
+def test_progressive_rejects_unsupported():
+    with pytest.raises(ValueError):
+        encode_progressive(_img(64, 64), EncodeConfig(subsampling="444"))
+    with pytest.raises(ValueError):
+        encode_progressive(_img(24, 24))
