@@ -46,6 +46,70 @@ def _mask_slots(slots, keep_dc: bool):
     return out
 
 
+_MAX_EOB_RUN = 32767  # EOBn caps at n=14: run < 2^15 (T.81 G.1.2.2)
+
+
+def _apply_eob_runs(slots) -> dict:
+    """Collapse per-block EOBs into cross-block EOBn run symbols.
+
+    T.81 G.1.2.2: a block whose remaining band is all zero contributes an
+    end-of-band; consecutive end-of-bands (the first possibly trailing a
+    content block, the rest whole-empty blocks) accumulate into one EOBn
+    symbol with n = floor(log2(run)) and n appended bits (run - 2^n),
+    emitted at the stream position of the run's first EOB.  Runs longer
+    than 32767 are split.  Host-side numpy (block counts are small and
+    the run walk is inherently sequential).
+    """
+    sym = np.asarray(slots["sym"]).copy()
+    extra = np.asarray(slots["extra"]).copy()
+    extra_n = np.asarray(slots["extra_n"]).copy()
+    valid = np.asarray(slots["valid"]).copy()
+
+    # an EOB slot is the only valid AC slot with symbol 0 (real AC symbols
+    # have cls >= 1, ZRL is 0xF0); DC slots are already invalid here
+    is_eob = valid & (sym == 0)
+    has_eob = is_eob.any(axis=1)
+    eob_pos = np.argmax(is_eob, axis=1)           # defined where has_eob
+    content = (valid & ~is_eob).any(axis=1)
+
+    n = sym.shape[0]
+    prev_has_eob = np.concatenate([[False], has_eob[:-1]])
+    start = has_eob & (content | ~prev_has_eob)
+
+    run_starts = np.flatnonzero(start)
+    # member count per run: blocks with an EOB until the next content block
+    boundaries = np.append(run_starts, n)
+    for i, s in enumerate(run_starts):
+        end = boundaries[i + 1]
+        # the run covers s plus the following *empty* blocks before end
+        members = [s]
+        b = s + 1
+        while b < end and not content[b]:
+            members.append(b)
+            b += 1
+        # split into <= _MAX_EOB_RUN chunks
+        off = 0
+        while off < len(members):
+            chunk = members[off:off + _MAX_EOB_RUN]
+            run = len(chunk)
+            r = run.bit_length() - 1              # floor(log2(run))
+            head = chunk[0]
+            p = eob_pos[head]
+            sym[head, p] = r << 4
+            extra[head, p] = run - (1 << r)
+            extra_n[head, p] = r
+            for m in chunk[1:]:
+                valid[m, eob_pos[m]] = False
+            off += run
+
+    out = dict(slots)
+    out["sym"] = jnp.asarray(np.where(valid, sym, 0))
+    out["extra"] = jnp.asarray(np.where(valid, extra, 0))
+    out["extra_n"] = jnp.asarray(np.where(valid, extra_n, 0))
+    out["valid"] = jnp.asarray(valid)
+    return out
+
+
 def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
     """Encode [H, W, 3] uint8 RGB as a progressive (SOF2) JPEG.
 
@@ -70,9 +134,16 @@ def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
     dc_slots = _mask_slots(inter, keep_dc=True)
 
     # AC band scans: per-component raster block order, DC slot masked off.
+    # Cross-block EOB-run accumulation needs EOBn codes in the AC tables;
+    # the Annex K.3 fixed tables only define EOB0 (0x00), so fixed mode
+    # keeps per-block EOBs.
     comps, _ = analyze_fn(rgb, lq, cq, sampling="420")
-    ac_slots = {name: _mask_slots(comps[name], keep_dc=False)
-                for name in ("y", "cb", "cr")}
+    ac_slots = {}
+    for name in ("y", "cb", "cr"):
+        s = _mask_slots(comps[name], keep_dc=False)
+        if cfg.huffman != "fixed":
+            s = _apply_eob_runs(s)
+        ac_slots[name] = s
 
     # Histograms for the table build reflect the actual scan structure.
     if cfg.huffman == "fixed":

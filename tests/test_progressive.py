@@ -53,3 +53,31 @@ def test_progressive_rejects_unsupported():
         encode_progressive(_img(64, 64), EncodeConfig(subsampling="444"))
     with pytest.raises(ValueError):
         encode_progressive(_img(24, 24))
+
+
+def test_eob_runs_shrink_sparse_content():
+    """Dynamic mode accumulates cross-block EOB runs; on sparse content the
+    stream should shrink well below one EOB symbol per block."""
+    img = np.full((64, 64, 3), 180, np.uint8)   # flat: every AC band empty
+    img[0:8, 0:8] = 0                           # one busy corner block
+    data = encode_progressive(img, EncodeConfig())
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (64, 64)
+    rec = np.asarray(im.convert("RGB"))
+    assert np.abs(rec[32:, 32:].astype(int) - 180).max() <= 6
+    # fixed mode has no EOBn codes -> one EOB per block; dynamic must win
+    fixed = encode_progressive(img, EncodeConfig(huffman="fixed"))
+    assert len(data) < len(fixed)
+
+
+def test_eob_runs_noise_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(64, 64, 3)).astype(np.uint8)
+    data = encode_progressive(img, EncodeConfig())
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    base = JpegEncoder(EncodeConfig()).encode(img)
+    pil_prog = np.asarray(im.convert("RGB"))
+    pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
+    assert abs(gdec.psnr(pil_prog, img) - gdec.psnr(pil_base, img)) < 0.5
