@@ -4,11 +4,9 @@ Scan script: one interleaved DC scan (Ss=Se=0), then one full AC band scan
 (Ss=1, Se=63) per component — progressive AC scans must be non-interleaved
 (T.81 G.1.1.1.1).  No successive approximation (Ah=Al=0).
 
-End-of-band runs are emitted per block (EOB0, the baseline-identical 0x00
-symbol) rather than accumulated across blocks — spec-valid, keeps every
-block independent for the parallel packer, and costs only a few percent of
-compression on typical content.  Cross-block EOB-run accumulation is a
-TODO.
+End-of-band runs accumulate across blocks into EOBn symbols in dynamic-
+table mode (T.81 G.1.2.2; see ``_apply_eob_runs``); fixed-table mode
+keeps per-block EOB0 because Annex K.3 defines no EOBn codes.
 
 A progressive stream renders incrementally in browsers/viewers: the DC
 scan alone gives a recognizable 8x-downscaled preview.  Decoding here is
@@ -28,8 +26,8 @@ from ..golden.encoder import mcu_order_index
 from ..huffman.build import build_tables_from_histograms, fixed_tables
 from ..ops import pack as ops_pack
 from ..ops import symbols as ops_symbols
-from .encode import (_analyze_interleaved_fn, _luts, _pack_interleaved_segments,
-                     analyze_fn, pack_scan)
+from .encode import (_analyze_interleaved_alt_fn, _analyze_interleaved_fn,
+                     _luts, _pack_interleaved_segments, analyze_fn, pack_scan)
 
 
 def _mask_slots(slots, keep_dc: bool):
@@ -113,31 +111,37 @@ def _apply_eob_runs(slots) -> dict:
 def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
     """Encode [H, W, 3] uint8 RGB as a progressive (SOF2) JPEG.
 
-    Uses the config's quality and Huffman mode; 4:2:0 only for now.
+    Uses the config's quality, Huffman mode, and chroma subsampling.
     """
     cfg = config or EncodeConfig()
-    if cfg.subsampling != "420":
-        raise ValueError("progressive encoding currently supports 4:2:0 only")
     rgb = jnp.asarray(rgb, dtype=jnp.uint8)
     h, w = rgb.shape[0], rgb.shape[1]
-    if h % 16 or w % 16:
-        raise ValueError(f"dimensions must be multiples of 16, got {w}x{h}; "
-                         "pad with jpeg_tpu.io.editimage")
+    mcu_w, mcu_h = {"420": (16, 16), "422": (16, 8),
+                    "444": (8, 8)}[cfg.subsampling]
+    if h == 0 or w == 0:
+        raise ValueError("image has zero pixels")
+    if h % mcu_h or w % mcu_w:
+        raise ValueError(f"dimensions must be multiples of {mcu_w}x{mcu_h}, "
+                         f"got {w}x{h}; pad with jpeg_tpu.io.editimage")
 
     luma_q, chroma_q = T.quant_tables(cfg.quality)
     lq, cq = jnp.asarray(luma_q), jnp.asarray(chroma_q)
 
     # DC scan: interleaved MCU order with per-component DC prediction
-    # (the interleaved analyzer already builds exactly this), AC masked off.
-    inter, _ = _analyze_interleaved_fn(rgb, lq, cq,
-                                       jnp.asarray(mcu_order_index(w, h)), 1)
+    # (the interleaved analyzers already build exactly this), AC masked off.
+    if cfg.subsampling == "420":
+        inter, _ = _analyze_interleaved_fn(
+            rgb, lq, cq, jnp.asarray(mcu_order_index(w, h)), 1)
+    else:
+        inter, _ = _analyze_interleaved_alt_fn(rgb, lq, cq, 1,
+                                               cfg.subsampling)
     dc_slots = _mask_slots(inter, keep_dc=True)
 
     # AC band scans: per-component raster block order, DC slot masked off.
     # Cross-block EOB-run accumulation needs EOBn codes in the AC tables;
     # the Annex K.3 fixed tables only define EOB0 (0x00), so fixed mode
     # keeps per-block EOBs.
-    comps, _ = analyze_fn(rgb, lq, cq, sampling="420")
+    comps, _ = analyze_fn(rgb, lq, cq, sampling=cfg.subsampling)
     ac_slots = {}
     for name in ("y", "cb", "cr"):
         s = _mask_slots(comps[name], keep_dc=False)
@@ -186,5 +190,7 @@ def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
             (cid, 0 if name == "y" else 1, 1, 63,
              ops_pack.finish_scan(np.asarray(w_), int(t_))))
 
-    header = jfif.headers(w, h, luma_q, chroma_q, tables, progressive=True)
+    y_sampling = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[cfg.subsampling]
+    header = jfif.headers(w, h, luma_q, chroma_q, tables, progressive=True,
+                          y_sampling=y_sampling)
     return jfif.assemble_progressive(header, dc_payload, ac_payloads)

@@ -48,11 +48,9 @@ def test_progressive_quality_param():
     assert im.size == (64, 64)
 
 
-def test_progressive_rejects_unsupported():
+def test_progressive_rejects_bad_dims():
     with pytest.raises(ValueError):
-        encode_progressive(_img(64, 64), EncodeConfig(subsampling="444"))
-    with pytest.raises(ValueError):
-        encode_progressive(_img(24, 24))
+        encode_progressive(_img(24, 24))  # not a 4:2:0 MCU multiple
 
 
 def test_eob_runs_shrink_sparse_content():
@@ -81,3 +79,17 @@ def test_eob_runs_noise_roundtrip():
     pil_prog = np.asarray(im.convert("RGB"))
     pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
     assert abs(gdec.psnr(pil_prog, img) - gdec.psnr(pil_base, img)) < 0.5
+
+
+@pytest.mark.parametrize("subsampling", ["422", "444"])
+def test_progressive_chroma_modes(subsampling):
+    img = _img(64, 64, seed=6)
+    data = encode_progressive(img, EncodeConfig(subsampling=subsampling))
+    assert b"\xff\xc2" in data
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    assert im.size == (64, 64)
+    pil = np.asarray(im.convert("RGB"))
+    base = JpegEncoder(EncodeConfig(subsampling=subsampling)).encode(img)
+    pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
+    assert abs(gdec.psnr(pil, img) - gdec.psnr(pil_base, img)) < 0.5
