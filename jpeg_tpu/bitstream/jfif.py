@@ -184,27 +184,31 @@ def assemble_progressive(header: bytes, dc_scan: bytes,
 
 
 def patch_sof_dims(data: bytes, width: int, height: int) -> bytes:
-    """Rewrite the SOF0 frame dimensions in an encoded stream.
+    """Rewrite the SOFn frame dimensions in an encoded stream.
 
     Used for arbitrary-size encoding: the image is encoded padded to full
     MCUs but declared at its true size (decoders discard samples beyond
-    the SOF dims, per T.81 A.2.1).
+    the SOF dims, per T.81 A.2.1).  Recognizes the SOF0/1/2 family (the
+    frame types this package emits) and stops at SOS — the scan that
+    follows is entropy data, not a marker sequence.
     """
     pos = 2  # skip SOI
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             out = bytearray(data)
             out[pos + 5] = (height >> 8) & 0xFF
             out[pos + 6] = height & 0xFF
             out[pos + 7] = (width >> 8) & 0xFF
             out[pos + 8] = width & 0xFF
             return bytes(out)
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            raise ValueError("no SOFn marker before SOS")
         seg_len = (data[pos + 2] << 8) | data[pos + 3]
         pos += 2 + seg_len
-    raise ValueError("no SOF0 marker found")
+    raise ValueError("no SOFn marker found")
 
 
 def assemble_3scan(header: bytes, y_scan: bytes, cb_scan: bytes, cr_scan: bytes) -> bytes:

@@ -38,8 +38,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Worst-case bits per 64-slot block: 64 fields x 28 bits = 1792 -> 56 words;
-# +1 for the straddle of the first partial word.
+# Worst-case bits per 64-slot *baseline* block: 64 fields x 28 bits = 1792
+# -> 56 words; +1 for the straddle of the first partial word.  Baseline
+# fields are <= 27 bits (16-bit code + 11 DC amplitude bits); progressive
+# EOBn fields reach 30 bits and MUST go through ``ops.pack.pack_fields``,
+# not this kernel (a >57-local-word block would be silently truncated).
 LOCAL_WORDS = 57
 _TR = 128  # blocks per tile
 

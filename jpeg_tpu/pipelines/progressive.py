@@ -26,8 +26,10 @@ from ..golden.encoder import mcu_order_index
 from ..huffman.build import build_tables_from_histograms, fixed_tables
 from ..ops import pack as ops_pack
 from ..ops import symbols as ops_symbols
-from .encode import (_analyze_interleaved_alt_fn, _analyze_interleaved_fn,
-                     _luts, _pack_interleaved_segments, analyze_fn, pack_scan)
+from .encode import (_analyze_interleaved, _analyze_interleaved_alt,
+                     _analyze_interleaved_alt_fn, _analyze_interleaved_fn,
+                     _luts, _pack_interleaved_segments, analyze, analyze_fn,
+                     pack_scan)
 
 
 def _mask_slots(slots, keep_dc: bool):
@@ -111,7 +113,11 @@ def _apply_eob_runs(slots) -> dict:
 def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
     """Encode [H, W, 3] uint8 RGB as a progressive (SOF2) JPEG.
 
-    Uses the config's quality, Huffman mode, and chroma subsampling.
+    Uses the config's quality, Huffman mode, chroma subsampling, and dtype
+    (``float64`` selects the exact bit-parity analyzers).  ``config.engine``
+    is ignored: progressive packing always uses the XLA packer because EOBn
+    fields exceed the Pallas pack kernel's 28-bit field bound (engines are
+    byte-identical, so this is a performance detail only).
     """
     cfg = config or EncodeConfig()
     rgb = jnp.asarray(rgb, dtype=jnp.uint8)
@@ -126,22 +132,29 @@ def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
 
     luma_q, chroma_q = T.quant_tables(cfg.quality)
     lq, cq = jnp.asarray(luma_q), jnp.asarray(chroma_q)
+    exact = cfg.dtype == "float64"
+    dtype = jnp.float64 if exact else jnp.float32
 
     # DC scan: interleaved MCU order with per-component DC prediction
     # (the interleaved analyzers already build exactly this), AC masked off.
+    # The exact (float64) mode runs the un-jitted analyzers, as JpegEncoder
+    # does, to keep the reference summation order un-fused.
     if cfg.subsampling == "420":
-        inter, _ = _analyze_interleaved_fn(
-            rgb, lq, cq, jnp.asarray(mcu_order_index(w, h)), 1)
+        fn = _analyze_interleaved_fn if exact else _analyze_interleaved
+        inter, _ = fn(rgb, lq, cq, jnp.asarray(mcu_order_index(w, h)), 1,
+                      dtype=dtype, exact=exact)
     else:
-        inter, _ = _analyze_interleaved_alt_fn(rgb, lq, cq, 1,
-                                               cfg.subsampling)
+        fn = _analyze_interleaved_alt_fn if exact else _analyze_interleaved_alt
+        inter, _ = fn(rgb, lq, cq, 1, cfg.subsampling,
+                      dtype=dtype, exact=exact)
     dc_slots = _mask_slots(inter, keep_dc=True)
 
     # AC band scans: per-component raster block order, DC slot masked off.
     # Cross-block EOB-run accumulation needs EOBn codes in the AC tables;
     # the Annex K.3 fixed tables only define EOB0 (0x00), so fixed mode
     # keeps per-block EOBs.
-    comps, _ = analyze_fn(rgb, lq, cq, sampling=cfg.subsampling)
+    comps, _ = (analyze_fn if exact else analyze)(
+        rgb, lq, cq, dtype=dtype, exact=exact, sampling=cfg.subsampling)
     ac_slots = {}
     for name in ("y", "cb", "cr"):
         s = _mask_slots(comps[name], keep_dc=False)

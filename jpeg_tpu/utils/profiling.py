@@ -20,12 +20,21 @@ import time
 import numpy as np
 
 
+class _StageOutputs:
+    """Mutable holder for a stage's device outputs (see StageTimer.stage)."""
+
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = None
+
+
 class StageTimer:
     """Accumulating per-stage stopwatch.
 
     >>> t = StageTimer()
-    >>> with t.stage("dct"):
-    ...     out = step(batch)        # doctest: +SKIP
+    >>> with t.stage("dct") as s:
+    ...     s.out = step(batch)      # doctest: +SKIP
     >>> t.report()                   # doctest: +SKIP
     """
 
@@ -36,19 +45,26 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        """Time a block of work.  Yields a holder: set ``holder.out`` to the
+        stage's device outputs to get exact attribution on any backend
+        (``measure()`` does this for you).  Without outputs the drain falls
+        back to blocking on a trivial computation, which attributes
+        correctly only on backends with in-order stream execution (TPU);
+        CPU/GPU may overlap, skewing per-stage numbers.
+        """
+        holder = _StageOutputs()
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
             if self.sync:
                 try:
-                    # enqueue-and-block on a trivial op: TPU executes its
-                    # stream in order, so this drains all work dispatched
-                    # inside the stage (effects_barrier only covers
-                    # side-effecting computations)
                     import jax
-                    import jax.numpy as jnp
-                    jax.block_until_ready(jnp.zeros(()))
+                    if holder.out is not None:
+                        jax.block_until_ready(holder.out)
+                    else:
+                        import jax.numpy as jnp
+                        jax.block_until_ready(jnp.zeros(()))
                 except Exception:
                     pass
             dt = time.perf_counter() - t0
