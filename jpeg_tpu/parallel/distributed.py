@@ -32,19 +32,23 @@ def initialize(coordinator_address: str | None = None,
     success.
     """
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    try:
-        if addr is None and num_processes is None:
+    if addr is None and num_processes is None:
+        try:
             jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(coordinator_address=addr,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
+        except (RuntimeError, ValueError):
+            # RuntimeError: already initialized (idempotent re-call).
+            # ValueError: no cluster environment auto-detected ("coordinator
+            # _address should be defined") — a single-process run.
+            return
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     except RuntimeError as e:
         msg = str(e).lower()
         if "already" in msg and "initialize" in msg:
             return  # idempotent
-        if addr is None and num_processes is None:
-            return  # single-process run without a coordinator
         raise
 
 
