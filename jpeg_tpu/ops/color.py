@@ -20,15 +20,15 @@ def rgb_to_ycbcr_420(rgb, dtype=jnp.float32):
 
     Expression grouping matches the C left-to-right evaluation
     (utils/original.c:372-374).
+
+    Exactness note: in float64 the separately-rounded semantics only hold
+    when evaluated eagerly (un-jitted) — under jit XLA:CPU contracts
+    mul+add into FMA (optimization_barrier/bitcast round-trips are
+    stripped), which can flip a floor at an exact-integer boundary.  The
+    parity paths therefore run these un-jitted (see
+    ``parallel.sharded.ShardedEncoder._analyze_batch_exact``).
     """
-    x = rgb.astype(dtype)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    y = (0.299 * r + 0.587 * g) + 0.114 * b
-    cb = ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b
-    cr = ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b
-    yi = jnp.floor(y).astype(jnp.int32)
-    cbi = jnp.floor(cb).astype(jnp.int32)
-    cri = jnp.floor(cr).astype(jnp.int32)
+    yi, cbi, cri = rgb_to_ycbcr_444(rgb, dtype=dtype)
     return yi, _avg2x2(cbi), _avg2x2(cri)
 
 

@@ -53,7 +53,14 @@ def dct_quantize_zigzag(blocks, quantizer, dtype=jnp.float32, exact: bool = Fals
 
 
 def _dct_exact(blocks):
-    """Reference summation order (utils/original.c:428-456), float64."""
+    """Reference summation order (utils/original.c:428-456), float64.
+
+    Exact ONLY when evaluated eagerly: under jit XLA:CPU contracts the
+    mul+add chains into FMA (stripping optimization_barrier and bitcast
+    round-trips), which perturbs the last ulp and can flip a quantization
+    trunc.  Every bit-parity caller runs this un-jitted (JpegEncoder's
+    exact branches; ShardedEncoder._analyze_batch_exact).
+    """
     cos = jnp.asarray(T.dct_cosine_table(), dtype=jnp.float64)  # [t, f]
     x = blocks.astype(jnp.float64) - 128.0  # [..., N, y_t, x_t]
     inner = jnp.zeros_like(x)  # [..., N, x_t, y_f]

@@ -8,7 +8,7 @@ data-parallel formulation (SURVEY §2.3, §8.3.1):
 1. every emission slot's (codeword || amplitude) field has a known bit
    length; an exclusive prefix sum over the lengths yields each field's
    absolute bit offset;
-2. each field spans at most two 32-bit output words (fields are <= 28 bits);
+2. each field spans at most two 32-bit output words (fields are <= 30 bits);
    both word contributions are computed with vector shifts and combined by
    scatter-add (disjoint bit ranges make add == or);
 3. the 0xFF00 byte stuffing and the reference's always-emitted ones-padded
@@ -24,8 +24,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-# Worst-case bits per emission slot: 16-bit Huffman code + 12 amplitude bits.
-MAX_FIELD_BITS = 28
+# Worst-case bits per emission slot.  Baseline slots are <= 27 bits (16-bit
+# Huffman code + 11 DC amplitude bits); progressive EOBn slots reach 30 bits
+# (16-bit dynamic code + up to 14 appended run bits, T.81 G.1.2.2).  Sizing
+# uses the global worst case so every packer path's buffer contract holds.
+MAX_FIELD_BITS = 30
 
 
 def max_words_for_slots(num_slots: int) -> int:
@@ -37,7 +40,7 @@ def pack_fields(values, nbits, max_words: int | None = None):
 
     values : int32 [...]— field bits, right-aligned; MUST be zero where
              nbits == 0 (attach_codes guarantees this).
-    nbits  : int32 [...] — field lengths (0..28).
+    nbits  : int32 [...] — field lengths (0..30).
 
     Returns (words uint32 [max_words], total_bits int32 scalar).  Bit i of
     the stream lives in word i//32 at big-endian position i%32.
@@ -51,7 +54,7 @@ def pack_fields(values, nbits, max_words: int | None = None):
     total = ends[-1]
     offs = ends - n
     w = offs >> 5
-    end_in = (offs & 31) + n  # field end within its first word, in (0, 59]
+    end_in = (offs & 31) + n  # field end within its first word, in (0, 61]
 
     hi = jnp.where(
         end_in <= 32,
@@ -66,6 +69,22 @@ def pack_fields(values, nbits, max_words: int | None = None):
     words = words.at[w].add(hi, mode="drop")
     words = words.at[w + 1].add(lo, mode="drop")
     return words, total
+
+
+def finish_scans(words_2d: np.ndarray, totals) -> list[bytes]:
+    """Batch finalization of S scans: words [S, stride] u32, totals [S].
+
+    One call into the native C++ batch finalizer when built (amortizes the
+    ctypes crossing over the whole batch); NumPy per-scan fallback
+    otherwise.  Semantics identical to ``finish_scan`` per row.
+    """
+    from .. import native
+    w = np.ascontiguousarray(np.asarray(words_2d))
+    t = np.asarray(totals).reshape(-1)
+    got = native.finish_scans(w, t)
+    if got is not None:
+        return got
+    return [finish_scan(w[s], int(t[s])) for s in range(w.shape[0])]
 
 
 def finish_scan(words: np.ndarray, total_bits: int) -> bytes:

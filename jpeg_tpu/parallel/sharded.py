@@ -34,7 +34,8 @@ from ..core.types import EncodeConfig
 from ..golden.encoder import mcu_order_index
 from ..huffman.build import build_tables_from_histograms, fixed_tables
 from ..ops import pack as ops_pack
-from ..pipelines.encode import (_analyze_interleaved_fn, _luts,
+from ..pipelines.encode import (_analyze_interleaved_alt_fn,
+                                _analyze_interleaved_fn, _luts,
                                 pack_interleaved_segments_fn)
 from .mesh import DATA_AXIS, SPACE_AXIS
 
@@ -53,32 +54,37 @@ class ShardedEncoder:
     def __init__(self, mesh, height: int, width: int,
                  config: EncodeConfig | None = None,
                  segs_per_device: int = 1):
-        if height % 16 or width % 16:
-            raise ValueError(f"dimensions must be multiples of 16, got {width}x{height}")
         self.mesh = mesh
         self.config = config or EncodeConfig(scan_layout="interleaved")
         if self.config.scan_layout != "interleaved":
             raise ValueError("sharded encoding requires the interleaved layout "
                              "(restart markers delimit the shards)")
-        if self.config.subsampling != "420":
-            raise ValueError("sharded encoding supports 4:2:0 only")
+        from ..pipelines.fast import SAMPLING_GEOMETRY
+        self.sampling = self.config.subsampling
+        mcu_w, mcu_h, self.y_per_mcu = SAMPLING_GEOMETRY[self.sampling]
+        if height % mcu_h or width % mcu_w:
+            raise ValueError(f"dimensions must be multiples of "
+                             f"{mcu_w}x{mcu_h}, got {width}x{height}")
         self.height, self.width = height, width
         ns = mesh.shape[SPACE_AXIS]
-        if height % (ns * 16 * segs_per_device):
+        if height % (ns * mcu_h * segs_per_device):
             raise ValueError(
                 f"height {height} not divisible into {ns} slabs of "
-                f"{segs_per_device} segments with 16-row granularity")
+                f"{segs_per_device} segments with {mcu_h}-row granularity")
         self.slab_h = height // ns
         self.segs_per_device = segs_per_device
         self.n_segments = ns * segs_per_device
-        self.mcus_per_segment = (self.slab_h // 16 // segs_per_device) * (width // 16)
+        self.mcus_per_segment = ((self.slab_h // mcu_h // segs_per_device)
+                                 * (width // mcu_w))
+        self._mcu_w, self._mcu_h = mcu_w, mcu_h
 
         self._luma_q, self._chroma_q = T.quant_tables(self.config.quality)
         self._fixed = fixed_tables() if self.config.huffman == "fixed" else None
 
-        slots_per_seg = self.mcus_per_segment * 6 * 64
+        slots_per_seg = self.mcus_per_segment * (self.y_per_mcu + 2) * 64
         self._max_words = ops_pack.max_words_for_slots(slots_per_seg)
-        self._mcu_index = jnp.asarray(mcu_order_index(width, self.slab_h))
+        self._mcu_index = (jnp.asarray(mcu_order_index(width, self.slab_h))
+                           if self.sampling == "420" else None)
 
         self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
         self._engine = self._resolve_engine()
@@ -110,17 +116,25 @@ class ShardedEncoder:
         return NamedSharding(self.mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
 
     def _analyze_one(self, rgb_slab):
-        """[slab_h, W, 3] -> (slots dict [segs, mps*6, 64], hists [4, 256]).
+        """[slab_h, W, 3] -> (slots dict [segs, mps*bpm, 64], hists [4, 256]).
 
-        Note: in f64 exact mode this still runs under jit (shard_map
-        requires it); if a backend fuses f64 mul+add into FMA the last
-        ulp could differ from the un-jitted single-device exact path.
-        The byte-parity test (sharded == single-device) guards this.
+        In f64 exact mode this is only called eagerly (via
+        ``_analyze_batch_exact``): under jit XLA:CPU contracts f64 mul+add
+        into FMA, breaking the separately-rounded parity contract (caught
+        by test_sharded for 4:4:4).
         """
-        slots, hists = _analyze_interleaved_fn(
-            rgb_slab, jnp.asarray(self._luma_q), jnp.asarray(self._chroma_q),
-            self._mcu_index, self.segs_per_device, dtype=self._dtype,
-            exact=self.config.dtype == "float64")
+        if self.sampling == "420":
+            slots, hists = _analyze_interleaved_fn(
+                rgb_slab, jnp.asarray(self._luma_q),
+                jnp.asarray(self._chroma_q),
+                self._mcu_index, self.segs_per_device, dtype=self._dtype,
+                exact=self.config.dtype == "float64")
+        else:
+            slots, hists = _analyze_interleaved_alt_fn(
+                rgb_slab, jnp.asarray(self._luma_q),
+                jnp.asarray(self._chroma_q),
+                self.segs_per_device, self.sampling, dtype=self._dtype,
+                exact=self.config.dtype == "float64")
         return slots, _stack_hists(hists)
 
     def _build_analyze_step(self):
@@ -201,16 +215,19 @@ class ShardedEncoder:
         mesh = self.mesh
         lut = jnp.asarray(klut.build_combined_lut(self._fixed))
         lq, cq = jnp.asarray(self._luma_q), jnp.asarray(self._chroma_q)
-        mx, slab_my = self.width // 16, self.slab_h // 16
+        mx = self.width // self._mcu_w
+        slab_my = self.slab_h // self._mcu_h
         spd = self.segs_per_device
-        seg_rows = kpack.rows_per_segment(self.mcus_per_segment * 6 * 64)
+        seg_rows = kpack.rows_per_segment(
+            self.mcus_per_segment * (self.y_per_mcu + 2) * 64)
         interp = jax.default_backend() not in ("tpu",)
         dtype = self._dtype
+        sampling = self.sampling
 
         def device_fn(rgb_local):  # [B_local, slab_h, W, 3]
             b = rgb_local.shape[0]
             slots = F.analyze_symbols(rgb_local, lq, cq, mx, slab_my, spd,
-                                      dtype=dtype)
+                                      dtype=dtype, sampling=sampling)
             idx = slots["idx"].reshape(b * spd, -1)
             value, nbits = klut.attach(lut, idx,
                                        slots["extra"].reshape(b * spd, -1),
@@ -233,6 +250,40 @@ class ShardedEncoder:
             check_vma=False)
         return jax.jit(f)
 
+    def _analyze_batch_exact(self, rgbs):
+        """Host-orchestrated eager analyze for the f64 bit-parity mode.
+
+        The exact mode's contract is "separately rounded f64 ops, matching
+        the un-jitted single-device path and therefore the C reference".
+        Under jit (which shard_map requires) XLA:CPU contracts mul+add
+        into FMA — optimization_barrier and bitcast round-trips are both
+        stripped by its pipeline — occasionally flipping a trunc at an
+        exact-integer boundary.  So in exact mode each (image, slab) runs
+        the un-jitted analyzer eagerly and only the integer pack stage
+        stays on the jitted mesh path.  Throughput is irrelevant here:
+        f64 is the parity/testing mode, not the production path.
+        """
+        ns = self.mesh.shape[SPACE_AXIS]
+        rgbs = np.asarray(rgbs)
+        B = rgbs.shape[0]
+        keys = ("sym", "extra", "extra_n", "valid", "is_luma")
+        batch_leaves = {k: [] for k in keys}
+        hists = []
+        for b in range(B):
+            segs = {k: [] for k in keys}
+            h = None
+            for s in range(ns):
+                slab = jnp.asarray(rgbs[b, s * self.slab_h:(s + 1) * self.slab_h])
+                slots, h4 = self._analyze_one(slab)
+                for k in keys:
+                    segs[k].append(np.asarray(slots[k]))
+                h = np.asarray(h4) if h is None else h + np.asarray(h4)
+            for k in keys:
+                batch_leaves[k].append(np.concatenate(segs[k], axis=0))
+            hists.append(h)
+        slots = {k: jnp.asarray(np.stack(v)) for k, v in batch_leaves.items()}
+        return slots, np.stack(hists)
+
     # -- helpers ---------------------------------------------------------
 
     @staticmethod
@@ -254,16 +305,27 @@ class ShardedEncoder:
         return jax.device_put(rgbs, self._in_shard())
 
     def _assemble(self, words, totals, tables_per_image):
-        words = np.asarray(words)
+        # Fetch the tiny bit counts first, then only the used word prefix:
+        # buffers are worst-case sized ~10x the real streams and the
+        # device->host link is the e2e bottleneck (same move as
+        # pipelines.fast).  One native batch call finalizes all B*S scans.
         totals = np.asarray(totals)
+        B = totals.shape[0]
+        used = (int(totals.max()) + 31) // 32 + 1
+        cap = min(words.shape[-1], -(-used // 128) * 128)
+        words = np.asarray(words[:, :, :cap])
+        payloads = ops_pack.finish_scans(
+            words.reshape(B * self.n_segments, -1), totals.reshape(-1))
+        y_sampling = {"420": (2, 2), "422": (2, 1),
+                      "444": (1, 1)}[self.sampling]
         out = []
-        for b in range(words.shape[0]):
-            segments = [ops_pack.finish_scan(words[b, s], int(totals[b, s]))
-                        for s in range(self.n_segments)]
+        for b in range(B):
+            segments = payloads[b * self.n_segments:(b + 1) * self.n_segments]
             interval = self.mcus_per_segment if self.n_segments > 1 else 0
             header = jfif.headers(self.width, self.height, self._luma_q,
                                   self._chroma_q, tables_per_image[b],
-                                  restart_interval=interval)
+                                  restart_interval=interval,
+                                  y_sampling=y_sampling)
             out.append(jfif.assemble_interleaved(header, segments))
         return out
 
@@ -281,16 +343,23 @@ class ShardedEncoder:
 
     def encode_batch(self, rgbs) -> list[bytes]:
         """Encode [B, H, W, 3] uint8 -> list of JFIF byte strings."""
-        rgbs = self._device_put(rgbs)
-        if self._fixed is not None:
+        exact = self.config.dtype == "float64"
+        if self._fixed is not None and not exact:
+            rgbs = self._device_put(rgbs)
             words, totals, _ = self._fused_step(rgbs)
             tables = [self._fixed] * int(rgbs.shape[0])
             return self._assemble(words, totals, tables)
 
-        slots, hists = self._analyze_step(rgbs)
-        hists_np = np.asarray(hists)
-        tables = [build_tables_from_histograms(*hists_np[b])
-                  for b in range(hists_np.shape[0])]
+        if exact:
+            slots, hists_np = self._analyze_batch_exact(rgbs)
+        else:
+            slots, hists = self._analyze_step(self._device_put(rgbs))
+            hists_np = np.asarray(hists)
+        if self._fixed is not None:
+            tables = [self._fixed] * hists_np.shape[0]
+        else:
+            tables = [build_tables_from_histograms(*hists_np[b])
+                      for b in range(hists_np.shape[0])]
         luts = jnp.stack([jnp.stack(self._lut_rows(t)) for t in tables])
         words, totals = self._pack_step(slots, luts)
         return self._assemble(words, totals, tables)

@@ -131,8 +131,6 @@ class JpegEncoder:
             return self.config.engine
         if self.config.dtype == "float64":
             return "xla"  # bit-parity mode: exact un-jitted summation path
-        if self.config.subsampling != "420":
-            return "xla"  # fast-path kernels assume the 4:2:0 MCU layout
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def _payload(self, slots, tables, is_luma: bool):
@@ -282,9 +280,7 @@ class JpegEncoder:
             ac_code, ac_len = _luts(ac_tab)
             words, totals = _pack_scan_segments(slots, dc_code, dc_len,
                                                 ac_code, ac_len, mw)
-            words_np, totals_np = np.asarray(words), np.asarray(totals)
-            segs = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
-                    for s in range(words_np.shape[0])]
+            segs = ops_pack.finish_scans(np.asarray(words), np.asarray(totals))
             scans.append((interval if len(segs) > 1 else 0, segs))
         return jfif.assemble_3scan_restarts(header, scans)
 
@@ -293,8 +289,8 @@ class JpegEncoder:
     def _interleaved_fast(self, rgb, h, w):
         """Pallas-engine interleaved encode: delegate to FastBatchEncoder
         (byte-identical; one cached fused pipeline per geometry)."""
-        from .fast import FastBatchEncoder  # deferred: fast imports encode
-        my = h // 16
+        from .fast import SAMPLING_GEOMETRY, FastBatchEncoder
+        my = h // SAMPLING_GEOMETRY[self.config.subsampling][1]
         rows_per_seg = self.config.restart_interval_mcu_rows or my
         if my % rows_per_seg:
             raise ValueError(
@@ -308,10 +304,10 @@ class JpegEncoder:
         return cache[key].encode_batch(rgb[None])[0]
 
     def _encode_interleaved(self, rgb, h, w):
-        if self.config.subsampling in ("444", "422"):
-            return self._encode_interleaved_alt(rgb, h, w)
         if self._resolve_engine() == "pallas":
             return self._interleaved_fast(rgb, h, w)
+        if self.config.subsampling in ("444", "422"):
+            return self._encode_interleaved_alt(rgb, h, w)
         from ..golden.encoder import mcu_order_index  # host-precomputed index
 
         mx, my = w // 16, h // 16
@@ -346,10 +342,7 @@ class JpegEncoder:
         mw = ops_pack.max_words_for_slots(num_slots)
         words, totals = _pack_interleaved_segments(
             slots, dc_l, len_l, ac_l, alen_l, dc_c, len_c, ac_c, alen_c, mw)
-        words_np = np.asarray(words)
-        totals_np = np.asarray(totals)
-        segments = [ops_pack.finish_scan(words_np[s], int(totals_np[s]))
-                    for s in range(n_segs)]
+        segments = ops_pack.finish_scans(np.asarray(words), np.asarray(totals))
         header = jfif.headers(w, h, self._luma_q, self._chroma_q, tables,
                               restart_interval=interval if n_segs > 1 else 0,
                               y_sampling=y_sampling)

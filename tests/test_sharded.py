@@ -87,6 +87,40 @@ def test_sharded_pallas_engine_matches_xla(mesh24, img_synthetic_160):
            [bytes(b) for b in xla.encode_batch(batch)]
 
 
+@pytest.mark.parametrize("sampling", ["422", "444"])
+def test_sharded_non420_matches_single_device_bytes(mesh24,
+                                                    img_synthetic_160,
+                                                    sampling):
+    """4:2:2/4:4:4 are first-class in the sharded encoder: byte-identical
+    to the single-device interleaved encoder (8px MCU rows -> 4 MCU rows
+    per 32-row slab)."""
+    img = np.asarray(img_synthetic_160)[:128, :96]
+    batch = _batch(img, 2)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="dynamic",
+                       subsampling=sampling, restart_interval_mcu_rows=4,
+                       dtype="float64")
+    single = JpegEncoder(cfg)
+    expected = [single.encode(batch[i]) for i in range(2)]
+    enc = ShardedEncoder(mesh24, 128, 96, config=cfg, segs_per_device=1)
+    got = enc.encode_batch(batch)
+    assert [bytes(g) for g in got] == expected
+
+
+@pytest.mark.parametrize("sampling", ["422", "444"])
+def test_sharded_non420_pallas_engine_matches_xla(mesh24, img_synthetic_160,
+                                                  sampling):
+    img = np.asarray(img_synthetic_160)[:128, :96]
+    batch = _batch(img, 2)
+    base = dict(scan_layout="interleaved", huffman="fixed",
+                subsampling=sampling, restart_interval_mcu_rows=4)
+    xla = ShardedEncoder(mesh24, 128, 96,
+                         config=EncodeConfig(engine="xla", **base))
+    pal = ShardedEncoder(mesh24, 128, 96,
+                         config=EncodeConfig(engine="pallas", **base))
+    assert [bytes(b) for b in pal.encode_batch(batch)] == \
+           [bytes(b) for b in xla.encode_batch(batch)]
+
+
 def test_fused_step_is_jitted_end_to_end(mesh24, img_synthetic_160):
     img = np.asarray(img_synthetic_160)[:128, :96]
     batch = _batch(img, 2)
