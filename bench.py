@@ -77,6 +77,28 @@ def main():
     e2e = time.perf_counter() - t0
     e2e_mps = (BATCH * h * w) / e2e / 1e6
 
+    # Secondary: dynamic-Huffman mode (per-image K.2 tables — the
+    # reference's actual behavior).  Pipelined: batch i+1's analyze is
+    # enqueued before batch i's histogram sync, hiding the device->host
+    # histogram fetch and the host table builds behind device compute.
+    dyn_enc = FastBatchEncoder(
+        h, w, config=EncodeConfig(scan_layout="interleaved",
+                                  huffman="dynamic"), segs_per_image=1)
+    out = dyn_enc.dynamic_pack(batch)  # warmup/compile
+    jax.block_until_ready(out[:2])
+    t0 = time.perf_counter()
+    pend = dyn_enc._analyze_hist(batch)
+    for _ in range(ITERS - 1):
+        nxt = dyn_enc._analyze_hist(batch)
+        _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
+        out = dyn_enc._pack_only(pend[0], jax.numpy.asarray(luts))
+        pend = nxt
+    _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
+    out = dyn_enc._pack_only(pend[0], jax.numpy.asarray(luts))
+    jax.block_until_ready(out)
+    dyn_dt = (time.perf_counter() - t0) / ITERS
+    dyn_mps = (BATCH * h * w) / dyn_dt / 1e6
+
     print(json.dumps({
         "metric": "device_encode_throughput",
         "value": round(mps, 1),
@@ -85,7 +107,9 @@ def main():
     }))
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.1f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
-          f"host assembly over the tunnel)", file=sys.stderr)
+          f"host assembly over the tunnel); dynamic-huffman "
+          f"{dyn_mps:.1f} MP/s ({dyn_dt*1000:.1f}ms/batch, "
+          f"{mps/max(dyn_mps,1e-9):.2f}x slower than fixed)", file=sys.stderr)
 
 
 if __name__ == "__main__":

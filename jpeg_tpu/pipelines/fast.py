@@ -48,41 +48,78 @@ def mcu_reorder(zz_y, mcus_x: int, mcus_y: int):
     return z.reshape(*lead, mcus_y * mcus_x * 4, 64)
 
 
+# Per-MCU geometry by chroma subsampling: (mcu_w, mcu_h, y_blocks_per_mcu).
+# The interleaved block pattern is Y*ypm, Cb, Cr (T.81 A.2.3; sampling
+# factor emission main/encoder.c:536 for the 4:2:0 case).
+SAMPLING_GEOMETRY = {"420": (16, 16, 4), "422": (16, 8, 2), "444": (8, 8, 1)}
+
+
 def interleave_segments(zz_y, zz_cb, zz_cr, mcus_x: int, mcus_y: int,
-                        n_segs: int):
+                        n_segs: int, sampling: str = "420"):
     """Component planes -> per-segment MCU-interleaved blocks with DC diff.
 
-    Returns [..., n_segs, mps*6, 64] int32 (DC prediction independent per
-    segment — restart semantics).
+    Returns [..., n_segs, mps*(ypm+2), 64] int32 (DC prediction independent
+    per segment — restart semantics).  Only 4:2:0 needs the Y relayout:
+    in 4:2:2/4:4:4 each MCU's Y blocks are raster-consecutive already.
     """
     lead = zz_y.shape[:-2]
     nm = mcus_x * mcus_y
     mps = nm // n_segs
-    y_mcu = mcu_reorder(zz_y, mcus_x, mcus_y)
-    y_seg = ops_dct.diff_dc(y_mcu.reshape(*lead, n_segs, mps * 4, 64))
+    ypm = SAMPLING_GEOMETRY[sampling][2]
+    y_mcu = mcu_reorder(zz_y, mcus_x, mcus_y) if sampling == "420" else zz_y
+    y_seg = ops_dct.diff_dc(y_mcu.reshape(*lead, n_segs, mps * ypm, 64))
     cb_seg = ops_dct.diff_dc(zz_cb.reshape(*lead, n_segs, mps, 64))
     cr_seg = ops_dct.diff_dc(zz_cr.reshape(*lead, n_segs, mps, 64))
     return jnp.concatenate([
-        y_seg.reshape(*lead, n_segs, mps, 4, 64),
+        y_seg.reshape(*lead, n_segs, mps, ypm, 64),
         cb_seg.reshape(*lead, n_segs, mps, 1, 64),
         cr_seg.reshape(*lead, n_segs, mps, 1, 64),
-    ], axis=-2).reshape(*lead, n_segs, mps * 6, 64)
+    ], axis=-2).reshape(*lead, n_segs, mps * (ypm + 2), 64)
 
 
-def luma_mask(mps: int):
-    """[mps*6] bool: interleaved MCU block pattern Y Y Y Y Cb Cr."""
-    return jnp.tile(jnp.array([1, 1, 1, 1, 0, 0], dtype=bool), (mps,))
+def luma_mask(mps: int, y_per_mcu: int = 4):
+    """[mps*(ypm+2)] bool: interleaved MCU block pattern Y*ypm Cb Cr."""
+    return jnp.tile(jnp.array([1] * y_per_mcu + [0, 0], dtype=bool), (mps,))
 
 
 def hist_1024(idx):
-    """[..., n] combined-LUT indices -> [..., 1024] histogram, compare-reduce.
+    """[..., n] combined-LUT indices -> [..., 1024] histogram via the MXU.
 
-    The NULL_INDEX bin collects invalid slots; callers drop it.  One pass
-    over the data instead of four scatter-add bincounts (~12x faster on
-    TPU, where tiny scatters serialize).  Batch-native (no vmap).
+    Decompose idx = hi*128 + lo, build one-hot masks for hi (8 wide) and
+    lo (128 wide) in bfloat16 (0/1 exact), and contract over the slot
+    axis: hist[hi, lo] = mask_hi.T @ onehot_lo.  The n x 1024 counting
+    work rides the MXU as an [8, n] @ [n, 128] matmul with n x 136 VPU
+    compares to build the masks — ~7.5x fewer elementwise ops than the
+    round-1 full compare-reduce (n x 1024), which made dynamic-table mode
+    ~12x slower than fixed.  f32 accumulation is exact (per-bin counts
+    < 2^24).  The NULL_INDEX bin collects invalid slots; callers drop it.
+    Batch-native (no vmap).
     """
-    bins = jnp.arange(1024, dtype=jnp.int32)
-    return jnp.sum(idx[..., :, None] == bins, axis=-2, dtype=jnp.int32)
+    *lead, n = idx.shape
+    flat = idx.reshape(-1, n)
+    KC = 16384  # slots per chunk: bounds the one-hot intermediate to
+    #             B * KC * 136 bf16 elements (~4 MB per batch row)
+    pad = (-n) % KC
+    if pad:
+        # NULL_INDEX pads land in the dropped bin (luma_dc class 255)
+        flat = jnp.concatenate(
+            [flat, jnp.full((flat.shape[0], pad), klut.NULL_INDEX,
+                            flat.dtype)], axis=-1)
+    chunks = jnp.swapaxes(flat.reshape(flat.shape[0], -1, KC), 0, 1)
+
+    def step(h, ch):  # ch: [B, KC]
+        hi = ch >> 7
+        lo = ch & 127
+        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)
+                 ).astype(jnp.bfloat16)
+        oh_hi = (hi[..., None] == jnp.arange(8, dtype=jnp.int32)
+                 ).astype(jnp.bfloat16)
+        return h + jnp.einsum("bnr,bnc->brc", oh_hi, oh_lo,
+                              preferred_element_type=jnp.float32), None
+
+    h0 = jnp.zeros((flat.shape[0], 8, 128), jnp.float32)
+    h, _ = jax.lax.scan(step, h0, chunks)
+    return h.reshape(*lead, 1024).astype(jnp.int32)
 
 
 def split_hists(h1024):
@@ -97,20 +134,72 @@ def split_hists(h1024):
     return luma_dc, luma_ac, chroma_dc, chroma_ac
 
 
-def analyze_symbols(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
-                    n_segs: int, dtype=jnp.float32):
-    """Image -> per-segment slot arrays + combined LUT indices.
+def analyze_zz(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
+               n_segs: int, dtype=jnp.float32, sampling: str = "420"):
+    """Image -> un-diffed interleaved coefficients + per-block DC diffs.
 
-    Returns dict with idx/extra/extra_n of shape [n_segs, mps*6, 64].
+    Feeds ``kernels.fused.analyze_attach_pack_segments``: the heavy
+    symbolization happens in-kernel, so this stage only produces
+    (seq [..., n_segs, nblk, 64] int32, dc_diff [..., n_segs, nblk] int32)
+    — one less full-array pass than ``analyze_symbols`` (no ``.at[...,0]``
+    DC rewrite, no slot arrays).
     """
-    y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    convert = {"420": ops_color.rgb_to_ycbcr_420,
+               "422": ops_color.rgb_to_ycbcr_422,
+               "444": ops_color.rgb_to_ycbcr_444}[sampling]
+    y, cb, cr = convert(rgb, dtype=dtype)
     zz_y = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(y), luma_q, dtype=dtype)
     zz_cb = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cb), chroma_q, dtype=dtype)
     zz_cr = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cr), chroma_q, dtype=dtype)
-    seq = interleave_segments(zz_y, zz_cb, zz_cr, mcus_x, mcus_y, n_segs)
+    lead = zz_y.shape[:-2]
+    nm = mcus_x * mcus_y
+    mps = nm // n_segs
+    ypm = SAMPLING_GEOMETRY[sampling][2]
+    y_mcu = (mcu_reorder(zz_y, mcus_x, mcus_y) if sampling == "420"
+             else zz_y)
+    y_seg = y_mcu.reshape(*lead, n_segs, mps * ypm, 64)
+    cb_seg = zz_cb.reshape(*lead, n_segs, mps, 64)
+    cr_seg = zz_cr.reshape(*lead, n_segs, mps, 64)
+
+    def dc_diff_of(x):  # [..., S, n, 64] -> [..., S, n]
+        dc = x[..., 0]
+        prev = jnp.concatenate(
+            [jnp.zeros_like(dc[..., :1]), dc[..., :-1]], axis=-1)
+        return dc - prev
+
+    dc_diff = jnp.concatenate([
+        dc_diff_of(y_seg).reshape(*lead, n_segs, mps, ypm),
+        dc_diff_of(cb_seg).reshape(*lead, n_segs, mps, 1),
+        dc_diff_of(cr_seg).reshape(*lead, n_segs, mps, 1),
+    ], axis=-1).reshape(*lead, n_segs, mps * (ypm + 2))
+    seq = jnp.concatenate([
+        y_seg.reshape(*lead, n_segs, mps, ypm, 64),
+        cb_seg.reshape(*lead, n_segs, mps, 1, 64),
+        cr_seg.reshape(*lead, n_segs, mps, 1, 64),
+    ], axis=-2).reshape(*lead, n_segs, mps * (ypm + 2), 64)
+    return seq, dc_diff
+
+
+def analyze_symbols(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
+                    n_segs: int, dtype=jnp.float32, sampling: str = "420"):
+    """Image -> per-segment slot arrays + combined LUT indices.
+
+    Returns dict with idx/extra/extra_n of shape [n_segs, mps*(ypm+2), 64].
+    """
+    convert = {"420": ops_color.rgb_to_ycbcr_420,
+               "422": ops_color.rgb_to_ycbcr_422,
+               "444": ops_color.rgb_to_ycbcr_444}[sampling]
+    y, cb, cr = convert(rgb, dtype=dtype)
+    zz_y = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(y), luma_q, dtype=dtype)
+    zz_cb = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cb), chroma_q, dtype=dtype)
+    zz_cr = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cr), chroma_q, dtype=dtype)
+    seq = interleave_segments(zz_y, zz_cb, zz_cr, mcus_x, mcus_y, n_segs,
+                              sampling=sampling)
     slots = ops_symbols.symbolize(seq)
     mps = (mcus_x * mcus_y) // n_segs
-    is_luma = jnp.broadcast_to(luma_mask(mps)[None, :, None], slots["sym"].shape)
+    ypm = SAMPLING_GEOMETRY[sampling][2]
+    is_luma = jnp.broadcast_to(luma_mask(mps, ypm)[None, :, None],
+                               slots["sym"].shape)
     is_dc = jnp.zeros(slots["sym"].shape, bool).at[..., 0].set(True)
     idx = klut.slot_index(slots["sym"], slots["valid"], is_dc, is_luma)
     return {"idx": idx, "extra": slots["extra"], "extra_n": slots["extra_n"]}
@@ -128,24 +217,24 @@ class FastBatchEncoder:
     def __init__(self, height: int, width: int,
                  config: EncodeConfig | None = None,
                  segs_per_image: int = 1, interpret: bool = False):
-        if height % 16 or width % 16:
-            raise ValueError(f"dimensions must be multiples of 16, got {width}x{height}")
         self.config = config or EncodeConfig(scan_layout="interleaved",
                                              huffman="fixed")
         if self.config.scan_layout != "interleaved":
             raise ValueError("FastBatchEncoder is interleaved-only")
-        if self.config.subsampling != "420":
-            raise ValueError("FastBatchEncoder supports 4:2:0 only; use "
-                             "JpegEncoder for 4:2:2/4:4:4")
+        self.sampling = self.config.subsampling
+        mcu_w, mcu_h, self.y_per_mcu = SAMPLING_GEOMETRY[self.sampling]
+        if height % mcu_h or width % mcu_w:
+            raise ValueError(f"dimensions must be multiples of "
+                             f"{mcu_w}x{mcu_h}, got {width}x{height}")
         self.height, self.width = height, width
-        self.mcus_x, self.mcus_y = width // 16, height // 16
+        self.mcus_x, self.mcus_y = width // mcu_w, height // mcu_h
         nm = self.mcus_x * self.mcus_y
         if nm % segs_per_image or (self.mcus_y % segs_per_image):
             raise ValueError(f"segs_per_image={segs_per_image} must divide "
                              f"MCU rows {self.mcus_y}")
         self.n_segs = segs_per_image
         self.mcus_per_segment = nm // segs_per_image
-        self.blocks_per_seg = self.mcus_per_segment * 6
+        self.blocks_per_seg = self.mcus_per_segment * (self.y_per_mcu + 2)
         self.seg_rows = kpack.rows_per_segment(self.blocks_per_seg * 64)
         self.interpret = interpret
 
@@ -157,8 +246,11 @@ class FastBatchEncoder:
             self._fixed = fixed_tables()
             self._fixed_lut = jnp.asarray(klut.build_combined_lut(self._fixed))
         self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
+        self._is_luma_seg = np.tile(
+            np.array([1] * self.y_per_mcu + [0, 0], np.int32),
+            self.mcus_per_segment)
 
-        self._step = jax.jit(self._step_fn, static_argnames=("with_hist",))
+        self._step = jax.jit(self._step_fn)
         self._pack_only = jax.jit(self._pack_only_fn)
         self._analyze_hist = jax.jit(self._analyze_hist_fn)
 
@@ -170,7 +262,7 @@ class FastBatchEncoder:
         # up ~100x (56 s vs 1.7 s on a tiny batch).
         return analyze_symbols(rgbs, self._luma_q_d, self._chroma_q_d,
                                self.mcus_x, self.mcus_y, self.n_segs,
-                               dtype=self._dtype)
+                               dtype=self._dtype, sampling=self.sampling)
 
     def _attach_pack(self, slots, lut_per_seg):
         """slots leaves [B, S, nblk, 64]; lut_per_seg [B*S or 1, 1024]."""
@@ -195,13 +287,23 @@ class FastBatchEncoder:
                 B * S, self.seg_rows, interpret=self.interpret)
         return (words.reshape(B, S, -1), total_bits.reshape(B, S))
 
-    def _step_fn(self, rgbs, lut, with_hist: bool):
-        slots = self._analyze_batch(rgbs)
-        out = self._attach_pack(slots, lut[None])
-        if with_hist:
-            h = hist_1024(slots["idx"].reshape(rgbs.shape[0], -1))
-            return out + (h,)
-        return out
+    def _step_fn(self, rgbs, lut):
+        """Fixed-table fused step: the analyze stage emits only un-diffed
+        coefficients + DC diffs; symbolization, LUT attach, and local
+        packing all happen inside the fused Pallas kernel (no slot arrays
+        in HBM)."""
+        from ..kernels import fused as kfused
+        seq, dcd = analyze_zz(rgbs, self._luma_q_d, self._chroma_q_d,
+                              self.mcus_x, self.mcus_y, self.n_segs,
+                              dtype=self._dtype, sampling=self.sampling)
+        B, S = seq.shape[0], seq.shape[1]
+        isl = jnp.broadcast_to(
+            jnp.asarray(self._is_luma_seg)[None, :],
+            (B * S, self._is_luma_seg.shape[0]))
+        words, totals = kfused.analyze_attach_pack_segments(
+            lut, seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1), isl,
+            B * S, self.seg_rows, interpret=self.interpret)
+        return words.reshape(B, S, -1), totals.reshape(B, S)
 
     def _analyze_hist_fn(self, rgbs):
         """Dynamic-table stage 1, one jit: slots + per-image histograms."""
@@ -221,33 +323,86 @@ class FastBatchEncoder:
         if self._fixed is None:
             raise ValueError("step() requires huffman='fixed'")
         rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
-        return self._step(rgbs, self._fixed_lut, with_hist=False)
+        return self._step(rgbs, self._fixed_lut)
 
-    def encode_batch(self, rgbs) -> list[bytes]:
+    def _check_batch(self, rgbs):
         rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
         if rgbs.shape[1:] != (self.height, self.width, 3):
             raise ValueError(f"batch shape {rgbs.shape} != "
                              f"{self.height}x{self.width}")
+        return rgbs
+
+    def _build_tables_batch(self, h_np):
+        """Per-image K.2 table builds + combined LUTs from [B, 1024] hists."""
+        tables = []
+        luts = np.empty((h_np.shape[0], 1024), np.int32)
+        for b in range(h_np.shape[0]):
+            hb = h_np[b].reshape(4, 256)
+            # group order per slot_index bits (see split_hists); drop
+            # the NULL_INDEX bin
+            cac, cdc, lac, ldc = hb[0], hb[1], hb[2], hb[3].copy()
+            ldc[255] = 0
+            t = build_tables_from_histograms(ldc, lac, cdc, cac)
+            tables.append(t)
+            luts[b] = klut.build_combined_lut(t)
+        return tables, luts
+
+    def dynamic_pack(self, rgbs):
+        """Dynamic-table device path: batch -> (words, totals, tables).
+
+        One histogram sync per batch (the reference's per-image
+        ``init_huffman``, main/main.c:145, batched), host K.2 builds, then
+        the per-image-LUT pack.  Outputs stay on device.
+        """
+        slots, h = self._analyze_hist(self._check_batch(rgbs))
+        tables, luts = self._build_tables_batch(np.asarray(h))
+        words, totals = self._pack_only(slots, jnp.asarray(luts))
+        return words, totals, tables
+
+    def encode_batch(self, rgbs) -> list[bytes]:
+        rgbs = self._check_batch(rgbs)
         if self._fixed is not None:
-            words, totals = self._step(rgbs, self._fixed_lut, with_hist=False)
+            words, totals = self._step(rgbs, self._fixed_lut)
             tables = [self._fixed] * int(rgbs.shape[0])
         else:
-            slots, h = self._analyze_hist(rgbs)
-            h_np = np.asarray(h)
-            tables = []
-            luts = np.empty((rgbs.shape[0], 1024), np.int32)
-            for b in range(rgbs.shape[0]):
-                hb = h_np[b].reshape(4, 256)
-                # group order per slot_index bits (see split_hists); drop
-                # the NULL_INDEX bin
-                cac, cdc, lac, ldc = hb[0], hb[1], hb[2], hb[3].copy()
-                ldc[255] = 0
-                t = build_tables_from_histograms(ldc, lac, cdc, cac)
-                tables.append(t)
-                luts[b] = klut.build_combined_lut(t)
-            words, totals = self._pack_only(slots, jnp.asarray(luts))
+            words, totals, tables = self.dynamic_pack(rgbs)
+        return self._fetch_assemble(words, totals, tables)
+
+    def encode_stream(self, batches):
+        """Pipelined multi-batch encode; yields one list of JPEGs per batch.
+
+        Two-deep software pipeline: batch i's device work is enqueued
+        before batch i-1's outputs are fetched and assembled, so host-side
+        table builds / byte work and the device->host transfer overlap the
+        device analyze of the next batch.  In dynamic mode the per-batch
+        histogram sync is likewise hidden behind the previous batch's
+        pack.  This is the throughput API for feeds of many batches
+        (addresses the dynamic-mode host/device serialization flagged in
+        round 1).
+        """
+        pending = None
+        for rgbs in batches:
+            rgbs = self._check_batch(rgbs)
+            if self._fixed is not None:
+                words, totals = self._step(rgbs, self._fixed_lut)
+                cur = (words, totals, [self._fixed] * int(rgbs.shape[0]))
+            else:
+                slots, h = self._analyze_hist(rgbs)
+                cur = (slots, h)
+            if pending is not None:
+                yield self._fetch_assemble(*pending)
+            if self._fixed is None:
+                slots, h = cur
+                tables, luts = self._build_tables_batch(np.asarray(h))
+                words, totals = self._pack_only(slots, jnp.asarray(luts))
+                cur = (words, totals, tables)
+            pending = cur
+        if pending is not None:
+            yield self._fetch_assemble(*pending)
+
+    def _fetch_assemble(self, words, totals, tables):
         # Fetch totals first (tiny), then one sliced transfer of just the
-        # used word prefix — the padded buffer is worst-case sized (28
+        # used word prefix — the padded buffer is worst-case sized (30
         # bits/slot) while real streams are ~10x smaller, and device->host
         # bandwidth is the e2e bottleneck.
         totals_np = np.asarray(totals)
@@ -257,20 +412,18 @@ class FastBatchEncoder:
         return self._assemble(words_np, totals_np, tables)
 
     def _assemble(self, words, totals, tables):
-        from .. import native
-        from ..ops.pack import finish_scan
+        from ..ops.pack import finish_scans
         B = words.shape[0]
-        payloads = native.finish_scans(words.reshape(B * self.n_segs, -1),
-                                       totals.reshape(-1))
-        if payloads is None:  # no C++ toolchain: per-scan NumPy fallback
-            payloads = [finish_scan(words[b, s], int(totals[b, s]))
-                        for b in range(B) for s in range(self.n_segs)]
+        payloads = finish_scans(words.reshape(B * self.n_segs, -1),
+                                totals.reshape(-1))
+        y_sampling = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[self.sampling]
         out = []
         for b in range(B):
             segs = payloads[b * self.n_segs:(b + 1) * self.n_segs]
             interval = self.mcus_per_segment if self.n_segs > 1 else 0
             header = jfif.headers(self.width, self.height, self._luma_q,
                                   self._chroma_q, tables[b],
-                                  restart_interval=interval)
+                                  restart_interval=interval,
+                                  y_sampling=y_sampling)
             out.append(jfif.assemble_interleaved(header, segs))
         return out

@@ -84,3 +84,18 @@ def test_fast_pipeline_bytes_match_xla_engine(huff, img_synthetic_160):
     got = fast.encode_batch(batch)
     exp = [ref.encode(batch[i]) for i in range(2)]
     assert [bytes(g) for g in got] == exp
+
+
+@pytest.mark.parametrize("huff", ["fixed", "dynamic"])
+def test_encode_stream_matches_encode_batch(huff, img_synthetic_160):
+    """The pipelined multi-batch API must produce exactly encode_batch's
+    bytes, batch for batch."""
+    img = np.asarray(img_synthetic_160)[:64, :64]
+    batches = [np.stack([np.roll(img, 4 * i + j, axis=1) for j in range(2)])
+               for i in range(3)]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman=huff)
+    fast = FastBatchEncoder(64, 64, config=cfg, interpret=True)
+    streamed = list(fast.encode_stream(iter(batches)))
+    direct = [fast.encode_batch(b) for b in batches]
+    assert [[bytes(x) for x in ys] for ys in streamed] == \
+        [[bytes(x) for x in ys] for ys in direct]
