@@ -86,10 +86,18 @@ def main():
                                   huffman="dynamic"), segs_per_image=1)
     out = dyn_enc.dynamic_pack(batch)  # warmup/compile
     jax.block_until_ready(out[:2])
+    def start_batch():
+        slots, h = dyn_enc._analyze_hist(batch)
+        try:  # overlap the histogram d2h with later batches' device work
+            h.copy_to_host_async()
+        except AttributeError:
+            pass
+        return slots, h
+
     t0 = time.perf_counter()
-    pend = dyn_enc._analyze_hist(batch)
+    pend = start_batch()
     for _ in range(ITERS - 1):
-        nxt = dyn_enc._analyze_hist(batch)
+        nxt = start_batch()
         _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
         out = dyn_enc._pack_only(pend[0], jax.numpy.asarray(luts))
         pend = nxt
@@ -99,12 +107,40 @@ def main():
     dyn_dt = (time.perf_counter() - t0) / ITERS
     dyn_mps = (BATCH * h * w) / dyn_dt / 1e6
 
+    # Secondary: decode. Host-side entropy decode (native C++ bit-walk)
+    # feeds the device IDCT/reconstruct; the two stages pipeline across
+    # images, so sustained throughput is bounded by the slower stage.
+    from jpeg_tpu.golden.decoder import parse_coefficients
+    from jpeg_tpu.pipelines.decode import reconstruct
+    one = enc.encode_batch(batch[:1])[0]
+    comps, coeffs, quant, w2, h2 = parse_coefficients(one)  # warm
+    t0 = time.perf_counter()
+    for _ in range(5):
+        parse_coefficients(one)
+    entropy_ms = (time.perf_counter() - t0) / 5 * 1000.0
+    args = (jnp.asarray(coeffs[comps[0].comp_id]),
+            jnp.asarray(coeffs[comps[1].comp_id]),
+            jnp.asarray(coeffs[comps[2].comp_id]),
+            jnp.asarray(quant[comps[0].quant_id]),
+            jnp.asarray(quant[comps[1].quant_id]))
+    out2 = reconstruct(*args, h, w, samp="420")  # warm/compile
+    jax.block_until_ready(out2)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out2 = reconstruct(*args, h, w, samp="420")
+    jax.block_until_ready(out2)
+    recon_ms = (time.perf_counter() - t0) / ITERS * 1000.0
+    dec_mps = (h * w) / max(entropy_ms, recon_ms) / 1e3
+
     print(json.dumps({
         "metric": "device_encode_throughput",
         "value": round(mps, 1),
         "unit": "MP/s",
         "vs_baseline": round(mps / C_REFERENCE_MPS, 2),
     }))
+    print(f"# decode: entropy(host C++) {entropy_ms:.1f}ms/img, device "
+          f"reconstruct {recon_ms:.1f}ms/img -> pipelined {dec_mps:.1f} MP/s",
+          file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.1f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
           f"host assembly over the tunnel); dynamic-huffman "

@@ -17,11 +17,8 @@ def main():
 
     from jpeg_tpu.core import tables as T
     from jpeg_tpu.core.types import EncodeConfig
-    from jpeg_tpu.kernels import lut as klut
-    from jpeg_tpu.kernels import pack as kpack
-    from jpeg_tpu.ops import color as C, dct as D, symbols as S
+    from jpeg_tpu.ops import color as C, dct as D
     from jpeg_tpu.pipelines import fast as F
-    from jpeg_tpu.utils.profiling import StageTimer
 
     from bench import _load_batch  # repo-root bench.py helpers
 
@@ -33,26 +30,26 @@ def main():
     lq, cq = (jnp.asarray(x) for x in T.quant_tables())
     enc = F.FastBatchEncoder(H, W, config=EncodeConfig(
         scan_layout="interleaved", huffman="fixed"))
+    dyn = F.FastBatchEncoder(H, W, config=EncodeConfig(
+        scan_layout="interleaved", huffman="dynamic"))
 
     color = jax.jit(lambda b: C.rgb_to_ycbcr_420(b))
     dcts = jax.jit(lambda y, cb, cr: (
         D.dct_quantize_zigzag(C.to_blocks(y), lq),
         D.dct_quantize_zigzag(C.to_blocks(cb), cq),
         D.dct_quantize_zigzag(C.to_blocks(cr), cq)))
-    inter = jax.jit(lambda zy, zcb, zcr: F.interleave_segments(
-        zy, zcb, zcr, W // 16, H // 16, 1))
-    symb = jax.jit(S.symbolize)
-    ana = jax.jit(enc._analyze_batch)
+    azz = jax.jit(lambda b: F.analyze_zz(b, lq, cq, W // 16, H // 16, 1))
     step = enc.step
 
     # warm up all
     planes = color(batch)
     zz = dcts(*planes)
-    seq = inter(*zz)
-    slots_s = symb(seq)
-    slots = ana(batch)
+    seq = azz(batch)
     out = step(batch)
-    jax.block_until_ready((slots_s, slots, out))
+    ah = dyn._analyze_hist(batch)
+    tables, luts = dyn._build_tables_batch(np.asarray(ah[1]))
+    po = dyn._pack_only(ah[0], jnp.asarray(luts))
+    jax.block_until_ready((seq, out, ah, po))
 
     # Amortized timing: enqueue ITERS dispatches, block once — isolates
     # device time from the per-call host->device dispatch latency (which
@@ -65,15 +62,23 @@ def main():
             o = fn(*args)
         jax.block_until_ready(o)
         ms = (time.perf_counter() - t0) / ITERS * 1000.0
-        print(f"{name:<46}{ms:10.3f} ms")
+        print(f"{name:<52}{ms:10.3f} ms")
         return ms
 
     amortized("RGB->YCbCr + 4:2:0", color, batch)
     amortized("DCT + quantize + zig-zag (3 planes)", dcts, *planes)
-    amortized("MCU interleave + DC diff", inter, *zz)
-    amortized("run-length symbolization", symb, seq)
-    amortized("full analyze (fused)", ana, batch)
-    step_ms = amortized("full device step (analyze+attach+pack)", step, batch)
+    amortized("analyze_zz (color+DCT+interleave+DC diff)", azz, batch)
+    step_ms = amortized("full fixed step (zz + fused sym/attach/pack)", step,
+                        batch)
+    amortized("dynamic stage 1 (analyze + slots + MXU hist)",
+              dyn._analyze_hist, batch)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        tables, luts = dyn._build_tables_batch(np.asarray(ah[1]))
+    print(f"{'dynamic host K.2 builds + LUTs (16 images)':<52}"
+          f"{(time.perf_counter() - t0) / ITERS * 1000.0:10.3f} ms")
+    amortized("dynamic stage 2 (grouped attach + pack)",
+              dyn._pack_only, ah[0], jnp.asarray(luts))
     print(f"\nbatch = {B} x {W}x{H} = {mp:.2f} MP; "
           f"device throughput = {mp / (step_ms / 1000):.1f} MP/s")
 

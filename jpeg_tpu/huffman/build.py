@@ -116,7 +116,29 @@ def _limit_code_lengths(code_len_freq: np.ndarray) -> np.ndarray:
     return clf
 
 
-def build_table(sym_freq: np.ndarray) -> HuffmanTable:
+def build_tables_batch(freqs: np.ndarray) -> list[HuffmanTable]:
+    """Batch K.2 builds: freqs [n, 257] -> n tables.
+
+    Routes through the C++ host runtime (``native.build_huff_tables``,
+    ~microseconds per table) when built; falls back to the Python builder.
+    Both produce identical tables (tested in test_native).
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    from .. import native
+    got = native.build_huff_tables(freqs)
+    if got is None:
+        return [build_table(freqs[i], allow_native=False)
+                for i in range(freqs.shape[0])]
+    bits, huffval, code, length = got
+    out = []
+    for i in range(freqs.shape[0]):
+        n = int(bits[i, 1:].sum())
+        out.append(HuffmanTable(bits=bits[i], huffval=huffval[i, :n],
+                                code=code[i], length=length[i]))
+    return out
+
+
+def build_table(sym_freq: np.ndarray, allow_native: bool = True) -> HuffmanTable:
     """Build one Huffman table from a 257-entry symbol frequency histogram.
 
     The caller must already have set ``sym_freq[256] = 1`` (the reserved
@@ -129,6 +151,14 @@ def build_table(sym_freq: np.ndarray) -> HuffmanTable:
     if int(sym_freq[:256].sum()) == 0:
         raise ValueError("empty symbol histogram: nothing to encode "
                          "(zero-sized image?)")
+    if allow_native:
+        from .. import native
+        got = native.build_huff_tables(sym_freq[None])
+        if got is not None:
+            bits, huffval, code, length = got
+            n = int(bits[0, 1:].sum())
+            return HuffmanTable(bits=bits[0], huffval=huffval[0, :n],
+                                code=code[0], length=length[0])
 
     code_len = _derive_code_lengths(sym_freq)
     if int(code_len.max(initial=0)) >= 32:

@@ -51,6 +51,20 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.jt_build_huff_tables.restype = ctypes.c_int64
+            lib.jt_build_huff_tables.argtypes = [
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.jt_decode_scan.restype = ctypes.c_int64
+            lib.jt_decode_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
+                i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -80,6 +94,72 @@ def finish_scan(words: np.ndarray, total_bits: int) -> bytes | None:
         ctypes.c_int64(int(total_bits)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out[:n].tobytes()
+
+
+def build_huff_tables(freqs: np.ndarray):
+    """Batch Annex K.2 table builds: freqs [n, 257] int64 (freq[256] == 1).
+
+    Returns (bits [n, 17], huffval [n, 256], code [n, 256],
+    length [n, 256]) int32 arrays, or None if the library is unavailable.
+    Raises ValueError on empty histograms / length overflow, mirroring the
+    Python builder.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    n = f.shape[0]
+    bits = np.empty((n, 17), np.int32)
+    huffval = np.empty((n, 256), np.int32)
+    code = np.empty((n, 256), np.int32)
+    length = np.empty((n, 256), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.jt_build_huff_tables(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), ctypes.c_int64(n),
+        bits.ctypes.data_as(i32p), huffval.ctypes.data_as(i32p),
+        code.ctypes.data_as(i32p), length.ctypes.data_as(i32p))
+    if rc == 1:
+        raise ValueError("empty symbol histogram: nothing to encode "
+                         "(zero-sized image?)")
+    if rc:
+        raise ValueError("Huffman code length overflow (>= 32 bits)")
+    return bits, huffval, code, length
+
+
+def decode_scan(data: bytes, start: int, dc_specs: np.ndarray,
+                ac_specs: np.ndarray, pattern, comp_dc, comp_ac,
+                n_mcus: int, restart_interval: int):
+    """Native baseline scan decode (the serial Huffman bit-walk).
+
+    dc_specs/ac_specs: [4, 273] int32 — DHT BITS[17] + HUFFVAL[256] per
+    table id.  pattern: component slot per block within an MCU.  Returns
+    (zz [n_mcus*len(pattern), 64] int32 in emission order, end_pos) or
+    None if the library is unavailable.  Raises ValueError on a malformed
+    stream.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    dc = np.ascontiguousarray(dc_specs, np.int32)
+    ac = np.ascontiguousarray(ac_specs, np.int32)
+    pat = np.ascontiguousarray(pattern, np.int32)
+    cdc = np.ascontiguousarray(comp_dc, np.int32)
+    cac = np.ascontiguousarray(comp_ac, np.int32)
+    out = np.empty((n_mcus * pat.size, 64), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    end = lib.jt_decode_scan(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(buf.size), ctypes.c_int64(start),
+        dc.ctypes.data_as(i32p), ac.ctypes.data_as(i32p),
+        pat.ctypes.data_as(i32p), ctypes.c_int64(pat.size),
+        cdc.ctypes.data_as(i32p), cac.ctypes.data_as(i32p),
+        ctypes.c_int64(cdc.size), ctypes.c_int64(n_mcus),
+        ctypes.c_int64(restart_interval),
+        out.ctypes.data_as(i32p))
+    if end < 0:
+        raise ValueError("malformed entropy-coded segment")
+    return out, int(end)
 
 
 def finish_scans(words: np.ndarray, total_bits: np.ndarray) -> list[bytes] | None:

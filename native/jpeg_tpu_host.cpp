@@ -71,4 +71,348 @@ int64_t jt_finish_scans(const uint32_t* words, int64_t stride_words,
   return o;
 }
 
+// ---------------------------------------------------------------------------
+// Annex K.2 Huffman table construction (the reference's init_huff_table,
+// main/encoder.c:180-301).  Identical outputs to jpeg_tpu.huffman.build's
+// Python implementation (which is byte-parity-tested against the compiled
+// reference); this native version exists because the tree derivation is a
+// serial O(n^2) walk that costs ~6 ms per table in Python — the dominant
+// host cost of dynamic-Huffman batch encoding (per-image tables, 4 builds
+// per image).
+//
+// freqs:   [n_tables, 257] int64, freq[256] == 1 (reserved code point).
+// bits:    [n_tables, 17]  int32 out (DHT BITS list, bits[0] unused).
+// huffval: [n_tables, 256] int32 out (symbols in code order; valid count
+//          is sum(bits[1..16]); the tail is left as-is).
+// code:    [n_tables, 256] int32 out (-1 where absent).
+// length:  [n_tables, 256] int32 out (0 where absent).
+// Returns 0 on success; 1 if any table's histogram is empty; 2 on code
+// length overflow (>= 32 bits, the K.2 limiter's assumption).
+
+static int build_one_huff_table(const int64_t* freq_in, int32_t* bits,
+                                int32_t* huffval, int32_t* code,
+                                int32_t* length) {
+  int64_t freq[257];
+  int64_t code_len[257];
+  int next[257];
+  for (int i = 0; i < 257; ++i) {
+    freq[i] = freq_in[i];
+    code_len[i] = 0;
+    next[i] = -1;
+  }
+  {
+    int64_t total = 0;
+    for (int i = 0; i < 256; ++i) total += freq[i];
+    if (total == 0) return 1;
+  }
+
+  // Pairwise merge with the reference's exact tie-breaking: ascending
+  // scan, <= comparisons (largest index among equal minima wins).
+  for (;;) {
+    int v1 = -1, v2 = -1;
+    for (int i = 0; i < 257; ++i) {
+      if (freq[i] == 0) continue;
+      if (v1 == -1 || freq[i] <= freq[v1]) {
+        v2 = v1;
+        v1 = i;
+      } else if (v2 == -1 || freq[i] <= freq[v2]) {
+        v2 = i;
+      }
+    }
+    if (v2 == -1) break;
+
+    freq[v1] += freq[v2];
+    freq[v2] = 0;
+    int w = v1;
+    for (;;) {
+      code_len[w] += 1;
+      if (next[w] == -1) break;
+      w = next[w];
+    }
+    next[w] = v2;
+    w = v2;
+    for (;;) {
+      code_len[w] += 1;
+      if (next[w] == -1) break;
+      w = next[w];
+    }
+  }
+
+  int64_t clf[32];
+  for (int i = 0; i < 32; ++i) clf[i] = 0;
+  for (int i = 0; i < 257; ++i) {
+    if (code_len[i] >= 32) return 2;
+    if (code_len[i]) clf[code_len[i]] += 1;
+  }
+
+  // 16-bit limiting by leaf lifting (main/encoder.c:239-259); the final
+  // step drops the reserved symbol 256's deepest leaf.
+  {
+    int i = 31;
+    for (;;) {
+      if (clf[i] > 0) {
+        int j = i - 2;
+        while (clf[j] <= 0) --j;
+        clf[i] -= 2;
+        clf[i - 1] += 1;
+        clf[j + 1] += 2;
+        clf[j] -= 1;
+        continue;
+      }
+      --i;
+      if (i != 16) continue;
+      while (clf[i] == 0) --i;
+      clf[i] -= 1;
+      break;
+    }
+  }
+
+  // Real symbols sorted by (pre-limit length, index); 256 excluded.
+  int sym_sorted[256];
+  int n_sorted = 0;
+  for (int len = 1; len < 32; ++len)
+    for (int s = 0; s < 256; ++s)
+      if (code_len[s] == len) sym_sorted[n_sorted++] = s;
+
+  for (int s = 0; s < 256; ++s) {
+    code[s] = -1;
+    length[s] = 0;
+  }
+  {
+    int k = 0;
+    for (int len = 1; len <= 16; ++len)
+      for (int64_t c = 0; c < clf[len]; ++c) length[sym_sorted[k++]] = len;
+    if (k != n_sorted) return 2;
+  }
+
+  // Canonical code assignment (main/encoder.c:279-300).
+  {
+    int32_t c = 0;
+    int prev_len = -1;
+    for (int k = 0; k < n_sorted; ++k) {
+      int s = sym_sorted[k];
+      int len = length[s];
+      if (prev_len == -1) prev_len = len;
+      c <<= (len - prev_len);
+      prev_len = len;
+      code[s] = c;
+      c += 1;
+    }
+  }
+
+  for (int i = 0; i < 17; ++i) bits[i] = (i >= 1) ? (int32_t)clf[i] : 0;
+  for (int k = 0; k < n_sorted; ++k) huffval[k] = sym_sorted[k];
+  for (int k = n_sorted; k < 256; ++k) huffval[k] = 0;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Baseline entropy decode: the host-serial Huffman bit-walk, natively.
+//
+// The Python decoder (golden/decoder.py) walks the stream bit by bit in
+// pure Python — correct but ~1000x slower than necessary and therefore the
+// decode-path bottleneck.  This decodes one baseline scan into zig-zag
+// coefficient blocks in SCAN EMISSION ORDER; the Python caller (which
+// still parses markers) reorders blocks into component planes with one
+// vectorized scatter.
+//
+// data:        the full JPEG byte buffer.
+// start:       offset of the first entropy byte (after the SOS header).
+// dc_specs/ac_specs: [4][17+256] int32 per table id: DHT BITS list
+//              (entry 0 unused) followed by HUFFVAL.
+// pattern:     [pattern_len] component slot per block within one MCU
+//              (e.g. [0,0,0,0,1,2] for 4:2:0 interleaved; [0] for a
+//              non-interleaved scan).
+// comp_dc/comp_ac: [n_comps] table ids per component slot.
+// n_mcus:      MCU count (block count for non-interleaved).
+// restart_interval: MCUs between RSTn markers (0 = none).
+// out_zz:      [n_mcus * pattern_len, 64] int32, zig-zag order, DC
+//              prediction resolved.
+// Returns the byte offset just past the last consumed entropy byte
+// (pointing at the next marker's 0xFF when one follows), or -1 on a
+// malformed stream.
+
+namespace {
+
+struct HuffDecodeTable {
+  // canonical decode: per length l, first code value and huffval index
+  int32_t mincode[17];
+  int32_t maxcode[17];  // -1 where no codes of this length
+  int32_t valptr[17];
+  const int32_t* huffval;
+};
+
+static void build_decode_table(const int32_t* spec, HuffDecodeTable* t) {
+  const int32_t* bits = spec;        // [17]
+  t->huffval = spec + 17;            // [256]
+  int32_t code = 0;
+  int32_t k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    if (bits[l] > 0) {
+      t->valptr[l] = k;
+      t->mincode[l] = code;
+      code += bits[l];
+      k += bits[l];
+      t->maxcode[l] = code - 1;
+    } else {
+      t->maxcode[l] = -1;
+      t->mincode[l] = 0;
+      t->valptr[l] = 0;
+    }
+    code <<= 1;
+  }
+}
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t len;
+  int64_t pos;
+  uint64_t buf;
+  int nbits;
+  bool at_marker;  // hit a non-stuffing 0xFF: feed 1-padding
+
+  void init(const uint8_t* d, int64_t l, int64_t p) {
+    data = d;
+    len = l;
+    pos = p;
+    buf = 0;
+    nbits = 0;
+    at_marker = false;
+  }
+
+  void fill() {
+    while (nbits <= 56) {
+      if (at_marker || pos >= len) {
+        buf = (buf << 8) | 0xFF;  // ones past the end (padding semantics)
+        nbits += 8;
+        continue;
+      }
+      uint8_t b = data[pos];
+      if (b == 0xFF) {
+        uint8_t nxt = (pos + 1 < len) ? data[pos + 1] : 0xD9;
+        if (nxt == 0x00) {
+          pos += 2;
+          buf = (buf << 8) | 0xFF;
+          nbits += 8;
+          continue;
+        }
+        at_marker = true;
+        continue;
+      }
+      ++pos;
+      buf = (buf << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline int bit() {
+    if (nbits == 0) fill();
+    --nbits;
+    return (int)((buf >> nbits) & 1);
+  }
+
+  inline int32_t bits(int n) {
+    int32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+
+  // skip to and consume the pending marker; returns its code byte
+  int consume_marker() {
+    buf = 0;
+    nbits = 0;
+    at_marker = false;
+    while (pos < len && data[pos] != 0xFF) ++pos;
+    while (pos + 1 < len && data[pos + 1] == 0xFF) ++pos;  // fill bytes
+    if (pos + 1 >= len) return -1;
+    int code = data[pos + 1];
+    pos += 2;
+    return code;
+  }
+};
+
+static int decode_symbol(BitReader* br, const HuffDecodeTable* t) {
+  int32_t code = br->bit();
+  for (int l = 1; l <= 16; ++l) {
+    if (t->maxcode[l] >= 0 && code <= t->maxcode[l])
+      return t->huffval[t->valptr[l] + (code - t->mincode[l])];
+    code = (code << 1) | br->bit();
+  }
+  return -1;
+}
+
+static inline int32_t extend(int32_t v, int n) {
+  if (n == 0) return 0;
+  if (v < (1 << (n - 1))) return v - (1 << n) + 1;
+  return v;
+}
+
+}  // namespace
+
+int64_t jt_decode_scan(const uint8_t* data, int64_t len, int64_t start,
+                       const int32_t* dc_specs, const int32_t* ac_specs,
+                       const int32_t* pattern, int64_t pattern_len,
+                       const int32_t* comp_dc, const int32_t* comp_ac,
+                       int64_t n_comps, int64_t n_mcus,
+                       int64_t restart_interval, int32_t* out_zz) {
+  HuffDecodeTable dc_tabs[4], ac_tabs[4];
+  for (int i = 0; i < 4; ++i) {
+    build_decode_table(dc_specs + i * (17 + 256), &dc_tabs[i]);
+    build_decode_table(ac_specs + i * (17 + 256), &ac_tabs[i]);
+  }
+  int32_t preds[4] = {0, 0, 0, 0};
+  BitReader br;
+  br.init(data, len, start);
+
+  int64_t since_rst = 0;
+  int32_t* out = out_zz;
+  for (int64_t m = 0; m < n_mcus; ++m) {
+    if (restart_interval && since_rst == restart_interval) {
+      int code = br.consume_marker();
+      if (code < 0xD0 || code > 0xD7) return -1;
+      for (int i = 0; i < 4; ++i) preds[i] = 0;
+      since_rst = 0;
+    }
+    for (int64_t pb = 0; pb < pattern_len; ++pb, out += 64) {
+      int comp = pattern[pb];
+      const HuffDecodeTable* dt = &dc_tabs[comp_dc[comp]];
+      const HuffDecodeTable* at = &ac_tabs[comp_ac[comp]];
+      for (int i = 0; i < 64; ++i) out[i] = 0;
+      int cls = decode_symbol(&br, dt);
+      if (cls < 0 || cls > 15) return -1;
+      preds[comp] += extend(br.bits(cls), cls);
+      out[0] = preds[comp];
+      int k = 1;
+      while (k < 64) {
+        int sym = decode_symbol(&br, at);
+        if (sym < 0) return -1;
+        if (sym == 0x00) break;  // EOB
+        if (sym == 0xF0) {       // ZRL
+          k += 16;
+          continue;
+        }
+        k += sym >> 4;
+        int size = sym & 0x0F;
+        if (k > 63) return -1;
+        out[k] = extend(br.bits(size), size);
+        ++k;
+      }
+    }
+    ++since_rst;
+  }
+  return br.pos;
+}
+
+int64_t jt_build_huff_tables(const int64_t* freqs, int64_t n_tables,
+                             int32_t* bits, int32_t* huffval, int32_t* code,
+                             int32_t* length) {
+  for (int64_t t = 0; t < n_tables; ++t) {
+    int rc = build_one_huff_table(freqs + t * 257, bits + t * 17,
+                                  huffval + t * 256, code + t * 256,
+                                  length + t * 256);
+    if (rc) return rc;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -42,3 +42,32 @@ def test_native_batch_finish():
     got = native.finish_scans(words, totals)
     exp = [_numpy_finish(words[i], int(totals[i])) for i in range(4)]
     assert got == exp
+
+
+def test_native_huffman_builder_matches_python():
+    """The C++ K.2 builder must equal the Python one field-for-field."""
+    from jpeg_tpu import native
+    from jpeg_tpu.huffman.build import build_table, build_tables_batch
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    freqs = []
+    for trial in range(30):
+        f = np.zeros(257, np.int64)
+        n_active = int(rng.integers(1, 200))
+        idx = rng.choice(256, size=n_active, replace=False)
+        f[idx] = rng.integers(1, 100000, size=n_active)
+        f[256] = 1
+        freqs.append(f)
+    # skewed edge cases: single symbol, two symbols, all-equal
+    one = np.zeros(257, np.int64); one[5] = 1000; one[256] = 1
+    two = np.zeros(257, np.int64); two[3] = 7; two[200] = 7; two[256] = 1
+    eq = np.ones(257, np.int64)
+    freqs += [one, two, eq]
+    batch = build_tables_batch(np.stack(freqs))
+    for f, nat in zip(freqs, batch):
+        ref = build_table(f, allow_native=False)
+        np.testing.assert_array_equal(nat.bits, ref.bits)
+        np.testing.assert_array_equal(nat.huffval, ref.huffval)
+        np.testing.assert_array_equal(nat.code, ref.code)
+        np.testing.assert_array_equal(nat.length, ref.length)
