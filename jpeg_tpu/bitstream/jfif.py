@@ -106,11 +106,14 @@ def headers(
     restart_interval: int = 0,
     y_sampling: tuple[int, int] = (2, 2),
     progressive: bool = False,
+    include_dht: bool = True,
 ) -> bytes:
     """Everything from SOI up to (excluding) the first SOS.
 
     Byte-identical to the reference's emission for restart_interval=0
     (main/encoder.c:552-603).  progressive=True emits SOF2 instead.
+    include_dht=False omits the table segments (per-scan DHT emission,
+    as optimized progressive encoders do).
     """
     sof = (sof2_segment if progressive else sof0_segment)(
         width, height, y_sampling=y_sampling)
@@ -119,12 +122,15 @@ def headers(
         APP0,
         dqt_segment(0, luma_q),
         dqt_segment(1, chroma_q),
-        dht_segment(0x00, tables["luma_dc"]),
-        dht_segment(0x10, tables["luma_ac"]),
-        dht_segment(0x01, tables["chroma_dc"]),
-        dht_segment(0x11, tables["chroma_ac"]),
-        sof,
     ]
+    if include_dht:
+        out += [
+            dht_segment(0x00, tables["luma_dc"]),
+            dht_segment(0x10, tables["luma_ac"]),
+            dht_segment(0x01, tables["chroma_dc"]),
+            dht_segment(0x11, tables["chroma_ac"]),
+        ]
+    out.append(sof)
     if restart_interval:
         out.append(dri_segment(restart_interval))
     return b"".join(out)
@@ -154,19 +160,22 @@ def sof2_segment(width: int, height: int,
     return bytes(seg)
 
 
-def sos_header_progressive_dc() -> bytes:
-    """Interleaved 3-component DC scan (Ss=0, Se=0, Ah=0, Al=0)."""
+def sos_header_progressive_dc(ah: int = 0, al: int = 0) -> bytes:
+    """Interleaved 3-component DC scan (Ss=Se=0); Ah/Al for successive
+    approximation (Ah=0 first scan, Ah=Al+1 refinement)."""
     return bytes([0xFF, 0xDA, 0x00, 0x0C, 0x03,
                   0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
-                  0x00, 0x00, 0x00])
+                  0x00, 0x00, ((ah & 0x0F) << 4) | (al & 0x0F)])
 
 
 def sos_header_progressive_ac(component_id: int, ac_table: int,
-                              ss: int = 1, se: int = 63) -> bytes:
+                              ss: int = 1, se: int = 63,
+                              ah: int = 0, al: int = 0) -> bytes:
     """Single-component AC band scan (progressive AC scans must be
     non-interleaved, T.81 G.1.1.1.1)."""
     return bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, component_id,
-                  (ac_table & 0x0F), ss, se, 0x00])
+                  (ac_table & 0x0F), ss, se,
+                  ((ah & 0x0F) << 4) | (al & 0x0F)])
 
 
 def assemble_progressive(header: bytes, dc_scan: bytes,

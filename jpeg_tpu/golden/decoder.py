@@ -1,14 +1,19 @@
-"""Baseline JPEG decoder (NumPy, host-side) — the bitstream oracle.
+"""JPEG decoder (NumPy, host-side) — the bitstream oracle.
 
 The reference repo is named "JPEG-encoder-decoder" but its decoder was never
 completed (stub at ``utils/func_tester.c:1262-1319``, ``idct`` marked TODO);
 external viewers were the de-facto oracle (SURVEY §4.6).  This module is a
-complete baseline decoder for the subset our encoder emits:
+complete decoder for the subset our encoders emit:
 
-* SOF0 baseline, 8-bit, 3 components, Y 2x2 + chroma 1x1 sampling (4:2:0),
+* SOF0 baseline and SOF2 progressive, 8-bit, 1 or 3 components, general
+  sampling factors (4:2:0 / 4:2:2 / 4:4:4),
 * non-interleaved single-component scans (the reference's 3-scan layout) and
   interleaved 3-component scans,
-* dynamic or fixed Huffman tables (DHT), DQT, DRI + RSTn restart markers,
+* progressive spectral selection and successive approximation: DC
+  first/refinement scans, AC band first/refinement scans, EOBn runs
+  (T.81 Annex G.2),
+* dynamic or fixed Huffman tables (DHT, including between scans), DQT,
+  DRI + RSTn restart markers,
 * 0xFF00 stuffing, ones-padded scan tails, trailing fill bytes.
 
 It exists to make round-trip tests self-contained (PIL is used as a second,
@@ -215,6 +220,7 @@ def parse_coefficients(data: bytes):
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
     # coefficient storage per component id
     coeffs: dict[int, np.ndarray] = {}
 
@@ -251,7 +257,8 @@ def parse_coefficients(data: bytes):
                 vals = np.frombuffer(seg[p + 17:p + 17 + n], dtype=np.uint8)
                 huff[(tc, th)] = table_from_spec(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height = (seg[1] << 8) | seg[2]
             width = (seg[3] << 8) | seg[4]
             ncomp = seg[5]
@@ -259,8 +266,8 @@ def parse_coefficients(data: bytes):
             for c in range(ncomp):
                 cid, samp, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append(_Component(cid, samp >> 4, samp & 0x0F, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise ValueError(f"non-baseline SOF {marker:#x} unsupported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError(f"unsupported SOF {marker:#x}")
         elif marker == 0xDD:  # DRI
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS
@@ -271,9 +278,17 @@ def parse_coefficients(data: bytes):
                 comp = next(cc for cc in comps if cc.comp_id == cid)
                 comp.dc_table, comp.ac_table = tabs >> 4, tabs & 0x0F
                 scan_comps.append(comp)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
             br = _BitReader(data, pos + seg_len)
-            _decode_scan(br, scan_comps, comps, huff, coeffs, width,
-                         height, restart_interval)
+            if progressive:
+                _decode_scan_progressive(
+                    br, scan_comps, comps, huff, coeffs, width, height,
+                    restart_interval, ss, se, ah_al >> 4, ah_al & 0x0F)
+            else:
+                _decode_scan(br, scan_comps, comps, huff, coeffs, width,
+                             height, restart_interval)
             # continue parsing at the marker the scan stopped on
             while br.pos < len(data) and data[br.pos] != 0xFF:
                 br.pos += 1
@@ -284,6 +299,81 @@ def parse_coefficients(data: bytes):
     return comps, coeffs, quant, width, height
 
 
+def _huff_specs(huff, tc):
+    """[4, 273] int32 BITS+HUFFVAL spec block for the native decoder."""
+    specs = np.zeros((4, 17 + 256), np.int32)
+    for (cls, th), table in huff.items():
+        if cls != tc or th > 3:
+            continue
+        specs[th, :17] = table.bits
+        specs[th, 17:17 + len(table.huffval)] = table.huffval
+    return specs
+
+
+def _decode_scan_native(br, scan_comps, all_comps, huff, coeffs, width,
+                        height, restart_interval) -> bool:
+    """Run one baseline scan through the C++ bit-walk; False if the
+    native library is unavailable (callers fall back to Python)."""
+    from .. import native
+    if not native.available():
+        return False
+    hmax = max(c.h_samp for c in all_comps)
+    vmax = max(c.v_samp for c in all_comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx = -(-width // mcu_w)
+    my = -(-height // mcu_h)
+
+    if len(scan_comps) == 1:
+        comp = scan_comps[0]
+        cw = -(-width * comp.h_samp // hmax)
+        ch = -(-height * comp.v_samp // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        comp.bw, comp.bh = bw, bh
+        pattern = [0]
+        n_mcus = bw * bh
+        comp_dc = [comp.dc_table]
+        comp_ac = [comp.ac_table]
+    else:
+        pattern = []
+        comp_dc, comp_ac = [], []
+        for slot, comp in enumerate(scan_comps):
+            comp.bw, comp.bh = mx * comp.h_samp, my * comp.v_samp
+            pattern += [slot] * (comp.h_samp * comp.v_samp)
+            comp_dc.append(comp.dc_table)
+            comp_ac.append(comp.ac_table)
+        n_mcus = mx * my
+
+    got = native.decode_scan(br.data, br.pos, _huff_specs(huff, 0),
+                             _huff_specs(huff, 1), pattern, comp_dc,
+                             comp_ac, n_mcus, restart_interval)
+    if got is None:
+        return False
+    out, end = got
+    br.pos = end
+    br.align_and_clear()
+
+    if len(scan_comps) == 1:
+        coeffs[scan_comps[0].comp_id] = out
+        return True
+    # scatter emission-order blocks into component planes (vectorized)
+    off = 0
+    for comp in scan_comps:
+        hv = comp.h_samp * comp.v_samp
+        sel = (np.arange(n_mcus)[:, None] * len(pattern)
+               + off + np.arange(hv)).reshape(-1)
+        r = np.arange(my)[:, None, None, None]
+        c = np.arange(mx)[None, :, None, None]
+        dv = np.arange(comp.v_samp)[None, None, :, None]
+        dh = np.arange(comp.h_samp)[None, None, None, :]
+        bi = ((comp.v_samp * r + dv) * comp.bw
+              + comp.h_samp * c + dh).reshape(-1)
+        plane = np.zeros((comp.bw * comp.bh, 64), np.int32)
+        plane[bi] = out[sel]
+        coeffs[comp.comp_id] = plane
+        off += hv
+    return True
+
+
 def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
                  restart_interval):
     """Entropy-decode one scan; general baseline sampling factors.
@@ -291,7 +381,13 @@ def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
     Component plane dims follow T.81 A.1.1: ceil(dim * samp / smax),
     padded to whole blocks; an interleaved MCU carries h x v blocks per
     component in raster order within the MCU.
+
+    Routes through the native C++ bit-walk when built (~1000x the pure-
+    Python walk below, which remains the portable fallback and oracle).
     """
+    if _decode_scan_native(br, scan_comps, all_comps, huff, coeffs, width,
+                           height, restart_interval):
+        return
     hmax = max(c.h_samp for c in all_comps)
     vmax = max(c.v_samp for c in all_comps)
     true_width, true_height = width, height
@@ -359,6 +455,158 @@ def _decode_scan(br, scan_comps, all_comps, huff, coeffs, width, height,
             count_since_rst += 1
     for c in scan_comps:
         coeffs[c.comp_id] = data[c.comp_id]
+
+
+def _decode_scan_progressive(br, scan_comps, all_comps, huff, coeffs, width,
+                             height, restart_interval, ss, se, ah, al):
+    """Entropy-decode one progressive (SOF2) scan — T.81 Annex G.2.
+
+    Coefficient arrays persist across scans on the MCU-padded grid;
+    non-interleaved AC scans walk the component's true ceil(dim/8) grid
+    (T.81 A.2.2) and write through a row-stride mapping.  Handles DC
+    first/refinement (interleaved or single-component) and AC
+    first/refinement with EOBn runs.
+    """
+    hmax = max(c.h_samp for c in all_comps)
+    vmax = max(c.v_samp for c in all_comps)
+    mx = -(-width // (8 * hmax))
+    my = -(-height // (8 * vmax))
+
+    def ensure(comp):
+        bw, bh = mx * comp.h_samp, my * comp.v_samp
+        comp.bw, comp.bh = bw, bh
+        if comp.comp_id not in coeffs:
+            coeffs[comp.comp_id] = np.zeros((bw * bh, 64), np.int32)
+        return coeffs[comp.comp_id]
+
+    def expect_rst():
+        code = br.consume_marker()
+        if not (0xD0 <= code <= 0xD7):
+            raise ValueError(f"expected RST, got {code:#x}")
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        if se != 0:
+            raise ValueError("progressive scan with Ss=0 must have Se=0")
+        arrs = {c.comp_id: ensure(c) for c in scan_comps}
+        preds = {c.comp_id: 0 for c in scan_comps}
+        tabs = {c.comp_id: huff.get((0, c.dc_table)) for c in scan_comps}
+        count = 0
+        if len(scan_comps) == 1:
+            comp = scan_comps[0]
+            cw = -(-width * comp.h_samp // hmax)
+            ch = -(-height * comp.v_samp // vmax)
+            walk = [(comp, r, c) for r in range(-(-ch // 8))
+                    for c in range(-(-cw // 8))]
+        else:
+            walk = [(comp, comp.v_samp * r + dv, comp.h_samp * c + dh)
+                    for r in range(my) for c in range(mx)
+                    for comp in scan_comps
+                    for dv in range(comp.v_samp)
+                    for dh in range(comp.h_samp)]
+        mcu_blocks = (1 if len(scan_comps) == 1 else
+                      sum(c.h_samp * c.v_samp for c in scan_comps))
+        for i, (comp, r, c) in enumerate(walk):
+            if restart_interval and i and i % (restart_interval * mcu_blocks) == 0:
+                expect_rst()
+                preds = {k: 0 for k in preds}
+            bi = r * comp.bw + c
+            if ah == 0:  # first DC scan: diff-coded, point-transformed
+                cls = _decode_symbol(br, tabs[comp.comp_id])
+                diff = _extend(br.read_bits(cls), cls)
+                preds[comp.comp_id] += diff
+                arrs[comp.comp_id][bi, 0] = preds[comp.comp_id] << al
+            else:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    arrs[comp.comp_id][bi, 0] |= 1 << al
+        return
+
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    comp = scan_comps[0]
+    arr = ensure(comp)
+    ac_tab = huff[(1, comp.ac_table)]
+    cw = -(-width * comp.h_samp // hmax)
+    ch = -(-height * comp.v_samp // vmax)
+    tbw, tbh = -(-cw // 8), -(-ch // 8)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    count = 0
+    for r in range(tbh):
+        for c in range(tbw):
+            if restart_interval and count == restart_interval:
+                expect_rst()
+                eobrun = 0
+                count = 0
+            count += 1
+            zz = arr[r * comp.bw + c]
+            if ah == 0:
+                # first AC scan (G.2.2): values enter at magnitude << al
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _decode_symbol(br, ac_tab)
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += br.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("AC run past end of band")
+                    zz[k] = _extend(br.read_bits(size), size) << al
+                    k += 1
+            else:
+                # AC refinement (G.2.3): a correction bit for every
+                # nonzero-history coefficient passed over; newly-
+                # significant coefficients enter as +-1 << al.  Mirrors
+                # the decode flow of T.81 Figure G.10 (k resumes from the
+                # EOB symbol's position into the EOB-run correction pass).
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_symbol(br, ac_tab)
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += br.read_bits(run)
+                                break
+                            newval = 0  # ZRL: 16 zero-history positions
+                        else:
+                            if size != 1:
+                                raise ValueError("refinement size must be 1")
+                            newval = p1 if br.read_bit() else m1
+                        # advance over `run` zero-history positions,
+                        # correcting nonzero-history coefficients en route
+                        while k <= se:
+                            if zz[k]:
+                                if br.read_bit() and (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if run == 0:
+                                    if newval:
+                                        zz[k] = newval
+                                    break
+                                run -= 1
+                            k += 1
+                        k += 1
+                if eobrun > 0:
+                    # end-of-band: correction bits for the remaining
+                    # nonzero-history coefficients of this block
+                    while k <= se:
+                        if zz[k]:
+                            if br.read_bit() and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 def _reconstruct(comps, coeffs, quant, width, height) -> np.ndarray:

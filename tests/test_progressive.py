@@ -93,3 +93,104 @@ def test_progressive_chroma_modes(subsampling):
     base = JpegEncoder(EncodeConfig(subsampling=subsampling)).encode(img)
     pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
     assert abs(gdec.psnr(pil, img) - gdec.psnr(pil_base, img)) < 0.5
+
+
+# --- successive approximation (scan-script engine) -------------------------
+
+from jpeg_tpu.pipelines.progressive import (SUCCESSIVE_SCRIPT,
+                                            encode_progressive_script)
+
+
+@pytest.mark.parametrize("huffman", ["dynamic", "fixed"])
+@pytest.mark.parametrize("subsampling", ["420", "422", "444"])
+def test_successive_approximation_roundtrip(huffman, subsampling):
+    """The 10-scan SA script decodes to exactly baseline quality, through
+    both our SOF2 decoder and PIL, and the two agree."""
+    img = _img(64, 96, seed=9)
+    data = encode_progressive_script(
+        img, EncodeConfig(huffman=huffman, subsampling=subsampling))
+    assert b"\xff\xc2" in data
+    assert data.count(b"\xff\xda") == len(SUCCESSIVE_SCRIPT)
+    im = PIL.open(io.BytesIO(data))
+    im.load()
+    pil = np.asarray(im.convert("RGB"))
+    ours = gdec.decode(data)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 2
+    base = JpegEncoder(EncodeConfig(huffman=huffman,
+                                    subsampling=subsampling)).encode(img)
+    pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
+    assert abs(gdec.psnr(pil, img) - gdec.psnr(pil_base, img)) < 0.05
+
+
+def test_sa_noise_stresses_refinement_paths():
+    """Random noise maximizes ZRL runs, correction-bit buffering, and EOB
+    accumulation in the refinement coder."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(160, 96, 3)).astype(np.uint8)
+    for huffman in ("dynamic", "fixed"):
+        data = encode_progressive_script(img, EncodeConfig(huffman=huffman))
+        pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+        ours = gdec.decode(data)
+        assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 2
+        base = JpegEncoder(EncodeConfig(huffman=huffman)).encode(img)
+        pil_base = np.asarray(PIL.open(io.BytesIO(base)).convert("RGB"))
+        assert abs(gdec.psnr(pil, img) - gdec.psnr(pil_base, img)) < 0.05
+
+
+def test_sa_scan_prefixes_refine_monotonically():
+    """Decoding a truncated SA stream must work scan by scan, with PSNR
+    (non-strictly) improving as scans accumulate — the point of
+    progressive rendering."""
+    img = _img(64, 64, seed=12)
+    data = encode_progressive_script(img, EncodeConfig())
+    offs = []
+    i = 0
+    while True:
+        j = data.find(b"\xff\xda", i + 1)
+        if j < 0:
+            break
+        offs.append(j)
+        i = j
+    assert len(offs) == len(SUCCESSIVE_SCRIPT)
+    psnrs = []
+    for k in range(1, len(offs) + 1):
+        end = offs[k] if k < len(offs) else len(data) - 2
+        rec = gdec.decode(data[:end] + b"\xff\xd9")
+        psnrs.append(gdec.psnr(rec, img))
+    assert all(b >= a - 0.3 for a, b in zip(psnrs, psnrs[1:])), psnrs
+    # the checkerboard is block-aligned, so the coarse scans already score
+    # well; the refinements must still add measurable quality
+    assert psnrs[-1] > psnrs[0] + 1, psnrs
+
+
+def test_golden_decoder_decodes_spectral_progressive():
+    """The in-repo decoder is now a self-contained SOF2 oracle for the
+    default spectral-selection engine too (PIL stays as second opinion)."""
+    img = _img(64, 64, seed=3)
+    for huffman in ("dynamic", "fixed"):
+        data = encode_progressive(img, EncodeConfig(huffman=huffman))
+        ours = gdec.decode(data)
+        pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+        assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 2
+
+
+def test_scan_script_validation():
+    img = _img(32, 32)
+    with pytest.raises(ValueError):
+        encode_progressive_script(img, scan_script=[("dc", 0, 5, 0, 0)])
+    with pytest.raises(ValueError):
+        encode_progressive_script(img, scan_script=[(0, 0, 63, 0, 0)])
+    with pytest.raises(ValueError):
+        encode_progressive_script(img, scan_script=[("dc", 0, 0, 3, 1)])
+
+
+def test_custom_band_script():
+    """Band-split spectral-only script (no SA) through the script engine."""
+    img = _img(64, 64, seed=8)
+    script = [("dc", 0, 0, 0, 0),
+              (0, 1, 5, 0, 0), (0, 6, 63, 0, 0),
+              (1, 1, 63, 0, 0), (2, 1, 63, 0, 0)]
+    data = encode_progressive_script(img, EncodeConfig(), scan_script=script)
+    pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+    ours = gdec.decode(data)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 2
