@@ -50,12 +50,13 @@ def cmd_encode(args):
             f.write(data)
         print(f"{args.output}: {len(data)} bytes (grayscale)")
         return
-    if args.progressive:
+    if args.progressive or args.successive:
         from .pipelines.progressive import encode_progressive
-        data = encode_progressive(img, _cfg(args))
+        data = encode_progressive(img, _cfg(args), successive=args.successive)
         with open(args.output, "wb") as f:
             f.write(data)
-        print(f"{args.output}: {len(data)} bytes (progressive)")
+        kind = "progressive+SA" if args.successive else "progressive"
+        print(f"{args.output}: {len(data)} bytes ({kind})")
         return
     data = JpegEncoder(_cfg(args)).encode_any(img)  # any dims; pads MCUs
     with open(args.output, "wb") as f:
@@ -143,6 +144,9 @@ def main(argv=None) -> int:
                    help="encode as single-component grayscale")
     e.add_argument("--progressive", action="store_true",
                    help="progressive (SOF2) spectral-selection stream")
+    e.add_argument("--successive", action="store_true",
+                   help="progressive with successive approximation "
+                        "(10-scan script)")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")

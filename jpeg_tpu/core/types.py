@@ -81,6 +81,12 @@ class EncodeConfig:
     # kernels (kernels/), "xla" = pure-XLA ops (ops/), "auto" = pallas on
     # TPU, xla elsewhere.  Output bytes are engine-independent.
     engine: Literal["auto", "xla", "pallas"] = "auto"
+    # Debug sanitizer (SURVEY §5): run a checkify pass over the numeric
+    # pipeline before encoding — quantizer >= 1 (no divide hazards),
+    # finite DCT outputs, coefficients within the [-2048, 2047] clip that
+    # the entropy coder's bit_class assumes.  Costs one extra device pass;
+    # off in production.
+    debug_checks: bool = False
 
     def __post_init__(self):
         if self.quality is not None and not (1 <= self.quality <= 100):

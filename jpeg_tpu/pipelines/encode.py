@@ -166,6 +166,10 @@ class JpegEncoder:
             raise ValueError(
                 f"dimensions must be multiples of {mcu_w}x{mcu_h}, got "
                 f"{w}x{h}; pad with jpeg_tpu.io.editimage, or use encode_any")
+        if self.config.debug_checks:
+            from ..utils.guards import validate_encode_inputs
+            validate_encode_inputs(rgb, self._luma_q_dev, self._chroma_q_dev,
+                                   sampling=self.config.subsampling)
         if self.config.scan_layout == "interleaved":
             return self._encode_interleaved(rgb, h, w)
         if self.config.restart_interval_mcu_rows:

@@ -479,7 +479,9 @@ def _has_syms(fields) -> bool:
     return any(s >= 0 for s in fields.sym)
 
 
-def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
+def encode_progressive(rgb, config: EncodeConfig | None = None,
+                       successive: bool = False,
+                       scan_script=None) -> bytes:
     """Encode [H, W, 3] uint8 RGB as a progressive (SOF2) JPEG.
 
     Uses the config's quality, Huffman mode, chroma subsampling, and dtype
@@ -487,7 +489,13 @@ def encode_progressive(rgb, config: EncodeConfig | None = None) -> bytes:
     is ignored: progressive packing always uses the XLA packer because EOBn
     fields exceed the Pallas pack kernel's 28-bit field bound (engines are
     byte-identical, so this is a performance detail only).
+
+    ``successive=True`` (or an explicit ``scan_script``) routes to the
+    scan-script engine with successive approximation — see
+    ``encode_progressive_script``.
     """
+    if successive or scan_script is not None:
+        return encode_progressive_script(rgb, config, scan_script)
     cfg = config or EncodeConfig()
     rgb = jnp.asarray(rgb, dtype=jnp.uint8)
     h, w = rgb.shape[0], rgb.shape[1]
