@@ -38,12 +38,15 @@ class BucketedEncoder:
 
     def encode(self, images: list[np.ndarray]) -> list[bytes]:
         """Encode a mixed-geometry list; output order matches input."""
+        from .fast import SAMPLING_GEOMETRY
+        mcu_w, mcu_h, _ = SAMPLING_GEOMETRY[self.config.subsampling]
         buckets: dict[tuple[int, int], list[int]] = {}
         for i, img in enumerate(images):
             h, w = img.shape[:2]
-            if h % 16 or w % 16:
+            if h % mcu_h or w % mcu_w:
                 raise ValueError(
-                    f"image {i} is {w}x{h}; pad with io.editimage first")
+                    f"image {i} is {w}x{h}; pad with io.editimage first, "
+                    "or use encode_any")
             buckets.setdefault((h, w), []).append(i)
 
         out: list[bytes | None] = [None] * len(images)
@@ -53,3 +56,34 @@ class BucketedEncoder:
             for i, data in zip(idxs, enc.encode_batch(batch)):
                 out[i] = data
         return out  # type: ignore[return-value]
+
+    def encode_any(self, images: list[np.ndarray]) -> list[bytes]:
+        """Ragged batch: arbitrary dims, automatic padding + bucketing.
+
+        Images are edge-replicated up to the MCU grid and each SOF
+        declares the true size (decoders crop, T.81 A.2.1); images
+        sharing an MCU grid share one compiled encoder.  Padding CANNOT
+        go beyond the minimal MCU grid: T.81 A.2 derives the coded MCU
+        count from the SOF dims, so a coarser bucket grid would desync
+        every standard decoder.  Output order matches input.
+        """
+        from ..bitstream import jfif
+        from .fast import SAMPLING_GEOMETRY
+        mcu_w, mcu_h, _ = SAMPLING_GEOMETRY[self.config.subsampling]
+        padded = []
+        dims = []
+        for img in images:
+            img = np.asarray(img)
+            h, w = img.shape[:2]
+            if h == 0 or w == 0:
+                raise ValueError("image has zero pixels")
+            ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+            dims.append((h, w, ph, pw))
+            if (ph, pw) != (h, w):
+                img = np.pad(img, ((0, ph - h), (0, pw - w), (0, 0)),
+                             mode="edge")
+            padded.append(img)
+        out = self.encode(padded)
+        return [jfif.patch_sof_dims(data, w, h) if (ph, pw) != (h, w)
+                else data
+                for data, (h, w, ph, pw) in zip(out, dims)]

@@ -41,3 +41,22 @@ def test_bucketed_mixed_resolutions(img_synthetic_160):
         assert rec.shape == img.shape
     # same-geometry images share one cached encoder
     assert len(enc._encoders) == 2
+
+
+def test_bucketed_ragged_auto_pad(img_synthetic_160):
+    """encode_any pads arbitrary dims to the MCU grid and declares true
+    sizes; every stream must decode at its true size.  (Padding cannot
+    exceed the MCU grid — T.81 derives the MCU count from the SOF dims —
+    so bucketing granularity is exactly the MCU grid.)"""
+    from jpeg_tpu.golden import decoder as gdec
+    img = np.asarray(img_synthetic_160)
+    raggeds = [img[:37, :50], img[:64, :64], img[:61, :64], img[:100, :90]]
+    enc = BucketedEncoder(interpret=True)
+    out = enc.encode_any(raggeds)
+    # 61x64 pads to the same 64x64 grid as the exact 64x64 image;
+    # 37x50 -> 48x64 and 100x90 -> 112x96 get their own buckets
+    assert len(enc._encoders) == 3
+    for src, data in zip(raggeds, out):
+        rec = gdec.decode(data)
+        assert rec.shape == src.shape
+        assert gdec.psnr(rec, src) > 18.0
