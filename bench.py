@@ -41,6 +41,10 @@ def _load_batch():
     return np.stack([np.roll(img, 16 * i, axis=0) for i in range(BATCH)])
 
 
+def _t(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     import jax
@@ -58,10 +62,12 @@ def main():
     batch = jax.device_put(jnp.asarray(batch_np))
     jax.block_until_ready(batch)
 
+    _t("warmup fixed")
     # Warmup/compile + correctness probe (PIL-independent: SOI/EOI + decode).
     jpegs = enc.encode_batch(batch)
     assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for j in jpegs)
 
+    _t("measure fixed")
     # Device throughput: pipelined fused steps.
     out = None
     t0 = time.perf_counter()
@@ -71,6 +77,7 @@ def main():
     dt = (time.perf_counter() - t0) / ITERS
     mps = (BATCH * h * w) / dt / 1e6
 
+    _t("measure e2e")
     # Secondary: e2e bytes-out (tunnel d2h-bound in this environment).
     t0 = time.perf_counter()
     enc.encode_batch(batch)
@@ -81,6 +88,7 @@ def main():
     # reference's actual behavior).  Pipelined: batch i+1's analyze is
     # enqueued before batch i's histogram sync, hiding the device->host
     # histogram fetch and the host table builds behind device compute.
+    _t("warmup dynamic")
     dyn_enc = FastBatchEncoder(
         h, w, config=EncodeConfig(scan_layout="interleaved",
                                   huffman="dynamic"), segs_per_image=1)
@@ -94,6 +102,7 @@ def main():
             pass
         return slots, h
 
+    _t("measure dynamic")
     t0 = time.perf_counter()
     pend = start_batch()
     for _ in range(ITERS - 1):
@@ -110,6 +119,7 @@ def main():
     # Secondary: decode. Host-side entropy decode (native C++ bit-walk)
     # feeds the device IDCT/reconstruct; the two stages pipeline across
     # images, so sustained throughput is bounded by the slower stage.
+    _t("decode bench")
     from jpeg_tpu.golden.decoder import parse_coefficients
     from jpeg_tpu.pipelines.decode import reconstruct
     one = enc.encode_batch(batch[:1])[0]
@@ -132,6 +142,7 @@ def main():
     recon_ms = (time.perf_counter() - t0) / ITERS * 1000.0
     dec_mps = (h * w) / max(entropy_ms, recon_ms) / 1e3
 
+    _t("done")
     print(json.dumps({
         "metric": "device_encode_throughput",
         "value": round(mps, 1),

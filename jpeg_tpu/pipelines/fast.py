@@ -143,6 +143,12 @@ def analyze_zz(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
     (seq [..., n_segs, nblk, 64] int32, dc_diff [..., n_segs, nblk] int32)
     — one less full-array pass than ``analyze_symbols`` (no ``.at[...,0]``
     DC rewrite, no slot arrays).
+
+    Coefficients stay int32 deliberately: int16 would halve the relayout
+    traffic (the clip makes them int16-exact) and saves ~0.3 ms/step, but
+    the int16 transpose feeding the kernel blows the XLA:TPU compile up
+    from ~2 min to ~17 min (measured 2026-08-17) — the same class of
+    pathology as the vmap/einsum cases in CLAUDE.md.
     """
     convert = {"420": ops_color.rgb_to_ycbcr_420,
                "422": ops_color.rgb_to_ycbcr_422,
