@@ -122,7 +122,13 @@ def main():
     _t("decode bench")
     from jpeg_tpu.golden.decoder import parse_coefficients
     from jpeg_tpu.pipelines.decode import reconstruct
-    one = enc.encode_batch(batch[:1])[0]
+    # restart-delimited stream: RSTn segments decode thread-parallel in the
+    # native bit-walk (jt_decode_scan_mt), the decode-side dual of the
+    # encoder's segment-parallel packing
+    enc8 = FastBatchEncoder(
+        h, w, config=EncodeConfig(scan_layout="interleaved",
+                                  huffman="fixed"), segs_per_image=8)
+    one = enc8.encode_batch(batch[:1])[0]
     comps, coeffs, quant, w2, h2 = parse_coefficients(one)  # warm
     t0 = time.perf_counter()
     for _ in range(5):

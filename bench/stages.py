@@ -39,12 +39,14 @@ def main():
         D.dct_quantize_zigzag(C.to_blocks(cb), cq),
         D.dct_quantize_zigzag(C.to_blocks(cr), cq)))
     azz = jax.jit(lambda b: F.analyze_zz(b, lq, cq, W // 16, H // 16, 1))
+    apx = jax.jit(lambda b: F.analyze_px(b, W // 16, H // 16, 1))
     step = enc.step
 
     # warm up all
     planes = color(batch)
     zz = dcts(*planes)
     seq = azz(batch)
+    px = apx(batch)
     out = step(batch)
     ah = dyn._analyze_hist(batch)
     tables, luts = dyn._build_tables_batch(np.asarray(ah[1]))
@@ -68,9 +70,10 @@ def main():
     amortized("RGB->YCbCr + 4:2:0", color, batch)
     amortized("DCT + quantize + zig-zag (3 planes)", dcts, *planes)
     amortized("analyze_zz (color+DCT+interleave+DC diff)", azz, batch)
-    step_ms = amortized("full fixed step (zz + fused sym/attach/pack)", step,
-                        batch)
-    amortized("dynamic stage 1 (analyze + slots + MXU hist)",
+    amortized("analyze_px (color+interleave, XLA front)", apx, batch)
+    step_ms = amortized("full fixed step (px + fused DCT/sym/attach/pack)",
+                        step, batch)
+    amortized("dynamic stage 1 (analyze + Pallas symbolize + MXU hist)",
               dyn._analyze_hist, batch)
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -10,8 +10,10 @@ block bit offsets force a barrier):
   B. ``_place_kernel``: the transposed local pack + shift/rotate of
      ``kernels.pack._pack_kernel_t``, reading phase A's outputs directly.
 
-Only used for a single shared LUT (fixed-table mode); per-image dynamic
-tables go through ``lut.attach_grouped`` + ``pack.pack_segments``.
+Fixed-table mode runs the fully-fused ``analyze_attach_pack_segments``;
+dynamic mode splits at the histogram sync into ``symbolize_segments``
+(feeds the per-image K.2 builds) + ``attach_pack_grouped`` (per-image
+LUTs), still with no slot-array relayouts.
 """
 from __future__ import annotations
 
@@ -28,10 +30,13 @@ from .pack import LOCAL_WORDS, _cumsum_sublanes, _sub_iota
 _TB = 128  # blocks per tile (lanes); fixed: the LUT lane-gather needs 128
 
 
-def _attach_bits_kernel(lut_ref, idx_ref, extra_ref, extran_ref,
-                        value_ref, nbits_ref, bits_ref):
-    t = lut_ref[:]            # [8, 128]
-    idx = idx_ref[:]          # [64, TB]
+def _attach(t, idx, extra, extra_n, value_ref, nbits_ref, bits_ref):
+    """Shared LUT attach: combined-LUT lane-gather + field assembly.
+
+    t: [8, 128] combined LUT rows in VMEM; idx/extra/extra_n: [64, TB]
+    slot fields.  Writes the packed codeword fields, per-slot bit counts,
+    and per-block bit totals.
+    """
     hi = idx >> 7
     lo = idx & 127
     entry = jnp.zeros_like(idx)
@@ -39,11 +44,16 @@ def _attach_bits_kernel(lut_ref, idx_ref, extra_ref, extran_ref,
         rowb = jnp.broadcast_to(t[r, :][None, :], idx.shape)
         g = jnp.take_along_axis(rowb, lo, axis=1)
         entry = jnp.where(hi == r, g, entry)
-    en = extran_ref[:]
-    nb = (entry >> 16) + en
-    value_ref[:] = ((entry & 0xFFFF) << en) | extra_ref[:]
+    nb = (entry >> 16) + extra_n
+    value_ref[:] = ((entry & 0xFFFF) << extra_n) | extra
     nbits_ref[:] = nb
     bits_ref[:] = jnp.sum(nb, axis=0, keepdims=True, dtype=jnp.int32)
+
+
+def _attach_bits_kernel(lut_ref, idx_ref, extra_ref, extran_ref,
+                        value_ref, nbits_ref, bits_ref):
+    _attach(lut_ref[:], idx_ref[:], extra_ref[:], extran_ref[:],
+            value_ref, nbits_ref, bits_ref)
 
 
 def _place_kernel(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
@@ -113,15 +123,39 @@ def _symbolize_attach_kernel(lut_ref, zz_ref, dcd_ref, isl_ref,
     ``isl`` is +1 luma / 0 chroma / -1 padding (padding blocks emit no
     bits).
     """
-    t = lut_ref[:]                              # [8, 128]
-    v = zz_ref[:]                               # [64, TB] int32
-    dcd = dcd_ref[:]                            # [1, TB]
-    isl = isl_ref[:]                            # [1, TB]
-    sub = _sub_iota(v.shape)
-    # slot 0 carries the DC difference (the packer's emission order)
-    v = jnp.where(sub == 0, jnp.broadcast_to(dcd, v.shape), v)
+    idx, extra, extra_n = _symbolize(zz_ref[:], dcd_ref[:], isl_ref[:])
+    _attach(lut_ref[:], idx, extra, extra_n, value_ref, nbits_ref, bits_ref)
 
-    # magnitude class (huff_class, main/encoder.c:303-313), |v| <= 4095
+
+def _symbolize_idx_kernel(zz_ref, dcd_ref, isl_ref, idx_ref,
+                          extra_ref, extran_ref):
+    """Symbolization only: zz -> combined-LUT indices + amplitude fields.
+
+    The dynamic-table path needs the symbol stream twice — once for the
+    histograms that feed the per-image K.2 builds, once for the attach —
+    and recomputing it in-kernel is cheaper than materializing the three
+    int32 slot arrays in HBM.  This pass feeds the histogram (idx) and
+    the grouped attach consumes idx/extra/extra_n directly.
+    """
+    idx, extra, extra_n = _symbolize(zz_ref[:], dcd_ref[:], isl_ref[:])
+    idx_ref[:] = idx
+    extra_ref[:] = extra
+    extran_ref[:] = extra_n
+
+
+def _symbolize(v, dcd, isl):
+    """Shared in-kernel run-length symbolization.
+
+    In-kernel equivalent of ``ops.symbols.symbolize`` + ``lut.slot_index``:
+    slot 0 carries the DC difference, AC slots carry run/class symbols with
+    ZRL (0xF0) fills and a trailing EOB (T.81 F.1.2.2; reference emission
+    order main/encoder.c:145-176, huff_class :303-313, |v| <= 4095).
+    Slots on sublanes, blocks on lanes; the EOB/ZRL logic needs one
+    sublane cummax and two rolls.  Invalid slots get NULL_INDEX (the
+    combined LUT's zero-bit entry).
+    """
+    sub = _sub_iota(v.shape)
+    v = jnp.where(sub == 0, jnp.broadcast_to(dcd, v.shape), v)
     a = jnp.abs(v)
     cls = jnp.zeros_like(v)
     for k in range(12):
@@ -130,7 +164,7 @@ def _symbolize_attach_kernel(lut_ref, zz_ref, dcd_ref, isl_ref,
 
     ac_nz = (v != 0) & (sub >= 1)
     m = _cummax_sublanes(jnp.where(ac_nz, sub, 0))
-    last_nz = jnp.max(m, axis=0, keepdims=True)  # [1, TB]
+    last_nz = jnp.max(m, axis=0, keepdims=True)
     prev_nz = pltpu.roll(m, 1, axis=0)
     prev_nz = jnp.where(sub == 0, 0, prev_nz)
 
@@ -144,8 +178,6 @@ def _symbolize_attach_kernel(lut_ref, zz_ref, dcd_ref, isl_ref,
     zrl = (~ac_nz) & (sub >= 1) & (sub < last_nz) & ((zero_run & 15) == 0)
     sym = jnp.where(zrl, 0xF0, sym)
     valid = valid | zrl
-
-    # EOB symbol is 0x00 with no extra bits; sym already 0 there
     valid = valid | ((sub == last_nz + 1) & (last_nz < 63))
 
     is_dc = sub == 0
@@ -153,25 +185,286 @@ def _symbolize_attach_kernel(lut_ref, zz_ref, dcd_ref, isl_ref,
     extra = jnp.where(is_dc, amp, extra)
     extra_n = jnp.where(is_dc, cls, extra_n)
     valid = valid | is_dc
-    valid = valid & (isl >= 0)                  # padding blocks: no slots
+    valid = valid & (isl >= 0)
 
     idx = sym | (is_dc.astype(jnp.int32) << 8) | \
         (jnp.broadcast_to(isl == 1, v.shape).astype(jnp.int32) << 9)
     idx = jnp.where(valid, idx, NULL_INDEX)
-
-    hi = idx >> 7
-    lo = idx & 127
-    entry = jnp.zeros_like(idx)
-    for r in range(8):
-        rowb = jnp.broadcast_to(t[r, :][None, :], idx.shape)
-        g = jnp.take_along_axis(rowb, lo, axis=1)
-        entry = jnp.where(hi == r, g, entry)
     extra = jnp.where(valid, extra, 0)
     extra_n = jnp.where(valid, extra_n, 0)
-    nb = (entry >> 16) + extra_n
-    value_ref[:] = ((entry & 0xFFFF) << extra_n) | extra
-    nbits_ref[:] = nb
-    bits_ref[:] = jnp.sum(nb, axis=0, keepdims=True, dtype=jnp.int32)
+    return idx, extra, extra_n
+
+
+def _attach_grouped_kernel(lut_ref, idx_ref, extra_ref, extran_ref,
+                           value_ref, nbits_ref, bits_ref):
+    """Per-group LUT attach consuming pre-symbolized fields."""
+    _attach(lut_ref[0], idx_ref[:], extra_ref[:], extran_ref[:],
+            value_ref, nbits_ref, bits_ref)
+
+
+def _dct_symbolize(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
+                   *, tiles_per_seg: int, real_nblk: int, period: int,
+                   ypm: int):
+    """In-kernel DCT + quantize + zigzag + DC diff + symbolization.
+
+    xt_ref: [64, TB] f32 raster-flattened un-level-shifted pixel blocks in
+    interleaved MCU order (transposed); m_ref: [64, 64] zig-zag-ordered
+    flat DCT basis (``tables.dct_flat_basis``); bias/ql/qc: [64, 128]
+    lane-broadcast bias and luma/chroma quantizers in zig-zag order.
+
+    Everything the old XLA analyze tail did is derived in-kernel from the
+    static MCU pattern (period = ypm + 2 blocks: Y*ypm, Cb, Cr):
+      * component select: pos = global block index mod period; luma iff
+        pos < ypm; blocks past ``real_nblk`` are padding (no symbols).
+      * DC differencing: the prev-same-component distance is 3 for the
+        first Y of an MCU (the previous MCU's last Y), 1 for the other Y
+        blocks, and ``period`` for Cb/Cr — for every subsampling.  Lane
+        rolls give in-tile neighbors; ``prev_ref`` (VMEM scratch, persists
+        across the sequential TPU grid) carries the previous tile's DC
+        row, and the first tile of each segment zeroes the chain (restart
+        semantics).  Exact integer ops — bit-identical to the XLA
+        engine's per-component diff chains given equal DC values.
+    """
+    f = jax.lax.dot_general(m_ref[:], xt_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    f = f + bias_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f.shape[1]), 1)
+    i = pl.program_id(0)
+    tile_in_seg = jax.lax.rem(i, jnp.int32(tiles_per_seg))
+    blk = tile_in_seg * _TB + lane                     # [1, TB] in-segment
+    pos = jax.lax.rem(blk, jnp.int32(period))
+    isl_row = pos < ypm
+    q = jnp.where(jnp.broadcast_to(isl_row, f.shape), ql_ref[:], qc_ref[:])
+    v = jnp.trunc(f / q)
+    v = jnp.clip(v, -2048.0, 2047.0).astype(jnp.int32)
+
+    dc = v[0:1, :]
+    d = jnp.where(pos == 0, 3, jnp.where(pos < ypm, 1, period))
+    prev_tile = prev_ref[:]
+    prev_dc = jnp.zeros_like(dc)
+    for dd in sorted({1, 3, period}):
+        cand = jnp.where(lane >= dd, pltpu.roll(dc, dd, axis=1),
+                         pltpu.roll(prev_tile, dd, axis=1))
+        prev_dc = jnp.where(d == dd, cand, prev_dc)
+    first = tile_in_seg == 0
+    prev_dc = jnp.where(first & (lane < d), 0, prev_dc)
+    dcd = dc - prev_dc
+    prev_ref[:] = dc
+
+    isl = jnp.where(blk < real_nblk, isl_row.astype(jnp.int32), -1)
+    return _symbolize(v, dcd, isl)
+
+
+def _dct_attach_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
+                       value_ref, nbits_ref, bits_ref, prev_ref, **geom):
+    idx, extra, extra_n = _dct_symbolize(
+        m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref, **geom)
+    _attach(lut_ref[:], idx, extra, extra_n, value_ref, nbits_ref, bits_ref)
+
+
+def _dct_idx_kernel(m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
+                    idx_ref, extra_ref, extran_ref, prev_ref, **geom):
+    idx, extra, extra_n = _dct_symbolize(
+        m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref, **geom)
+    idx_ref[:] = idx
+    extra_ref[:] = extra
+    extran_ref[:] = extra_n
+
+
+def _dct_front(px, n_segments: int):
+    """Shared prologue: pad segments to _TB blocks, transpose to [64, nblk].
+
+    px: [S, nblk_seg, 64] f32 pixel blocks.  Returns (xt, nblk, geometry
+    kwargs minus period/ypm).
+    """
+    S, nblk_seg, _ = px.shape
+    if n_segments != S:
+        raise ValueError(f"n_segments={n_segments} != leading dim {S}")
+    pad = (-nblk_seg) % _TB
+    if pad:
+        px = jnp.concatenate(
+            [px, jnp.zeros((S, pad, 64), px.dtype)], axis=1)
+    nblk = S * (nblk_seg + pad)
+    xt = px.reshape(nblk, 64).astype(jnp.float32).T
+    return xt, nblk, dict(tiles_per_seg=(nblk_seg + pad) // _TB,
+                          real_nblk=nblk_seg)
+
+
+def _dct_consts(m, bias, ql, qc):
+    specs = [pl.BlockSpec((64, 64), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)] + \
+        [pl.BlockSpec((64, 128), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)] * 3
+    args = (m.astype(jnp.float32),
+            jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (64, 128)),
+            jnp.broadcast_to(ql.astype(jnp.float32)[:, None], (64, 128)),
+            jnp.broadcast_to(qc.astype(jnp.float32)[:, None], (64, 128)))
+    return specs, args
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "period", "ypm",
+                                    "seg_rows", "interpret"))
+def dct_attach_pack_segments(lut, m, bias, ql, qc, px, n_segments: int,
+                             period: int, ypm: int, seg_rows: int,
+                             interpret: bool = False):
+    """Fully-fused fixed-LUT DCT + quantize + zigzag + DC diff + symbolize
+    + attach + pack over S segments.
+
+    px: [S, nblk_seg, 64] f32 raster-flattened pixel blocks (after color
+    conversion and MCU interleave, NO level shift — folded into ``bias``).
+    The whole numeric stage of ``main/encoder.c:81-178`` runs inside one
+    Pallas kernel; only the color convert and block relayout remain in
+    XLA.  Returns (words [S, seg_rows*128] u32, total_bits [S] i32).
+    """
+    S = n_segments
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError("segment space exceeds int32 bit offsets")
+    xt, nblk, geom = _dct_front(px, S)
+    cspecs, cargs = _dct_consts(m, bias, ql, qc)
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dct_attach_kernel, period=period, ypm=ypm,
+                               **geom)
+    value_t, nbits_t, bits = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((1, nblk), jnp.int32)],
+        grid=grid,
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + cspecs + [dat()],
+        out_specs=[dat(), dat(),
+                   pl.BlockSpec((1, _TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((1, _TB), jnp.int32)],
+        interpret=interpret,
+    )(lut.reshape(8, 128), *cargs, xt)
+    return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
+                          interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "period", "ypm",
+                                    "interpret"))
+def dct_symbolize_segments(m, bias, ql, qc, px, n_segments: int,
+                           period: int, ypm: int, interpret: bool = False):
+    """Dynamic-mode stage 1: fused DCT->symbolize, transposed slot fields.
+
+    Same numeric path as ``dct_attach_pack_segments`` but stopping at the
+    (idx, extra, extra_n) fields, which feed the per-image symbol
+    histograms and then ``attach_pack_grouped``.
+    """
+    xt, nblk, geom = _dct_front(px, n_segments)
+    cspecs, cargs = _dct_consts(m, bias, ql, qc)
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dct_idx_kernel, period=period, ypm=ypm,
+                               **geom)
+    idx, extra, extra_n = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32)],
+        grid=grid,
+        in_specs=cspecs + [dat()],
+        out_specs=[dat(), dat(), dat()],
+        scratch_shapes=[pltpu.VMEM((1, _TB), jnp.int32)],
+        interpret=interpret,
+    )(*cargs, xt)
+    return idx, extra, extra_n
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "interpret"))
+def symbolize_segments(zz, dc_diff, is_luma, n_segments: int,
+                       interpret: bool = False):
+    """Pallas symbolization pass: zz -> (idx, extra, extra_n) transposed.
+
+    Same inputs as ``analyze_attach_pack_segments``; returns the padded
+    transposed slot fields ([64, nblk] each) plus the padded layout's
+    block count per segment, ready for ``attach_pack_grouped``.  idx also
+    feeds the symbol histograms (NULL_INDEX marks invalid slots).
+    """
+    S, nblk_seg, _ = zz.shape
+    if n_segments != S:
+        raise ValueError(f"n_segments={n_segments} != leading dim {S}")
+    pad = (-nblk_seg) % _TB
+    if pad:
+        zz = jnp.concatenate(
+            [zz, jnp.zeros((S, pad, 64), zz.dtype)], axis=1)
+        dc_diff = jnp.concatenate(
+            [dc_diff, jnp.zeros((S, pad), dc_diff.dtype)], axis=1)
+        is_luma = jnp.concatenate(
+            [is_luma, jnp.full((S, pad), -1, jnp.int32)], axis=1)
+    nblk = S * (nblk_seg + pad)
+
+    zz_t = zz.reshape(nblk, 64).astype(jnp.int32).T
+    dcd = dc_diff.reshape(1, nblk).astype(jnp.int32)
+    isl = is_luma.reshape(1, nblk).astype(jnp.int32)
+
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    row = lambda: pl.BlockSpec((1, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    idx, extra, extra_n = pl.pallas_call(
+        _symbolize_idx_kernel,
+        out_shape=[jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32)],
+        grid=grid,
+        in_specs=[dat(), row(), row()],
+        out_specs=[dat(), dat(), dat()],
+        interpret=interpret,
+    )(zz_t, dcd, isl)
+    return idx, extra, extra_n, nblk_seg + pad
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "segs_per_group",
+                                    "seg_rows", "interpret"))
+def attach_pack_grouped(luts, idx_t, extra_t, extran_t, n_segments: int,
+                        segs_per_group: int, seg_rows: int,
+                        interpret: bool = False):
+    """Grouped-LUT attach + pack over pre-symbolized transposed fields.
+
+    luts: [G, 1024] combined LUTs (G = n_segments / segs_per_group images);
+    idx_t/extra_t/extran_t: [64, nblk] from ``symbolize_segments`` (already
+    segment-padded).  Returns (words [S, seg_rows*128] u32, total_bits [S]).
+    """
+    S = n_segments
+    nblk = idx_t.shape[1]
+    nblk_seg = nblk // S
+    if nblk_seg % _TB:
+        raise ValueError("segment block count must be _TB-padded")
+    tiles_per_group = (nblk_seg // _TB) * segs_per_group
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError("segment space exceeds int32 bit offsets")
+
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    row = lambda: pl.BlockSpec((1, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    lut_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i: (i // tiles_per_group, 0, 0),
+        memory_space=pltpu.VMEM)
+    value_t, nbits_t, bits = pl.pallas_call(
+        _attach_grouped_kernel,
+        out_shape=[jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((1, nblk), jnp.int32)],
+        grid=grid,
+        in_specs=[lut_spec, dat(), dat(), dat()],
+        out_specs=[dat(), dat(), row()],
+        interpret=interpret,
+    )(luts.reshape(-1, 8, 128), idx_t, extra_t, extran_t)
+
+    return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
+                          interpret)
 
 
 def _segment_place(value_t, nbits_t, bits, S: int, nblk: int, seg_rows: int,

@@ -36,7 +36,8 @@ def _load():
                     and os.path.getmtime(_SO) < os.path.getmtime(src)):
                 os.makedirs(_BUILD_DIR, exist_ok=True)
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, src],
+                    ["g++", "-O2", "-shared", "-fPIC", "-pthread",
+                     "-o", _SO, src],
                     check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
             lib.jt_finish_scan.restype = ctypes.c_int64
@@ -65,6 +66,12 @@ def _load():
                 ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
                 i32p, i32p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, i32p]
+            lib.jt_decode_scan_mt.restype = ctypes.c_int64
+            lib.jt_decode_scan_mt.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
+                i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -128,18 +135,24 @@ def build_huff_tables(freqs: np.ndarray):
 
 def decode_scan(data: bytes, start: int, dc_specs: np.ndarray,
                 ac_specs: np.ndarray, pattern, comp_dc, comp_ac,
-                n_mcus: int, restart_interval: int):
+                n_mcus: int, restart_interval: int,
+                n_threads: int | None = None):
     """Native baseline scan decode (the serial Huffman bit-walk).
 
     dc_specs/ac_specs: [4, 273] int32 — DHT BITS[17] + HUFFVAL[256] per
-    table id.  pattern: component slot per block within an MCU.  Returns
-    (zz [n_mcus*len(pattern), 64] int32 in emission order, end_pos) or
-    None if the library is unavailable.  Raises ValueError on a malformed
-    stream.
+    table id.  pattern: component slot per block within an MCU.  When the
+    stream has restart markers, RSTn-delimited segments decode in parallel
+    on ``n_threads`` host threads (default: one per CPU, capped at 16 —
+    segment decode is the dual of the encoder's segment-parallel packing).
+    Returns (zz [n_mcus*len(pattern), 64] int32 in emission order,
+    end_pos) or None if the library is unavailable.  Raises ValueError on
+    a malformed stream.
     """
     lib = _load()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
     buf = np.frombuffer(data, np.uint8)
     dc = np.ascontiguousarray(dc_specs, np.int32)
     ac = np.ascontiguousarray(ac_specs, np.int32)
@@ -148,14 +161,14 @@ def decode_scan(data: bytes, start: int, dc_specs: np.ndarray,
     cac = np.ascontiguousarray(comp_ac, np.int32)
     out = np.empty((n_mcus * pat.size, 64), np.int32)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    end = lib.jt_decode_scan(
+    end = lib.jt_decode_scan_mt(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_int64(buf.size), ctypes.c_int64(start),
         dc.ctypes.data_as(i32p), ac.ctypes.data_as(i32p),
         pat.ctypes.data_as(i32p), ctypes.c_int64(pat.size),
         cdc.ctypes.data_as(i32p), cac.ctypes.data_as(i32p),
         ctypes.c_int64(cdc.size), ctypes.c_int64(n_mcus),
-        ctypes.c_int64(restart_interval),
+        ctypes.c_int64(restart_interval), ctypes.c_int64(int(n_threads)),
         out.ctypes.data_as(i32p))
     if end < 0:
         raise ValueError("malformed entropy-coded segment")

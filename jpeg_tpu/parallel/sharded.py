@@ -203,40 +203,47 @@ class ShardedEncoder:
         """Fixed-table fused step with the Pallas per-device kernels.
 
         Same shard_map decomposition as the XLA variant, but each device
-        runs the fast-path stack (combined-LUT VMEM attach + hierarchical
-        bit pack) over its restart-segment slab.  Bytes are identical to
-        the XLA engine; histograms are also produced (psum over space) so
-        ``step`` has one signature across engines.
+        runs the fused Pallas stack over its restart-segment slab: one
+        DCT+quantize+zigzag+DC-diff+symbolize kernel (``kernels.fused``),
+        then the combined-LUT attach + parallel bit pack, all in the
+        transposed slot layout.  Bytes are identical to the XLA engine;
+        histograms are also produced (psum over space) so ``step`` has one
+        signature across engines.
         """
+        from ..kernels import fused as kfused
         from ..kernels import lut as klut
         from ..kernels import pack as kpack
         from ..pipelines import fast as F
 
         mesh = self.mesh
         lut = jnp.asarray(klut.build_combined_lut(self._fixed))
-        lq, cq = jnp.asarray(self._luma_q), jnp.asarray(self._chroma_q)
         mx = self.width // self._mcu_w
         slab_my = self.slab_h // self._mcu_h
         spd = self.segs_per_device
         seg_rows = kpack.rows_per_segment(
             self.mcus_per_segment * (self.y_per_mcu + 2) * 64)
         interp = jax.default_backend() not in ("tpu",)
-        dtype = self._dtype
         sampling = self.sampling
+        ypm = self.y_per_mcu
+        scan = np.asarray(T.SCAN_ORDER)
+        m, bias = T.dct_flat_basis()
+        dct_m = jnp.asarray(m, jnp.float32)
+        dct_b = jnp.asarray(bias, jnp.float32)
+        ql_zz = jnp.asarray(
+            np.asarray(self._luma_q).reshape(64)[scan], jnp.float32)
+        qc_zz = jnp.asarray(
+            np.asarray(self._chroma_q).reshape(64)[scan], jnp.float32)
 
         def device_fn(rgb_local):  # [B_local, slab_h, W, 3]
             b = rgb_local.shape[0]
-            slots = F.analyze_symbols(rgb_local, lq, cq, mx, slab_my, spd,
-                                      dtype=dtype, sampling=sampling)
-            idx = slots["idx"].reshape(b * spd, -1)
-            value, nbits = klut.attach(lut, idx,
-                                       slots["extra"].reshape(b * spd, -1),
-                                       slots["extra_n"].reshape(b * spd, -1),
-                                       interpret=interp)
-            words, totals = kpack.pack_segments(
-                value.reshape(b * spd, -1, 64), nbits.reshape(b * spd, -1, 64),
-                b * spd, seg_rows, interpret=interp)
-            hists = F.hist_1024(slots["idx"].reshape(b, -1))
+            px = F.analyze_px(rgb_local, mx, slab_my, spd, sampling=sampling)
+            idx_t, extra_t, extran_t = kfused.dct_symbolize_segments(
+                dct_m, dct_b, ql_zz, qc_zz, px.reshape(b * spd, -1, 64),
+                b * spd, ypm + 2, ypm, interpret=interp)
+            words, totals = kfused.attach_pack_grouped(
+                lut[None, :], idx_t, extra_t, extran_t, b * spd, b * spd,
+                seg_rows, interpret=interp)
+            hists = F.hist_1024_t(idx_t, b)
             ldc, lac, cdc, cac = F.split_hists(hists)
             h4 = jnp.stack([ldc, lac, cdc, cac], axis=1)  # [B_local, 4, 256]
             h4 = jax.lax.psum(h4, SPACE_AXIS)

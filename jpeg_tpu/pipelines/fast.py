@@ -85,15 +85,15 @@ def luma_mask(mps: int, y_per_mcu: int = 4):
 def hist_1024(idx):
     """[..., n] combined-LUT indices -> [..., 1024] histogram via the MXU.
 
-    Decompose idx = hi*128 + lo, build one-hot masks for hi (8 wide) and
-    lo (128 wide) in bfloat16 (0/1 exact), and contract over the slot
-    axis: hist[hi, lo] = mask_hi.T @ onehot_lo.  The n x 1024 counting
-    work rides the MXU as an [8, n] @ [n, 128] matmul with n x 136 VPU
+    Decompose idx = hi*128 + lo, build int8 one-hot masks for hi (8 wide)
+    and lo (128 wide), and contract over the slot axis:
+    hist[hi, lo] = mask_hi.T @ onehot_lo.  The n x 1024 counting work
+    rides the MXU as an [8, n] @ [n, 128] matmul with n x 136 VPU
     compares to build the masks — ~7.5x fewer elementwise ops than the
     round-1 full compare-reduce (n x 1024), which made dynamic-table mode
-    ~12x slower than fixed.  f32 accumulation is exact (per-bin counts
-    < 2^24).  The NULL_INDEX bin collects invalid slots; callers drop it.
-    Batch-native (no vmap).
+    ~12x slower than fixed.  int8 operands halve the one-hot HBM traffic
+    vs bf16; int32 accumulation keeps counts exact.  The NULL_INDEX bin
+    collects invalid slots; callers drop it.  Batch-native (no vmap).
     """
     *lead, n = idx.shape
     flat = idx.reshape(-1, n)
@@ -110,16 +110,55 @@ def hist_1024(idx):
     def step(h, ch):  # ch: [B, KC]
         hi = ch >> 7
         lo = ch & 127
+        # int8 one-hots halve the HBM traffic of the matmul operands (the
+        # chunked intermediates dominate this stage); int32 accumulation
+        # keeps counts exact
         oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)
-                 ).astype(jnp.bfloat16)
+                 ).astype(jnp.int8)
         oh_hi = (hi[..., None] == jnp.arange(8, dtype=jnp.int32)
-                 ).astype(jnp.bfloat16)
+                 ).astype(jnp.int8)
         return h + jnp.einsum("bnr,bnc->brc", oh_hi, oh_lo,
-                              preferred_element_type=jnp.float32), None
+                              preferred_element_type=jnp.int32), None
 
-    h0 = jnp.zeros((flat.shape[0], 8, 128), jnp.float32)
+    h0 = jnp.zeros((flat.shape[0], 8, 128), jnp.int32)
     h, _ = jax.lax.scan(step, h0, chunks)
-    return h.reshape(*lead, 1024).astype(jnp.int32)
+    return h.reshape(*lead, 1024)
+
+
+def hist_1024_t(idx_t, n_images: int):
+    """Transposed slot indices [64, n_images*n] -> [n_images, 1024] hists.
+
+    Same MXU one-hot contraction as ``hist_1024`` but consuming the
+    transposed layout ``kernels.fused.symbolize_segments`` emits, so the
+    dynamic path never relayouts the index field.  The contraction runs
+    over (slot-row, block-chunk) jointly: hist[hi, lo] += onehot_hi^T @
+    onehot_lo with int8 one-hots (exact 0/1; int32 accumulation).
+    """
+    r, total = idx_t.shape
+    n = total // n_images
+    x = idx_t.reshape(r, n_images, n)
+    KC = 2048  # blocks per chunk: bounds the one-hot intermediates to
+    #            64 * B * KC * 136 int8 elements (~4.5 MB per image row)
+    pad = (-n) % KC
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((r, n_images, pad), klut.NULL_INDEX, x.dtype)],
+            axis=-1)
+    chunks = jnp.moveaxis(x.reshape(r, n_images, -1, KC), 2, 0)
+
+    def step(h, ch):  # ch: [64, B, KC]
+        hi = ch >> 7
+        lo = ch & 127
+        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)
+                 ).astype(jnp.int8)
+        oh_hi = (hi[..., None] == jnp.arange(8, dtype=jnp.int32)
+                 ).astype(jnp.int8)
+        return h + jnp.einsum("rbnh,rbnl->bhl", oh_hi, oh_lo,
+                              preferred_element_type=jnp.int32), None
+
+    h0 = jnp.zeros((n_images, 8, 128), jnp.int32)
+    h, _ = jax.lax.scan(step, h0, chunks)
+    return h.reshape(n_images, 1024)
 
 
 def split_hists(h1024):
@@ -186,6 +225,38 @@ def analyze_zz(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
     return seq, dc_diff
 
 
+def analyze_px(rgb, mcus_x: int, mcus_y: int, n_segs: int,
+               sampling: str = "420"):
+    """Image -> per-segment interleaved f32 PIXEL blocks (no DCT).
+
+    Front half of the fully-fused path: color convert + 8x8 blocking +
+    MCU interleave only; DCT/quant/zigzag/DC-diff/symbolization all run
+    inside ``kernels.fused.dct_attach_pack_segments``.  Returns
+    [..., n_segs, mps*(ypm+2), 64] float32 raster-flattened blocks,
+    un-level-shifted (the -128 is folded into the DCT bias).
+    """
+    convert = {"420": ops_color.rgb_to_ycbcr_420,
+               "422": ops_color.rgb_to_ycbcr_422,
+               "444": ops_color.rgb_to_ycbcr_444}[sampling]
+    y, cb, cr = convert(rgb, dtype=jnp.float32)
+    yb = ops_color.to_blocks(y)
+    yb = yb.reshape(*yb.shape[:-2], 64)
+    cbb = ops_color.to_blocks(cb)
+    cbb = cbb.reshape(*cbb.shape[:-2], 64)
+    crb = ops_color.to_blocks(cr)
+    crb = crb.reshape(*crb.shape[:-2], 64)
+    lead = yb.shape[:-2]
+    nm = mcus_x * mcus_y
+    mps = nm // n_segs
+    ypm = SAMPLING_GEOMETRY[sampling][2]
+    y_mcu = mcu_reorder(yb, mcus_x, mcus_y) if sampling == "420" else yb
+    return jnp.concatenate([
+        y_mcu.reshape(*lead, n_segs, mps, ypm, 64),
+        cbb.reshape(*lead, n_segs, mps, 1, 64),
+        crb.reshape(*lead, n_segs, mps, 1, 64),
+    ], axis=-2).reshape(*lead, n_segs, mps * (ypm + 2), 64)
+
+
 def analyze_symbols(rgb, luma_q, chroma_q, mcus_x: int, mcus_y: int,
                     n_segs: int, dtype=jnp.float32, sampling: str = "420"):
     """Image -> per-segment slot arrays + combined LUT indices.
@@ -247,6 +318,14 @@ class FastBatchEncoder:
         self._luma_q, self._chroma_q = T.quant_tables(self.config.quality)
         self._luma_q_d = jnp.asarray(self._luma_q)
         self._chroma_q_d = jnp.asarray(self._chroma_q)
+        scan = np.asarray(T.SCAN_ORDER)
+        m, bias = T.dct_flat_basis()
+        self._dct_m = jnp.asarray(m, jnp.float32)
+        self._dct_bias = jnp.asarray(bias, jnp.float32)
+        self._ql_zz = jnp.asarray(
+            np.asarray(self._luma_q).reshape(64)[scan], jnp.float32)
+        self._qc_zz = jnp.asarray(
+            np.asarray(self._chroma_q).reshape(64)[scan], jnp.float32)
         self._fixed = None
         if self.config.huffman == "fixed":
             self._fixed = fixed_tables()
@@ -262,43 +341,13 @@ class FastBatchEncoder:
 
     # -- jitted pieces ---------------------------------------------------
 
-    def _analyze_batch(self, rgbs):
-        # Batch-polymorphic ops, deliberately NOT vmapped: vmap's batched
-        # relayouts feeding a Pallas custom call blow XLA:TPU compile time
-        # up ~100x (56 s vs 1.7 s on a tiny batch).
-        return analyze_symbols(rgbs, self._luma_q_d, self._chroma_q_d,
-                               self.mcus_x, self.mcus_y, self.n_segs,
-                               dtype=self._dtype, sampling=self.sampling)
+    def _analyze_zz_batch(self, rgbs):
+        """Shared analyze front: (seq [B,S,nblk,64], dcd [B,S,nblk], isl).
 
-    def _attach_pack(self, slots, lut_per_seg):
-        """slots leaves [B, S, nblk, 64]; lut_per_seg [B*S or 1, 1024]."""
-        B, S = slots["idx"].shape[0], slots["idx"].shape[1]
-        if lut_per_seg.shape[0] == 1:
-            # fixed tables: fused attach+pack (transposed layout end to end)
-            from ..kernels import fused as kfused
-            words, total_bits = kfused.attach_pack_segments(
-                lut_per_seg[0],
-                slots["idx"].reshape(B * S, -1, 64),
-                slots["extra"].reshape(B * S, -1, 64),
-                slots["extra_n"].reshape(B * S, -1, 64),
-                B * S, self.seg_rows, interpret=self.interpret)
-        else:
-            idx = slots["idx"].reshape(B * S, -1)
-            extra = slots["extra"].reshape(B * S, -1)
-            extra_n = slots["extra_n"].reshape(B * S, -1)
-            value, nbits = klut.attach_grouped(lut_per_seg, idx, extra, extra_n,
-                                               interpret=self.interpret)
-            words, total_bits = kpack.pack_segments(
-                value.reshape(B * S, -1, 64), nbits.reshape(B * S, -1, 64),
-                B * S, self.seg_rows, interpret=self.interpret)
-        return (words.reshape(B, S, -1), total_bits.reshape(B, S))
-
-    def _step_fn(self, rgbs, lut):
-        """Fixed-table fused step: the analyze stage emits only un-diffed
-        coefficients + DC diffs; symbolization, LUT attach, and local
-        packing all happen inside the fused Pallas kernel (no slot arrays
-        in HBM)."""
-        from ..kernels import fused as kfused
+        Batch-polymorphic ops, deliberately NOT vmapped: vmap's batched
+        relayouts feeding a Pallas custom call blow XLA:TPU compile time
+        up ~100x (56 s vs 1.7 s on a tiny batch).
+        """
         seq, dcd = analyze_zz(rgbs, self._luma_q_d, self._chroma_q_d,
                               self.mcus_x, self.mcus_y, self.n_segs,
                               dtype=self._dtype, sampling=self.sampling)
@@ -306,21 +355,62 @@ class FastBatchEncoder:
         isl = jnp.broadcast_to(
             jnp.asarray(self._is_luma_seg)[None, :],
             (B * S, self._is_luma_seg.shape[0]))
-        words, totals = kfused.analyze_attach_pack_segments(
-            lut, seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1), isl,
-            B * S, self.seg_rows, interpret=self.interpret)
+        return seq, dcd, isl
+
+    def _step_fn(self, rgbs, lut):
+        """Fixed-table fused step.  f32: color + interleave in XLA, then
+        ONE Pallas kernel does DCT (MXU dot) + quantize + zigzag + DC diff
+        + symbolization + LUT attach + local packing — no coefficient or
+        slot arrays in HBM.  f64 (exact mode): coefficients come from the
+        XLA analyze stage and only symbolize-onward is fused."""
+        from ..kernels import fused as kfused
+        if self._dtype == jnp.float64:
+            seq, dcd, isl = self._analyze_zz_batch(rgbs)
+            B, S = seq.shape[0], seq.shape[1]
+            words, totals = kfused.analyze_attach_pack_segments(
+                lut, seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1),
+                isl, B * S, self.seg_rows, interpret=self.interpret)
+            return words.reshape(B, S, -1), totals.reshape(B, S)
+        px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
+                        sampling=self.sampling)
+        B, S = px.shape[0], px.shape[1]
+        words, totals = kfused.dct_attach_pack_segments(
+            lut, self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
+            px.reshape(B * S, -1, 64), B * S, self.y_per_mcu + 2,
+            self.y_per_mcu, self.seg_rows, interpret=self.interpret)
         return words.reshape(B, S, -1), totals.reshape(B, S)
 
     def _analyze_hist_fn(self, rgbs):
-        """Dynamic-table stage 1, one jit: slots + per-image histograms."""
-        slots = self._analyze_batch(rgbs)
-        h = hist_1024(slots["idx"].reshape(rgbs.shape[0], -1))
-        return slots, h
+        """Dynamic-table stage 1, one jit: analyze + Pallas symbolize into
+        the transposed slot fields + per-image MXU histograms.  The fields
+        stay on device in the layout ``attach_pack_grouped`` consumes."""
+        from ..kernels import fused as kfused
+        if self._dtype == jnp.float64:
+            seq, dcd, isl = self._analyze_zz_batch(rgbs)
+            B, S = seq.shape[0], seq.shape[1]
+            idx_t, extra_t, extran_t, _ = kfused.symbolize_segments(
+                seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1), isl,
+                B * S, interpret=self.interpret)
+        else:
+            px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
+                            sampling=self.sampling)
+            B, S = px.shape[0], px.shape[1]
+            idx_t, extra_t, extran_t = kfused.dct_symbolize_segments(
+                self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
+                px.reshape(B * S, -1, 64), B * S, self.y_per_mcu + 2,
+                self.y_per_mcu, interpret=self.interpret)
+        h = hist_1024_t(idx_t, B)
+        return (idx_t, extra_t, extran_t), h
 
-    def _pack_only_fn(self, slots, lut_per_image):
-        B, S = slots["idx"].shape[0], slots["idx"].shape[1]
-        luts = jnp.repeat(lut_per_image, S, axis=0)  # [B*S, 1024]
-        return self._attach_pack(slots, luts)
+    def _pack_only_fn(self, fields, lut_per_image):
+        """Dynamic-table stage 2: per-image-LUT fused attach + pack."""
+        from ..kernels import fused as kfused
+        idx_t, extra_t, extran_t = fields
+        B, S = lut_per_image.shape[0], self.n_segs
+        words, totals = kfused.attach_pack_grouped(
+            lut_per_image, idx_t, extra_t, extran_t, B * S, S,
+            self.seg_rows, interpret=self.interpret)
+        return words.reshape(B, S, -1), totals.reshape(B, S)
 
     # -- public API ------------------------------------------------------
 
@@ -373,9 +463,9 @@ class FastBatchEncoder:
         ``init_huffman``, main/main.c:145, batched), host K.2 builds, then
         the per-image-LUT pack.  Outputs stay on device.
         """
-        slots, h = self._analyze_hist(self._check_batch(rgbs))
+        fields, h = self._analyze_hist(self._check_batch(rgbs))
         tables, luts = self._build_tables_batch(np.asarray(h))
-        words, totals = self._pack_only(slots, jnp.asarray(luts))
+        words, totals = self._pack_only(fields, jnp.asarray(luts))
         return words, totals, tables
 
     def encode_batch(self, rgbs) -> list[bytes]:
@@ -406,18 +496,18 @@ class FastBatchEncoder:
                 words, totals = self._step(rgbs, self._fixed_lut)
                 cur = (words, totals, [self._fixed] * int(rgbs.shape[0]))
             else:
-                slots, h = self._analyze_hist(rgbs)
+                fields, h = self._analyze_hist(rgbs)
                 try:  # overlap the histogram d2h with prior-batch assembly
                     h.copy_to_host_async()
                 except AttributeError:
                     pass
-                cur = (slots, h)
+                cur = (fields, h)
             if pending is not None:
                 yield self._fetch_assemble(*pending)
             if self._fixed is None:
-                slots, h = cur
+                fields, h = cur
                 tables, luts = self._build_tables_batch(np.asarray(h))
-                words, totals = self._pack_only(slots, jnp.asarray(luts))
+                words, totals = self._pack_only(fields, jnp.asarray(luts))
                 cur = (words, totals, tables)
             pending = cur
         if pending is not None:

@@ -11,8 +11,11 @@
 //
 // Exposed with C linkage for ctypes.  No Python.h dependency.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -401,6 +404,87 @@ int64_t jt_decode_scan(const uint8_t* data, int64_t len, int64_t start,
     ++since_rst;
   }
   return br.pos;
+}
+
+// Segment-parallel baseline decode.  With restart markers every
+// ``restart_interval`` MCUs, each RSTn-delimited segment is independent
+// (DC predictors reset at the marker, T.81 F.2.1.3.1) — the encoder's
+// device-parallel packing has an exact decode-side dual.  Boundaries come
+// from one linear marker scan (0xFF followed by 0xD0-0xD7; stuffed 0xFF00
+// pairs are skipped, 0xFF fill bytes fall through), then segments decode
+// on ``n_threads`` std::threads via static round-robin.  Returns the byte
+// offset past the final segment's entropy bytes, or -1 on a malformed
+// stream (any segment).
+int64_t jt_decode_scan_mt(const uint8_t* data, int64_t len, int64_t start,
+                          const int32_t* dc_specs, const int32_t* ac_specs,
+                          const int32_t* pattern, int64_t pattern_len,
+                          const int32_t* comp_dc, const int32_t* comp_ac,
+                          int64_t n_comps, int64_t n_mcus,
+                          int64_t restart_interval, int64_t n_threads,
+                          int32_t* out_zz) {
+  if (restart_interval <= 0 || n_threads <= 1 ||
+      n_mcus <= restart_interval) {
+    return jt_decode_scan(data, len, start, dc_specs, ac_specs, pattern,
+                          pattern_len, comp_dc, comp_ac, n_comps, n_mcus,
+                          restart_interval, out_zz);
+  }
+  const int64_t nseg = (n_mcus + restart_interval - 1) / restart_interval;
+  // marker scan: segment s spans [starts[s], ends[s]) entropy bytes
+  std::vector<int64_t> seg_start(nseg), seg_end(nseg);
+  seg_start[0] = start;
+  int64_t p = start;
+  int64_t s = 0;
+  while (s < nseg - 1) {
+    if (p + 1 >= len) return -1;
+    if (data[p] != 0xFF) {
+      ++p;
+      continue;
+    }
+    const uint8_t nxt = data[p + 1];
+    if (nxt == 0x00) {
+      p += 2;  // stuffing
+      continue;
+    }
+    if (nxt >= 0xD0 && nxt <= 0xD7) {
+      seg_end[s] = p;
+      ++s;
+      p += 2;
+      seg_start[s] = p;
+      continue;
+    }
+    if (nxt == 0xFF) {
+      ++p;  // fill byte
+      continue;
+    }
+    return -1;  // foreign marker before all restart intervals were seen
+  }
+  seg_end[nseg - 1] = len;  // last segment: reader stops at the next marker
+
+  std::atomic<bool> failed(false);
+  std::atomic<int64_t> end_pos(-1);
+  const int64_t blocks_per_mcu = pattern_len;
+  int nt = (int)(n_threads < nseg ? n_threads : nseg);
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int64_t i = t; i < nseg && !failed.load(); i += nt) {
+        const int64_t mcu0 = i * restart_interval;
+        const int64_t mcus =
+            (n_mcus - mcu0 < restart_interval) ? (n_mcus - mcu0)
+                                               : restart_interval;
+        int64_t e = jt_decode_scan(
+            data, seg_end[i], seg_start[i], dc_specs, ac_specs, pattern,
+            pattern_len, comp_dc, comp_ac, n_comps, mcus, 0,
+            out_zz + mcu0 * blocks_per_mcu * 64);
+        if (e < 0) failed.store(true);
+        if (i == nseg - 1) end_pos.store(e);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+  if (failed.load()) return -1;
+  return end_pos.load();
 }
 
 int64_t jt_build_huff_tables(const int64_t* freqs, int64_t n_tables,

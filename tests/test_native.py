@@ -71,3 +71,57 @@ def test_native_huffman_builder_matches_python():
         np.testing.assert_array_equal(nat.huffval, ref.huffval)
         np.testing.assert_array_equal(nat.code, ref.code)
         np.testing.assert_array_equal(nat.length, ref.length)
+
+
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_native_mt_decode_matches_serial():
+    """Segment-parallel decode must equal the serial bit-walk exactly."""
+    import jax
+
+    from jpeg_tpu.core.types import EncodeConfig
+    from jpeg_tpu.golden.decoder import _huff_specs
+    from jpeg_tpu.huffman.build import fixed_tables
+    from jpeg_tpu.pipelines.fast import FastBatchEncoder
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(160, 160, 3), dtype=np.uint8)
+    enc = FastBatchEncoder(160, 160, config=EncodeConfig(
+        scan_layout="interleaved", huffman="fixed"), segs_per_image=5,
+        interpret=jax.default_backend() != "tpu")
+    data = enc.encode_batch(img[None])[0]
+
+    sos = data.find(b"\xff\xda")
+    start = sos + 2 + ((data[sos + 2] << 8) | data[sos + 3])
+    ft = fixed_tables()
+    huff = {(0, 0): ft["luma_dc"], (1, 0): ft["luma_ac"],
+            (0, 1): ft["chroma_dc"], (1, 1): ft["chroma_ac"]}
+    pattern = [0, 0, 0, 0, 1, 2]
+    comp_dc, comp_ac = [0, 1, 1], [0, 1, 1]
+    n_mcus = (160 // 16) ** 2
+    ri = n_mcus // 5
+
+    serial, end_s = native.decode_scan(
+        data, start, _huff_specs(huff, 0), _huff_specs(huff, 1), pattern,
+        comp_dc, comp_ac, n_mcus, ri, n_threads=1)
+    mt, end_m = native.decode_scan(
+        data, start, _huff_specs(huff, 0), _huff_specs(huff, 1), pattern,
+        comp_dc, comp_ac, n_mcus, ri, n_threads=8)
+    np.testing.assert_array_equal(serial, mt)
+    assert end_s == end_m
+
+
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_native_mt_decode_malformed_stream():
+    """A truncated restart stream must fail cleanly from worker threads."""
+    from jpeg_tpu.golden.decoder import _huff_specs
+    from jpeg_tpu.huffman.build import fixed_tables
+
+    ft = fixed_tables()
+    huff = {(0, 0): ft["luma_dc"], (1, 0): ft["luma_ac"],
+            (0, 1): ft["chroma_dc"], (1, 1): ft["chroma_ac"]}
+    # stream with no restart markers at all but n_mcus demanding several
+    data = bytes([0x12, 0x34, 0x56] * 40)
+    with pytest.raises(ValueError):
+        native.decode_scan(
+            data, 0, _huff_specs(huff, 0), _huff_specs(huff, 1),
+            [0, 0, 0, 0, 1, 2], [0, 1, 1], [0, 1, 1], 100, 10, n_threads=4)
