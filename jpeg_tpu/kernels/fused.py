@@ -1,19 +1,25 @@
-"""Fused Huffman attach + parallel pack (transposed layout end to end).
+"""Fused analyze + Huffman attach + parallel pack (transposed layout).
 
 Two Pallas phases with one tiny XLA prefix-sum between them (the global
 block bit offsets force a barrier):
 
-  A. ``_attach_bits_kernel``: combined-LUT lane-gather, codeword/amplitude
-     field assembly, and per-block bit totals — slots on sublanes, blocks
-     on lanes, so the bit totals are one sublane reduction and the outputs
-     are already in the layout phase B consumes (no 39 MB relayouts).
-  B. ``_place_kernel``: the transposed local pack + shift/rotate of
-     ``kernels.pack._pack_kernel_t``, reading phase A's outputs directly.
+  A. an analyze/attach kernel — for the fast f32 path
+     ``_dct_attach_kernel``: MXU DCT on the zig-zag-ordered flat basis,
+     quantization, in-kernel DC differencing (scratch carry across the
+     sequential grid), run-length symbolization, combined-LUT lane-gather
+     attach, and per-block bit totals.  Slots on sublanes, blocks on
+     lanes, so bit totals are one sublane reduction and the outputs are
+     already in the layout phase B consumes (no 39 MB relayouts).
+  B. ``_place_acc_kernel``: adaptive local word build (dynamic-bound
+     loop), per-block bit shift + lane rotate, and tile-dense row
+     accumulation, finished by ONE windowed scatter-add per 128-block
+     tile.
 
-Fixed-table mode runs the fully-fused ``analyze_attach_pack_segments``;
-dynamic mode splits at the histogram sync into ``symbolize_segments``
+Fixed-table mode runs the fully-fused ``dct_attach_pack_segments``;
+dynamic mode splits at the histogram sync into ``dct_symbolize_segments``
 (feeds the per-image K.2 builds) + ``attach_pack_grouped`` (per-image
-LUTs), still with no slot-array relayouts.
+LUTs), still with no slot-array relayouts.  The zz-input variants
+(``analyze_attach_pack_segments`` etc.) serve the f64 exact path.
 """
 from __future__ import annotations
 
@@ -54,48 +60,6 @@ def _attach_bits_kernel(lut_ref, idx_ref, extra_ref, extran_ref,
                         value_ref, nbits_ref, bits_ref):
     _attach(lut_ref[:], idx_ref[:], extra_ref[:], extran_ref[:],
             value_ref, nbits_ref, bits_ref)
-
-
-def _place_kernel(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
-    """Transposed local pack + placement (see pack._pack_kernel_t)."""
-    shr = jax.lax.shift_right_logical
-    v = value_ref[:]                          # [64, TB] int32
-    nb = nbits_ref[:]
-    goff = goff_ref[:]                        # [1, TB]
-
-    ends = _cumsum_sublanes(nb)
-    offs = ends - nb
-    w = shr(offs, jnp.int32(5))
-    ein = (offs & 31) + nb
-    hi = jnp.where(ein <= 32, v << jnp.clip(32 - ein, 0, 31),
-                   shr(v, jnp.clip(ein - 32, 0, 31)))
-    lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
-
-    rows = []
-    for j in range(LOCAL_WORDS):
-        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
-                     dtype=jnp.int32)
-        if j > 0:
-            cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
-                              keepdims=True, dtype=jnp.int32)
-        rows.append(cj)
-    tb = v.shape[1]
-    lw = jnp.concatenate(
-        rows + [jnp.zeros((128 - LOCAL_WORDS, tb), jnp.int32)], axis=0)
-
-    sub = _sub_iota((128, tb))
-    s = goff & 31
-    prev = pltpu.roll(lw, 1, axis=0)
-    prev = jnp.where(sub == 0, 0, prev)
-    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
-
-    l = shr(goff, jnp.int32(5)) & 127
-    x = shifted
-    for k in range(7):
-        rolled = pltpu.roll(x, 1 << k, axis=0)
-        x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
-    r0_ref[:] = jnp.where(sub >= l, x, 0).T
-    r1_ref[:] = jnp.where(sub < l, x, 0).T
 
 
 def _cummax_sublanes(x):
@@ -467,9 +431,87 @@ def attach_pack_grouped(luts, idx_t, extra_t, extran_t, n_segments: int,
                           interpret)
 
 
+# Dense tile-accumulator rows: a 128-block tile's stream spans at most
+# 128 * 1792 bits / 4096 = 56 output rows, +2 straddle rows -> 58 <= 64.
+_ACC_ROWS = 64
+
+
+def _place_acc_kernel(value_ref, nbits_ref, goff_ref, acc_ref, lw_ref):
+    """Local pack + tile-dense row accumulation.
+
+    Same front as ``_place_kernel`` (per-slot offsets, local words, bit
+    shift, lane rotate), but instead of emitting one 2x128-word window
+    per BLOCK (whose XLA row-scatter of nblk*2 updates dominated the
+    whole encode step), each tile accumulates its blocks' windows into a
+    dense [_ACC_ROWS, 128] row buffer.  Block bit offsets are sorted
+    within a tile (tiles never span segments), so the row index
+    ``t = (goff >> 12) - rows[0]`` is small and monotone and the
+    accumulation is a short dynamic-bound loop of masked sublane
+    reductions.  The caller scatter-adds ONE 64-row window per tile —
+    nblk/128 updates instead of 2*nblk.
+    """
+    shr = jax.lax.shift_right_logical
+    v = value_ref[:]                          # [64, TB] int32
+    nb = nbits_ref[:]
+    goff = goff_ref[:]                        # [1, TB]
+
+    ends = _cumsum_sublanes(nb)
+    offs = ends - nb
+    w = shr(offs, jnp.int32(5))
+    ein = (offs & 31) + nb
+    hi = jnp.where(ein <= 32, v << jnp.clip(32 - ein, 0, 31),
+                   shr(v, jnp.clip(ein - 32, 0, 31)))
+    lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
+
+    tb = v.shape[1]
+    lw_ref[:, :] = jnp.zeros((128, tb), jnp.int32)
+
+    def wbody(j, _):
+        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
+                     dtype=jnp.int32)
+        cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                          keepdims=True, dtype=jnp.int32)
+        lw_ref[pl.dslice(j, 1), :] = cj
+        return 0
+
+    jax.lax.fori_loop(0, jnp.max(w) + 2, wbody, 0)  # hi -> w, lo -> w + 1
+    lw = lw_ref[:]
+
+    sub = _sub_iota((128, tb))
+    s = goff & 31
+    prev = pltpu.roll(lw, 1, axis=0)
+    prev = jnp.where(sub == 0, 0, prev)
+    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+
+    l = shr(goff, jnp.int32(5)) & 127
+    x = shifted
+    for k in range(7):
+        rolled = pltpu.roll(x, 1 << k, axis=0)
+        x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
+
+    # block-major windows + tile-relative output rows (sorted, small)
+    r0t = jnp.where(sub >= l, x, 0).T         # [TB, 128]
+    r1t = jnp.where(sub < l, x, 0).T
+    rows = shr(goff, jnp.int32(12))
+    t = (rows - rows[0, 0]).T                 # [TB, 1]
+
+    acc_ref[:, :] = jnp.zeros((_ACC_ROWS, tb), jnp.int32)
+
+    def rbody(r, _):
+        c = jnp.sum(jnp.where(t == r, r0t, 0), axis=0, keepdims=True,
+                    dtype=jnp.int32)
+        c = c + jnp.sum(jnp.where(t == r - 1, r1t, 0), axis=0,
+                        keepdims=True, dtype=jnp.int32)
+        acc_ref[pl.dslice(r, 1), :] = c
+        return 0
+
+    jax.lax.fori_loop(0, jnp.max(t) + 2, rbody, 0)  # r0 -> t, r1 -> t + 1
+
+
 def _segment_place(value_t, nbits_t, bits, S: int, nblk: int, seg_rows: int,
                    interpret: bool):
-    """Shared tail: per-segment bit offsets, transposed place, row scatter."""
+    """Shared tail: per-segment bit offsets, transposed place, windowed
+    scatter-add of one dense 64-row tile window per 128-block tile."""
     grid = (nblk // _TB,)
     dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
@@ -480,25 +522,31 @@ def _segment_place(value_t, nbits_t, bits, S: int, nblk: int, seg_rows: int,
     seg_base = (jnp.arange(S, dtype=jnp.int32) * (seg_rows * 128 * 32))[:, None]
     goff = (goff_seg + seg_base).reshape(1, -1)
 
-    r0, r1 = pl.pallas_call(
-        _place_kernel,
-        out_shape=[jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((nblk, 128), jnp.int32)],
+    n_tiles = nblk // _TB
+    acc = pl.pallas_call(
+        _place_acc_kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * _ACC_ROWS, 128), jnp.int32),
         grid=grid,
         in_specs=[dat(), dat(),
                   pl.BlockSpec((1, _TB), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((_TB, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_TB, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_ACC_ROWS, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((128, _TB), jnp.int32)],
         interpret=interpret,
     )(value_t, nbits_t, goff.astype(jnp.int32))
 
-    rows = (goff.reshape(-1) >> 12)
-    words = jnp.zeros((S * seg_rows + 1, 128), jnp.int32)
-    words = words.at[rows].add(r0, mode="drop")
-    words = words.at[rows + 1].add(r1, mode="drop")
+    # one overlapping-window scatter-add per tile (updates apply
+    # sequentially, bit ranges are disjoint so add == or)
+    tile_rows = (goff.reshape(n_tiles, _TB)[:, 0] >> 12).astype(jnp.int32)
+    words = jnp.zeros((S * seg_rows + _ACC_ROWS + 2, 128), jnp.int32)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    words = jax.lax.scatter_add(
+        words, tile_rows[:, None], acc.reshape(n_tiles, _ACC_ROWS, 128),
+        dnums, indices_are_sorted=True, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.CLIP)
     words = jax.lax.bitcast_convert_type(words[:S * seg_rows], jnp.uint32)
     return words.reshape(S, seg_rows * 128), total_bits
 
@@ -611,31 +659,5 @@ def attach_pack_segments(lut, idx, extra, extra_n, n_segments: int,
     )(lut.reshape(8, 128), idx_t.astype(jnp.int32),
       extra_t.astype(jnp.int32), extran_t.astype(jnp.int32))
 
-    block_bits = bits.reshape(S, nblk // S)
-    ends = jnp.cumsum(block_bits, axis=-1)
-    total_bits = ends[:, -1]
-    goff_seg = ends - block_bits
-    seg_base = (jnp.arange(S, dtype=jnp.int32) * (seg_rows * 128 * 32))[:, None]
-    goff = (goff_seg + seg_base).reshape(1, -1)
-
-    r0, r1 = pl.pallas_call(
-        _place_kernel,
-        out_shape=[jax.ShapeDtypeStruct((nblk, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((nblk, 128), jnp.int32)],
-        grid=grid,
-        in_specs=[dat(), dat(),
-                  pl.BlockSpec((1, _TB), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((_TB, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((_TB, 128), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        interpret=interpret,
-    )(value_t, nbits_t, goff.astype(jnp.int32))
-
-    rows = (goff.reshape(-1) >> 12)
-    words = jnp.zeros((S * seg_rows + 1, 128), jnp.int32)
-    words = words.at[rows].add(r0, mode="drop")
-    words = words.at[rows + 1].add(r1, mode="drop")
-    words = jax.lax.bitcast_convert_type(words[:S * seg_rows], jnp.uint32)
-    return words.reshape(S, seg_rows * 128), total_bits
+    return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
+                          interpret)

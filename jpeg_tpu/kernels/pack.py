@@ -158,14 +158,18 @@ def _cumsum_sublanes(x):
     return x
 
 
-def _pack_kernel_t(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
+def _pack_kernel_t(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref, lw_ref):
     """Transposed-layout local pack: slots on sublanes, blocks on lanes.
 
-    ~5x faster than ``_pack_kernel``: each of the 57 local words is one
-    masked sublane-reduction producing a [1, TB] row written directly
-    (the block-major layout needed 57 full-tile selects), and the
-    bit-shift / word-rotate stages operate along sublanes with per-lane
-    (per-block) shift amounts.
+    ~5x faster than ``_pack_kernel``: each local word is one masked
+    sublane-reduction producing a [1, TB] row written directly (the
+    block-major layout needed 57 full-tile selects), and the bit-shift /
+    word-rotate stages operate along sublanes with per-lane (per-block)
+    shift amounts.  The word loop runs to the tile's actual word count
+    (dynamic ``fori_loop`` bound + dynamic-sublane stores into ``lw_ref``)
+    instead of the 57-word worst case — typical blocks pack into 2-8
+    words, so the adaptive bound is the difference between ~57 and ~8
+    sublane reductions per tile.
     """
     shr = jax.lax.shift_right_logical
     v = value_ref[:]                          # [64, TB] int32
@@ -180,17 +184,19 @@ def _pack_kernel_t(value_ref, nbits_ref, goff_ref, r0_ref, r1_ref):
                    shr(v, jnp.clip(ein - 32, 0, 31)))
     lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
 
-    rows = []
-    for j in range(LOCAL_WORDS):
+    tb = v.shape[1]
+    lw_ref[:, :] = jnp.zeros((128, tb), jnp.int32)
+
+    def body(j, _):
         cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
                      dtype=jnp.int32)
-        if j > 0:
-            cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
-                              keepdims=True, dtype=jnp.int32)
-        rows.append(cj)
-    tb = v.shape[1]
-    lw = jnp.concatenate(
-        rows + [jnp.zeros((128 - LOCAL_WORDS, tb), jnp.int32)], axis=0)
+        cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                          keepdims=True, dtype=jnp.int32)
+        lw_ref[pl.dslice(j, 1), :] = cj
+        return 0
+
+    jax.lax.fori_loop(0, jnp.max(w) + 2, body, 0)  # hi -> w, lo -> w + 1
+    lw = lw_ref[:]
 
     sub = _sub_iota((128, tb))
     s = goff & 31                             # [1, TB]
@@ -230,6 +236,7 @@ def block_windows_t(value, nbits, goff, interpret: bool = False):
             pl.BlockSpec((tb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((128, tb), jnp.int32)],
         interpret=interpret,
     )(vT, nbT, goff.reshape(1, -1).astype(jnp.int32))
     return r0, r1
