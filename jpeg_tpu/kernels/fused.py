@@ -34,14 +34,15 @@ from .lut import NULL_INDEX
 from .pack import LOCAL_WORDS, _cumsum_sublanes, _sub_iota
 
 _TB = 128  # blocks per tile (lanes); fixed: the LUT lane-gather needs 128
+_CHUNK = 4  # 128-block tiles per grid step in the one-kernel fused path
 
 
-def _attach(t, idx, extra, extra_n, value_ref, nbits_ref, bits_ref):
-    """Shared LUT attach: combined-LUT lane-gather + field assembly.
+def _attach_fields(t, idx, extra, extra_n):
+    """Combined-LUT lane-gather + field assembly -> (value, nbits).
 
-    t: [8, 128] combined LUT rows in VMEM; idx/extra/extra_n: [64, TB]
-    slot fields.  Writes the packed codeword fields, per-slot bit counts,
-    and per-block bit totals.
+    t: [8, 128] combined LUT rows in VMEM; idx/extra/extra_n: [64, 128]
+    slot fields (one 128-block tile — the broadcast-row lane gather is
+    128-wide).
     """
     hi = idx >> 7
     lo = idx & 127
@@ -51,7 +52,28 @@ def _attach(t, idx, extra, extra_n, value_ref, nbits_ref, bits_ref):
         g = jnp.take_along_axis(rowb, lo, axis=1)
         entry = jnp.where(hi == r, g, entry)
     nb = (entry >> 16) + extra_n
-    value_ref[:] = ((entry & 0xFFFF) << extra_n) | extra
+    value = ((entry & 0xFFFF) << extra_n) | extra
+    return value, nb
+
+
+def _attach_chunk(t, idx, extra, extra_n):
+    """Chunk-wide attach: per-128-lane-tile LUT gathers, lane-concatenated."""
+    cb = idx.shape[1]
+    vals, nbs = [], []
+    for s0 in range(0, cb, _TB):
+        sl = slice(s0, s0 + _TB)
+        v, nb = _attach_fields(t, idx[:, sl], extra[:, sl], extra_n[:, sl])
+        vals.append(v)
+        nbs.append(nb)
+    if len(vals) == 1:
+        return vals[0], nbs[0]
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(nbs, axis=1)
+
+
+def _attach(t, idx, extra, extra_n, value_ref, nbits_ref, bits_ref):
+    """Shared LUT attach writing refs + per-block bit totals."""
+    value, nb = _attach_fields(t, idx, extra, extra_n)
+    value_ref[:] = value
     nbits_ref[:] = nb
     bits_ref[:] = jnp.sum(nb, axis=0, keepdims=True, dtype=jnp.int32)
 
@@ -219,6 +241,75 @@ def _dct_symbolize(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
     return _symbolize(v, dcd, isl)
 
 
+def _dct_symbolize_chunk(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
+                         first, base_blk, *, real_nblk: int, period: int,
+                         ypm: int):
+    """Chunk-wide DCT + quantize + zigzag + DC diff + symbolization.
+
+    Same math as ``_dct_symbolize`` but width-generic: ``xt_ref`` holds
+    ``chunk`` 128-block tiles ([64, CB]); ``first`` is true for the first
+    chunk of a segment (resets the DC chains — restart semantics);
+    ``base_blk`` is the chunk's first in-segment block index.  The DC
+    prev-neighbor lane rolls cross tile boundaries inside the chunk
+    naturally; ``prev_ref`` ([1, CB] VMEM scratch) carries the previous
+    chunk's DC row.
+    """
+    f = jax.lax.dot_general(m_ref[:], xt_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    f = f + bias_ref[:]
+    lane = _lane_iota((1, f.shape[1]))
+    blk = base_blk + lane                             # [1, CB] in-segment
+    pos = jax.lax.rem(blk, jnp.int32(period))
+    isl_row = pos < ypm
+    q = jnp.where(jnp.broadcast_to(isl_row, f.shape), ql_ref[:], qc_ref[:])
+    v = jnp.trunc(f / q)
+    v = jnp.clip(v, -2048.0, 2047.0).astype(jnp.int32)
+
+    dc = v[0:1, :]
+    d = jnp.where(pos == 0, 3, jnp.where(pos < ypm, 1, period))
+    prev_chunk = prev_ref[:]
+    prev_dc = jnp.zeros_like(dc)
+    for dd in sorted({1, 3, period}):
+        cand = jnp.where(lane >= dd, pltpu.roll(dc, dd, axis=1),
+                         pltpu.roll(prev_chunk, dd, axis=1))
+        prev_dc = jnp.where(d == dd, cand, prev_dc)
+    prev_dc = jnp.where(first & (lane < d), 0, prev_dc)
+    dcd = dc - prev_dc
+    prev_ref[:] = dc
+
+    isl = jnp.where(blk < real_nblk, isl_row.astype(jnp.int32), -1)
+    return _symbolize(v, dcd, isl)
+
+
+def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
+                      out_ref, tot_ref, lw_ref, carry_ref, prev_ref,
+                      *, real_nblk: int, period: int, ypm: int,
+                      chunk: int):
+    """The whole fixed-table encode numeric+entropy path as ONE kernel.
+
+    Grid (S, chunks_per_seg): each step runs MXU DCT + quantize + zigzag
+    + DC diff + symbolize + LUT attach + local pack on a chunk of
+    ``chunk`` 128-block tiles and accumulates the packed bits directly
+    into the segment's VMEM-resident words buffer.  Nothing but the
+    color-converted pixel blocks enters HBM and nothing but the final
+    words leaves — no slot arrays, no attach fields, no offsets, no
+    scatter.  Fuses main/encoder.c:81-432 into a single pass.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    idx, extra, extra_n = _dct_symbolize_chunk(
+        m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
+        first=c == 0, base_blk=c * (chunk * _TB),
+        real_nblk=real_nblk, period=period, ypm=ypm)
+    value, nbits = _attach_chunk(lut_ref[:], idx, extra, extra_n)
+    _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+
+
 def _dct_attach_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
                        value_ref, nbits_ref, bits_ref, prev_ref, **geom):
     idx, extra, extra_n = _dct_symbolize(
@@ -235,8 +326,9 @@ def _dct_idx_kernel(m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
     extran_ref[:] = extra_n
 
 
-def _dct_front(px, n_segments: int):
-    """Shared prologue: pad segments to _TB blocks, transpose to [64, nblk].
+def _dct_front(px, n_segments: int, tile_blocks: int = _TB):
+    """Shared prologue: pad segments to ``tile_blocks``, transpose to
+    [64, nblk].
 
     px: [S, nblk_seg, 64] f32 pixel blocks.  Returns (xt, nblk, geometry
     kwargs minus period/ypm).
@@ -244,7 +336,7 @@ def _dct_front(px, n_segments: int):
     S, nblk_seg, _ = px.shape
     if n_segments != S:
         raise ValueError(f"n_segments={n_segments} != leading dim {S}")
-    pad = (-nblk_seg) % _TB
+    pad = (-nblk_seg) % tile_blocks
     if pad:
         px = jnp.concatenate(
             [px, jnp.zeros((S, pad, 64), px.dtype)], axis=1)
@@ -254,15 +346,15 @@ def _dct_front(px, n_segments: int):
                           real_nblk=nblk_seg)
 
 
-def _dct_consts(m, bias, ql, qc):
-    specs = [pl.BlockSpec((64, 64), lambda i: (0, 0),
+def _dct_consts(m, bias, ql, qc, width: int = 128):
+    specs = [pl.BlockSpec((64, 64), lambda *_: (0, 0),
                           memory_space=pltpu.VMEM)] + \
-        [pl.BlockSpec((64, 128), lambda i: (0, 0),
+        [pl.BlockSpec((64, width), lambda *_: (0, 0),
                       memory_space=pltpu.VMEM)] * 3
     args = (m.astype(jnp.float32),
-            jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (64, 128)),
-            jnp.broadcast_to(ql.astype(jnp.float32)[:, None], (64, 128)),
-            jnp.broadcast_to(qc.astype(jnp.float32)[:, None], (64, 128)))
+            jnp.broadcast_to(bias.astype(jnp.float32)[:, None], (64, width)),
+            jnp.broadcast_to(ql.astype(jnp.float32)[:, None], (64, width)),
+            jnp.broadcast_to(qc.astype(jnp.float32)[:, None], (64, width)))
     return specs, args
 
 
@@ -284,6 +376,41 @@ def dct_attach_pack_segments(lut, m, bias, ql, qc, px, n_segments: int,
     S = n_segments
     if S * seg_rows * 128 * 32 >= 2 ** 31:
         raise ValueError("segment space exceeds int32 bit offsets")
+    seg_rows_p = (seg_rows + 7) & ~7
+    if seg_rows_p * 128 * 4 <= _RESIDENT_VMEM_BUDGET:
+        # One-kernel path: chunked DCT->place with the segment words
+        # buffer VMEM-resident.
+        cb = _CHUNK * _TB
+        xt, nblk, geom = _dct_front(px, S, tile_blocks=cb)
+        chunks_per_seg = (nblk // S) // cb
+        cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
+        kernel = functools.partial(
+            _dct_place_kernel, real_nblk=geom["real_nblk"], period=period,
+            ypm=ypm, chunk=_CHUNK)
+        out, tot = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
+                                            jnp.int32),
+                       jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
+            grid=(S, chunks_per_seg),
+            in_specs=[pl.BlockSpec((8, 128), lambda *_: (0, 0),
+                                   memory_space=pltpu.VMEM)] + cspecs +
+                     [pl.BlockSpec((64, cb),
+                                   lambda s, c, n=chunks_per_seg:
+                                       (0, s * n + c),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda s, c: (s, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, 128), lambda s, c: (s, 0),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((128, cb), jnp.int32),
+                            pltpu.VMEM((1, cb), jnp.int32),
+                            pltpu.VMEM((1, cb), jnp.int32)],
+            interpret=interpret,
+        )(lut.reshape(8, 128), *cargs, xt)
+        words = jax.lax.bitcast_convert_type(
+            out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+        return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
     xt, nblk, geom = _dct_front(px, S)
     cspecs, cargs = _dct_consts(m, bias, ql, qc)
     grid = (nblk // _TB,)
@@ -435,6 +562,119 @@ def attach_pack_grouped(luts, idx_t, extra_t, extran_t, n_segments: int,
 # 128 * 1792 bits / 4096 = 56 output rows, +2 straddle rows -> 58 <= 64.
 _ACC_ROWS = 64
 
+# Largest per-segment words block (bytes) the resident place kernel may
+# hold in VMEM (~16 MB/core total; out block + inputs + double buffers).
+_RESIDENT_VMEM_BUDGET = 6 * 2 ** 20
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum along axis 1 (lanes) via log-step rolls (x >= 0)."""
+    n = x.shape[1]
+    lane = _lane_iota(x.shape)
+    k = 1
+    while k < n:
+        rolled = pltpu.roll(x, k, axis=1)
+        x = x + jnp.where(lane >= k, rolled, 0)
+        k *= 2
+    return x
+
+
+def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
+    """Place a chunk's attached fields into the resident segment buffer.
+
+    Block bit offsets are derived in-kernel — a cross-lane cumsum of
+    per-block bit totals plus a running carry (VMEM scratch, persists
+    across the sequential grid) — then the usual local pack (adaptive
+    word loop), per-block bit shift, lane rotate, and dynamic-slice row
+    accumulation straight into ``out_ref`` (the whole segment's words
+    buffer, VMEM-resident across the inner grid dimension).  No XLA
+    prefix-sum barrier, no scatter.
+    """
+    shr = jax.lax.shift_right_logical
+    tb = v.shape[1]
+
+    ends = _cumsum_sublanes(nb)
+    blockbits = ends[63:64, :]                # [1, TB] bits per block
+    cum = _cumsum_lanes(blockbits)            # inclusive across blocks
+    carry = carry_ref[:]
+    goff = carry + cum - blockbits            # [1, TB] exclusive + carry
+    carry_new = carry + jnp.max(cum)          # cum monotone: max == total
+    carry_ref[:, :] = carry_new
+    tot_ref[:, :] = jnp.broadcast_to(jnp.max(carry_new), (8, 128))
+
+    offs = ends - nb
+    w = shr(offs, jnp.int32(5))
+    ein = (offs & 31) + nb
+    hi = jnp.where(ein <= 32, v << jnp.clip(32 - ein, 0, 31),
+                   shr(v, jnp.clip(ein - 32, 0, 31)))
+    lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
+
+    lw_ref[:, :] = jnp.zeros((128, tb), jnp.int32)
+
+    def wbody(j, _):
+        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
+                     dtype=jnp.int32)
+        cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                          keepdims=True, dtype=jnp.int32)
+        lw_ref[pl.dslice(j, 1), :] = cj
+        return 0
+
+    jax.lax.fori_loop(0, jnp.max(w) + 2, wbody, 0)  # hi -> w, lo -> w + 1
+    lw = lw_ref[:]
+
+    sub = _sub_iota((128, tb))
+    s = goff & 31
+    prev = pltpu.roll(lw, 1, axis=0)
+    prev = jnp.where(sub == 0, 0, prev)
+    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+
+    l = shr(goff, jnp.int32(5)) & 127
+    x = shifted
+    for k in range(7):
+        rolled = pltpu.roll(x, 1 << k, axis=0)
+        x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
+
+    r0t = jnp.where(sub >= l, x, 0).T         # [TB, 128] this-row window
+    r1t = jnp.where(sub < l, x, 0).T          # next-row straddle
+    rows = shr(goff, jnp.int32(12))           # [1, TB] absolute segment row
+    t = rows.T                                # [TB, 1]
+
+    def rbody(r, _):
+        add = jnp.sum(jnp.where(t == r, r0t, 0), axis=0, keepdims=True,
+                      dtype=jnp.int32)
+        add = add + jnp.sum(jnp.where(t == r - 1, r1t, 0), axis=0,
+                            keepdims=True, dtype=jnp.int32)
+        out_ref[pl.dslice(r, 1), :] = out_ref[pl.dslice(r, 1), :] + add
+        return 0
+
+    jax.lax.fori_loop(jnp.min(t), jnp.max(t) + 2, rbody, 0)
+
+
+def _place_resident_kernel(value_ref, nbits_ref, out_ref, tot_ref,
+                           lw_ref, carry_ref):
+    """Segment-resident place: no scatter, no XLA offset cumsum.
+
+    Grid is (S, tiles_per_seg); the out block is the segment's whole
+    [seg_rows_p, 128] words buffer, whose index map is constant in the
+    inner tile dimension — Mosaic keeps it VMEM-resident across the
+    segment's tiles and writes it to HBM once, so tiles accumulate their
+    rows with dynamic-slice adds instead of the XLA windowed scatter that
+    dominated the encode step.
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    _place_body(value_ref[:], nbits_ref[:], out_ref, tot_ref, lw_ref,
+                carry_ref)
+
 
 def _place_acc_kernel(value_ref, nbits_ref, goff_ref, acc_ref, lw_ref):
     """Local pack + tile-dense row accumulation.
@@ -510,8 +750,35 @@ def _place_acc_kernel(value_ref, nbits_ref, goff_ref, acc_ref, lw_ref):
 
 def _segment_place(value_t, nbits_t, bits, S: int, nblk: int, seg_rows: int,
                    interpret: bool):
-    """Shared tail: per-segment bit offsets, transposed place, windowed
-    scatter-add of one dense 64-row tile window per 128-block tile."""
+    """Shared tail: place the attached fields into per-segment bit streams.
+
+    Fast path (segment words buffer fits the VMEM budget): the resident
+    kernel — offsets, local pack, and row accumulation all in one Pallas
+    call, no XLA scatter or prefix sum.  Fallback for huge segments: the
+    tile-dense accumulator + windowed scatter-add.
+    """
+    seg_rows_p = (seg_rows + 7) & ~7
+    if seg_rows_p * 128 * 4 <= _RESIDENT_VMEM_BUDGET:
+        tiles_per_seg = nblk // S // _TB
+        out, tot = pl.pallas_call(
+            _place_resident_kernel,
+            out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128), jnp.int32),
+                       jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
+            grid=(S, tiles_per_seg),
+            in_specs=[pl.BlockSpec((64, _TB),
+                                   lambda s, c, t=tiles_per_seg: (0, s * t + c),
+                                   memory_space=pltpu.VMEM)] * 2,
+            out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda s, c: (s, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((8, 128), lambda s, c: (s, 0),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((128, _TB), jnp.int32),
+                            pltpu.VMEM((1, 128), jnp.int32)],
+            interpret=interpret,
+        )(value_t, nbits_t)
+        words = jax.lax.bitcast_convert_type(
+            out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+        return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
     grid = (nblk // _TB,)
     dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
