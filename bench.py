@@ -59,7 +59,9 @@ def main():
     enc = FastBatchEncoder(
         h, w, config=EncodeConfig(scan_layout="interleaved", huffman="fixed"),
         segs_per_image=1)
-    batch = jax.device_put(jnp.asarray(batch_np))
+    # minor-flattened on host (free view): the jitted steps consume
+    # [B, H, W*3] — see FastBatchEncoder._check_batch for why
+    batch = jax.device_put(jnp.asarray(batch_np.reshape(BATCH, h, w * 3)))
     jax.block_until_ready(batch)
 
     _t("warmup fixed")

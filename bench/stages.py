@@ -22,9 +22,12 @@ def main():
 
     from bench import _load_batch  # repo-root bench.py helpers
 
-    batch = jax.device_put(jnp.asarray(_load_batch()))
+    batch_np = _load_batch()
+    B, H, W = batch_np.shape[0], batch_np.shape[1], batch_np.shape[2]
+    # minor-flattened [B, H, W*3] — the layout the jitted steps consume
+    # (see FastBatchEncoder._check_batch); stage fns unflatten in-jit
+    batch = jax.device_put(jnp.asarray(batch_np.reshape(B, H, W * 3)))
     jax.block_until_ready(batch)
-    B, H, W = batch.shape[0], batch.shape[1], batch.shape[2]
     mp = B * H * W / 1e6
 
     lq, cq = (jnp.asarray(x) for x in T.quant_tables())
@@ -33,13 +36,14 @@ def main():
     dyn = F.FastBatchEncoder(H, W, config=EncodeConfig(
         scan_layout="interleaved", huffman="dynamic"))
 
-    color = jax.jit(lambda b: C.rgb_to_ycbcr_420(b))
+    unflat = lambda b: b.reshape(B, H, W, 3)
+    color = jax.jit(lambda b: C.rgb_to_ycbcr_420(unflat(b)))
     dcts = jax.jit(lambda y, cb, cr: (
         D.dct_quantize_zigzag(C.to_blocks(y), lq),
         D.dct_quantize_zigzag(C.to_blocks(cb), cq),
         D.dct_quantize_zigzag(C.to_blocks(cr), cq)))
-    azz = jax.jit(lambda b: F.analyze_zz(b, lq, cq, W // 16, H // 16, 1))
-    apx = jax.jit(lambda b: F.analyze_px(b, W // 16, H // 16, 1))
+    azz = jax.jit(lambda b: F.analyze_zz(unflat(b), lq, cq, W // 16, H // 16, 1))
+    apx = jax.jit(lambda b: F.analyze_px(unflat(b), W // 16, H // 16, 1))
     step = enc.step
 
     # warm up all

@@ -16,10 +16,12 @@ block bit offsets force a barrier):
      tile.
 
 Fixed-table mode runs the fully-fused ``dct_attach_pack_segments``;
-dynamic mode splits at the histogram sync into ``dct_symbolize_segments``
-(feeds the per-image K.2 builds) + ``attach_pack_grouped`` (per-image
-LUTs), still with no slot-array relayouts.  The zz-input variants
-(``analyze_attach_pack_segments`` etc.) serve the f64 exact path.
+dynamic mode splits at the histogram sync into ``dct_index_segments``
+(just the LUT index field, feeding the per-image K.2 builds) +
+``dct_attach_pack_grouped`` (per-image LUTs, recomputing symbolization
+in-kernel over the retained pixel blocks) — no slot arrays in HBM in
+either mode.  The zz-input variants (``analyze_attach_pack_segments``
+etc.) serve the f64 exact path.
 """
 from __future__ import annotations
 
@@ -294,6 +296,10 @@ def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
     color-converted pixel blocks enters HBM and nothing but the final
     words leaves — no slot arrays, no attach fields, no offsets, no
     scatter.  Fuses main/encoder.c:81-432 into a single pass.
+
+    ``lut_ref`` is a [1, 8, 128] block of the [G, 8, 128] combined-LUT
+    array; the index map picks the group (fixed mode: G = 1, dynamic
+    mode: one LUT set per image).
     """
     c = pl.program_id(1)
 
@@ -306,7 +312,7 @@ def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
         m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
         first=c == 0, base_blk=c * (chunk * _TB),
         real_nblk=real_nblk, period=period, ypm=ypm)
-    value, nbits = _attach_chunk(lut_ref[:], idx, extra, extra_n)
+    value, nbits = _attach_chunk(lut_ref[0], idx, extra, extra_n)
     _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
 
 
@@ -324,6 +330,13 @@ def _dct_idx_kernel(m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
     idx_ref[:] = idx
     extra_ref[:] = extra
     extran_ref[:] = extra_n
+
+
+def _dct_idxonly_kernel(m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
+                        idx_ref, prev_ref, **geom):
+    idx, _, _ = _dct_symbolize(
+        m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref, **geom)
+    idx_ref[:] = idx
 
 
 def _dct_front(px, n_segments: int, tile_blocks: int = _TB):
@@ -358,6 +371,49 @@ def _dct_consts(m, bias, ql, qc, width: int = 128):
     return specs, args
 
 
+def _dct_place_call(luts, segs_per_group: int, m, bias, ql, qc, px, S: int,
+                    period: int, ypm: int, seg_rows: int, interpret: bool):
+    """Shared one-kernel DCT->place launch (grouped LUTs).
+
+    luts: [G, 1024] combined LUTs, one per group of ``segs_per_group``
+    consecutive segments (G == 1 serves the fixed-table mode).  Returns
+    (words, totals).  The caller has already checked the VMEM budget.
+    """
+    seg_rows_p = (seg_rows + 7) & ~7
+    cb = _CHUNK * _TB
+    xt, nblk, geom = _dct_front(px, S, tile_blocks=cb)
+    chunks_per_seg = (nblk // S) // cb
+    cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
+    kernel = functools.partial(
+        _dct_place_kernel, real_nblk=geom["real_nblk"], period=period,
+        ypm=ypm, chunk=_CHUNK)
+    out, tot = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
+                                        jnp.int32),
+                   jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
+        grid=(S, chunks_per_seg),
+        in_specs=[pl.BlockSpec((1, 8, 128),
+                               lambda s, c, g=segs_per_group: (s // g, 0, 0),
+                               memory_space=pltpu.VMEM)] + cspecs +
+                 [pl.BlockSpec((64, cb),
+                               lambda s, c, n=chunks_per_seg:
+                                   (0, s * n + c),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda s, c: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda s, c: (s, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((128, cb), jnp.int32),
+                        pltpu.VMEM((1, cb), jnp.int32),
+                        pltpu.VMEM((1, cb), jnp.int32)],
+        interpret=interpret,
+    )(luts.reshape(-1, 8, 128), *cargs, xt)
+    words = jax.lax.bitcast_convert_type(
+        out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+    return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_segments", "period", "ypm",
                                     "seg_rows", "interpret"))
@@ -380,37 +436,8 @@ def dct_attach_pack_segments(lut, m, bias, ql, qc, px, n_segments: int,
     if seg_rows_p * 128 * 4 <= _RESIDENT_VMEM_BUDGET:
         # One-kernel path: chunked DCT->place with the segment words
         # buffer VMEM-resident.
-        cb = _CHUNK * _TB
-        xt, nblk, geom = _dct_front(px, S, tile_blocks=cb)
-        chunks_per_seg = (nblk // S) // cb
-        cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
-        kernel = functools.partial(
-            _dct_place_kernel, real_nblk=geom["real_nblk"], period=period,
-            ypm=ypm, chunk=_CHUNK)
-        out, tot = pl.pallas_call(
-            kernel,
-            out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
-                                            jnp.int32),
-                       jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
-            grid=(S, chunks_per_seg),
-            in_specs=[pl.BlockSpec((8, 128), lambda *_: (0, 0),
-                                   memory_space=pltpu.VMEM)] + cspecs +
-                     [pl.BlockSpec((64, cb),
-                                   lambda s, c, n=chunks_per_seg:
-                                       (0, s * n + c),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda s, c: (s, 0),
-                                    memory_space=pltpu.VMEM),
-                       pl.BlockSpec((8, 128), lambda s, c: (s, 0),
-                                    memory_space=pltpu.VMEM)],
-            scratch_shapes=[pltpu.VMEM((128, cb), jnp.int32),
-                            pltpu.VMEM((1, cb), jnp.int32),
-                            pltpu.VMEM((1, cb), jnp.int32)],
-            interpret=interpret,
-        )(lut.reshape(8, 128), *cargs, xt)
-        words = jax.lax.bitcast_convert_type(
-            out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
-        return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
+        return _dct_place_call(lut.reshape(1, -1), S, m, bias, ql, qc, px,
+                               S, period, ypm, seg_rows, interpret)
     xt, nblk, geom = _dct_front(px, S)
     cspecs, cargs = _dct_consts(m, bias, ql, qc)
     grid = (nblk // _TB,)
@@ -434,6 +461,69 @@ def dct_attach_pack_segments(lut, m, bias, ql, qc, px, n_segments: int,
     )(lut.reshape(8, 128), *cargs, xt)
     return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
                           interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "segs_per_group", "period",
+                                    "ypm", "seg_rows", "interpret"))
+def dct_attach_pack_grouped(luts, m, bias, ql, qc, px, n_segments: int,
+                            segs_per_group: int, period: int, ypm: int,
+                            seg_rows: int, interpret: bool = False):
+    """Grouped-LUT one-kernel DCT + symbolize + attach + pack.
+
+    Dynamic-mode stage 2 (and the sharded fixed engine): same fused pass
+    as ``dct_attach_pack_segments`` but with one combined LUT per group of
+    ``segs_per_group`` consecutive segments (dynamic mode: per image —
+    the reference's per-image ``init_huffman``, main/main.c:145).
+    Re-runs the DCT/symbolization on the retained ``px`` instead of
+    reading back HBM slot fields — the MXU work is cheap next to the
+    field traffic it replaces.  Falls back to the two-phase kernels for
+    VMEM-exceeding segments.
+    """
+    S = n_segments
+    if S % segs_per_group:
+        raise ValueError(f"n_segments={S} not divisible by "
+                         f"segs_per_group={segs_per_group}")
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError("segment space exceeds int32 bit offsets")
+    seg_rows_p = (seg_rows + 7) & ~7
+    if seg_rows_p * 128 * 4 <= _RESIDENT_VMEM_BUDGET:
+        return _dct_place_call(luts, segs_per_group, m, bias, ql, qc, px,
+                               S, period, ypm, seg_rows, interpret)
+    idx_t, extra_t, extran_t = dct_symbolize_segments(
+        m, bias, ql, qc, px, S, period, ypm, interpret=interpret)
+    return attach_pack_grouped(luts, idx_t, extra_t, extran_t, S,
+                               segs_per_group, seg_rows, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "period", "ypm",
+                                    "interpret"))
+def dct_index_segments(m, bias, ql, qc, px, n_segments: int,
+                       period: int, ypm: int, interpret: bool = False):
+    """Fused DCT->symbolize emitting ONLY the combined-LUT index field.
+
+    Dynamic-mode stage 1 feed: the histograms need just ``idx``; the
+    amplitude fields are recomputed in-kernel by stage 2
+    (``dct_attach_pack_grouped``), so writing them here would be pure
+    HBM waste.  Returns idx_t [64, nblk] int32 (NULL_INDEX padding).
+    """
+    xt, nblk, geom = _dct_front(px, n_segments)
+    cspecs, cargs = _dct_consts(m, bias, ql, qc)
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dct_idxonly_kernel, period=period, ypm=ypm,
+                               **geom)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+        grid=grid,
+        in_specs=cspecs + [dat()],
+        out_specs=dat(),
+        scratch_shapes=[pltpu.VMEM((1, _TB), jnp.int32)],
+        interpret=interpret,
+    )(*cargs, xt)
 
 
 @functools.partial(jax.jit,

@@ -113,7 +113,12 @@ class ShardedEncoder:
     # -- jitted steps ----------------------------------------------------
 
     def _in_shard(self):
-        return NamedSharding(self.mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
+        # [B, H, W*3] minor-flattened batch: data-parallel over images,
+        # space-parallel over MCU-row slabs.  The W*3 flattening is the
+        # same XLA:TPU parameter-layout fix as FastBatchEncoder._check_batch
+        # (rank-4 u8 params with minor dim 3 cost ~4 ms per 20 MB to read
+        # channel-sliced; flat params reshaped in-jit cost ~0.05 ms).
+        return NamedSharding(self.mesh, P(DATA_AXIS, SPACE_AXIS, None))
 
     def _analyze_one(self, rgb_slab):
         """[slab_h, W, 3] -> (slots dict [segs, mps*bpm, 64], hists [4, 256]).
@@ -142,13 +147,14 @@ class ShardedEncoder:
         slot_spec = P(DATA_AXIS, SPACE_AXIS, None, None)
 
         def device_fn(rgb_local):
+            rgb_local = self._unflatten_local(rgb_local)
             slots, hists = jax.vmap(self._analyze_one)(rgb_local)
             hists = jax.lax.psum(hists, SPACE_AXIS)  # replicated over space
             return slots, hists
 
         f = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(DATA_AXIS, SPACE_AXIS, None, None),),
+            in_specs=(P(DATA_AXIS, SPACE_AXIS, None),),
             out_specs=({k: slot_spec for k in
                         ("sym", "extra", "extra_n", "valid", "is_luma")},
                        P(DATA_AXIS, None, None)),
@@ -184,6 +190,7 @@ class ShardedEncoder:
         luts = jnp.stack(self._lut_rows(self._fixed))
 
         def device_fn(rgb_local):
+            rgb_local = self._unflatten_local(rgb_local)
             slots, hists = jax.vmap(self._analyze_one)(rgb_local)
             hists = jax.lax.psum(hists, SPACE_AXIS)
             words, totals = jax.vmap(lambda s: pack_interleaved_segments_fn(
@@ -193,7 +200,7 @@ class ShardedEncoder:
 
         f = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(DATA_AXIS, SPACE_AXIS, None, None),),
+            in_specs=(P(DATA_AXIS, SPACE_AXIS, None),),
             out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS, SPACE_AXIS),
                        P(DATA_AXIS, None, None)),
             check_vma=False)
@@ -234,15 +241,17 @@ class ShardedEncoder:
         qc_zz = jnp.asarray(
             np.asarray(self._chroma_q).reshape(64)[scan], jnp.float32)
 
-        def device_fn(rgb_local):  # [B_local, slab_h, W, 3]
+        def device_fn(rgb_local):  # [B_local, slab_h, W*3]
+            rgb_local = self._unflatten_local(rgb_local)
             b = rgb_local.shape[0]
             px = F.analyze_px(rgb_local, mx, slab_my, spd, sampling=sampling)
-            idx_t, extra_t, extran_t = kfused.dct_symbolize_segments(
-                dct_m, dct_b, ql_zz, qc_zz, px.reshape(b * spd, -1, 64),
-                b * spd, ypm + 2, ypm, interpret=interp)
-            words, totals = kfused.attach_pack_grouped(
-                lut[None, :], idx_t, extra_t, extran_t, b * spd, b * spd,
-                seg_rows, interpret=interp)
+            px = px.reshape(b * spd, -1, 64)
+            words, totals = kfused.dct_attach_pack_grouped(
+                lut[None, :], dct_m, dct_b, ql_zz, qc_zz, px,
+                b * spd, b * spd, ypm + 2, ypm, seg_rows, interpret=interp)
+            idx_t = kfused.dct_index_segments(
+                dct_m, dct_b, ql_zz, qc_zz, px, b * spd, ypm + 2, ypm,
+                interpret=interp)
             hists = F.hist_1024_t(idx_t, b)
             ldc, lac, cdc, cac = F.split_hists(hists)
             h4 = jnp.stack([ldc, lac, cdc, cac], axis=1)  # [B_local, 4, 256]
@@ -251,11 +260,16 @@ class ShardedEncoder:
 
         f = jax.shard_map(
             device_fn, mesh=mesh,
-            in_specs=(P(DATA_AXIS, SPACE_AXIS, None, None),),
+            in_specs=(P(DATA_AXIS, SPACE_AXIS, None),),
             out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS, SPACE_AXIS),
                        P(DATA_AXIS, None, None)),
             check_vma=False)
         return jax.jit(f)
+
+    def _unflatten_local(self, rgb_local):
+        """In-jit view of a local [B, slab_h, W*3] shard as [B, slab_h, W, 3]."""
+        return rgb_local.reshape(rgb_local.shape[0], rgb_local.shape[1],
+                                 self.width, 3)
 
     def _analyze_batch_exact(self, rgbs):
         """Host-orchestrated eager analyze for the f64 bit-parity mode.
@@ -302,14 +316,21 @@ class ShardedEncoder:
         return [dc_l, len_l, ac_l, alen_l, dc_c, len_c, ac_c, alen_c]
 
     def _device_put(self, rgbs):
-        rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
-        if rgbs.shape[1:] != (self.height, self.width, 3):
+        if isinstance(rgbs, np.ndarray):
+            rgbs = rgbs.astype(np.uint8, copy=False)
+        else:
+            rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
+        if rgbs.shape[1:] == (self.height, self.width * 3):
+            pass  # already minor-flattened
+        elif rgbs.shape[1:] == (self.height, self.width, 3):
+            rgbs = rgbs.reshape(rgbs.shape[0], self.height, self.width * 3)
+        else:
             raise ValueError(f"batch shape {rgbs.shape} does not match encoder "
                              f"geometry {self.height}x{self.width}")
         nd = self.mesh.shape[DATA_AXIS]
         if rgbs.shape[0] % nd:
             raise ValueError(f"batch {rgbs.shape[0]} not divisible by data axis {nd}")
-        return jax.device_put(rgbs, self._in_shard())
+        return jax.device_put(jnp.asarray(rgbs), self._in_shard())
 
     def _assemble(self, words, totals, tables_per_image):
         # Fetch the tiny bit counts first, then only the used word prefix:

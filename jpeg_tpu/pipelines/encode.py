@@ -37,6 +37,20 @@ def _luts(table: HuffmanTable):
             jnp.asarray(table.length, dtype=jnp.int32))
 
 
+def _unflat3(rgb):
+    """Accept [H, W*3] minor-flattened images alongside [H, W, 3].
+
+    XLA:TPU's codegen for channel slices of a rank-3 u8 *parameter* with
+    minor dim 3 costs ~4 ms per 20 MB; the same bytes passed logically
+    flat and reshaped in-jit cost ~0.05 ms (measured 2026-08-17, see
+    FastBatchEncoder._check_batch).  The analyzers therefore take either
+    form; jitted callers pass flat.
+    """
+    if rgb.ndim == 2:
+        return rgb.reshape(rgb.shape[0], rgb.shape[1] // 3, 3)
+    return rgb
+
+
 def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False,
                sampling="420"):
     """Device stage 1: image -> symbol slots + histograms (3-scan layout).
@@ -45,6 +59,7 @@ def analyze_fn(rgb, luma_q, chroma_q, dtype=jnp.float32, exact=False,
     exact float64 parity (XLA fuses mul+add into FMA inside jit, which
     perturbs the last ulp vs the reference's separate double ops).
     """
+    rgb = _unflat3(rgb)
     if sampling == "444":
         y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
     elif sampling == "422":
@@ -170,6 +185,7 @@ class JpegEncoder:
             from ..utils.guards import validate_encode_inputs
             validate_encode_inputs(rgb, self._luma_q_dev, self._chroma_q_dev,
                                    sampling=self.config.subsampling)
+        rgb = rgb.reshape(h, w * 3)  # in-jit unflatten; see _unflat3
         if self.config.scan_layout == "interleaved":
             return self._encode_interleaved(rgb, h, w)
         if self.config.restart_interval_mcu_rows:
@@ -404,6 +420,7 @@ def _analyze_3scan_segments_fn(rgb, luma_q, chroma_q, rows_per_seg, sampling,
     hists 4-tuple).  Each component's segment count S_c follows its own
     block grid (rows_per_seg must divide each grid's rows).
     """
+    rgb = _unflat3(rgb)
     if sampling == "444":
         y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
     elif sampling == "422":
@@ -457,6 +474,7 @@ def _analyze_interleaved_alt_fn(rgb, luma_q, chroma_q, n_segs, sampling,
     In both, raster block order within each component already matches the
     MCU walk (one block row per MCU row), so no reorder gather is needed.
     """
+    rgb = _unflat3(rgb)
     if sampling == "444":
         y, cb, cr = ops_color.rgb_to_ycbcr_444(rgb, dtype=dtype)
         y_per_mcu = 1
@@ -491,7 +509,7 @@ def _analyze_interleaved_fn(rgb, luma_q, chroma_q, y_mcu_index, n_segs,
     Output slot arrays have shape [n_segs, mcus_per_seg*6, 64]; DC prediction
     is differenced independently per segment (restart semantics).
     """
-    y, cb, cr = ops_color.rgb_to_ycbcr_420(rgb, dtype=dtype)
+    y, cb, cr = ops_color.rgb_to_ycbcr_420(_unflat3(rgb), dtype=dtype)
     zz_y = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(y), luma_q,
                                        dtype=dtype, exact=exact)
     zz_cb = ops_dct.dct_quantize_zigzag(ops_color.to_blocks(cb), chroma_q,

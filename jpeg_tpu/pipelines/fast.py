@@ -82,81 +82,40 @@ def luma_mask(mps: int, y_per_mcu: int = 4):
     return jnp.tile(jnp.array([1] * y_per_mcu + [0, 0], dtype=bool), (mps,))
 
 
-def hist_1024(idx):
-    """[..., n] combined-LUT indices -> [..., 1024] histogram via the MXU.
-
-    Decompose idx = hi*128 + lo, build int8 one-hot masks for hi (8 wide)
-    and lo (128 wide), and contract over the slot axis:
-    hist[hi, lo] = mask_hi.T @ onehot_lo.  The n x 1024 counting work
-    rides the MXU as an [8, n] @ [n, 128] matmul with n x 136 VPU
-    compares to build the masks — ~7.5x fewer elementwise ops than the
-    round-1 full compare-reduce (n x 1024), which made dynamic-table mode
-    ~12x slower than fixed.  int8 operands halve the one-hot HBM traffic
-    vs bf16; int32 accumulation keeps counts exact.  The NULL_INDEX bin
-    collects invalid slots; callers drop it.  Batch-native (no vmap).
-    """
-    *lead, n = idx.shape
-    flat = idx.reshape(-1, n)
-    KC = 16384  # slots per chunk: bounds the one-hot intermediate to
-    #             B * KC * 136 bf16 elements (~4 MB per batch row)
-    pad = (-n) % KC
-    if pad:
-        # NULL_INDEX pads land in the dropped bin (luma_dc class 255)
-        flat = jnp.concatenate(
-            [flat, jnp.full((flat.shape[0], pad), klut.NULL_INDEX,
-                            flat.dtype)], axis=-1)
-    chunks = jnp.swapaxes(flat.reshape(flat.shape[0], -1, KC), 0, 1)
-
-    def step(h, ch):  # ch: [B, KC]
-        hi = ch >> 7
-        lo = ch & 127
-        # int8 one-hots halve the HBM traffic of the matmul operands (the
-        # chunked intermediates dominate this stage); int32 accumulation
-        # keeps counts exact
-        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)
-                 ).astype(jnp.int8)
-        oh_hi = (hi[..., None] == jnp.arange(8, dtype=jnp.int32)
-                 ).astype(jnp.int8)
-        return h + jnp.einsum("bnr,bnc->brc", oh_hi, oh_lo,
-                              preferred_element_type=jnp.int32), None
-
-    h0 = jnp.zeros((flat.shape[0], 8, 128), jnp.int32)
-    h, _ = jax.lax.scan(step, h0, chunks)
-    return h.reshape(*lead, 1024)
-
-
 def hist_1024_t(idx_t, n_images: int):
     """Transposed slot indices [64, n_images*n] -> [n_images, 1024] hists.
 
-    Same MXU one-hot contraction as ``hist_1024`` but consuming the
-    transposed layout ``kernels.fused.symbolize_segments`` emits, so the
-    dynamic path never relayouts the index field.  The contraction runs
-    over (slot-row, block-chunk) jointly: hist[hi, lo] += onehot_hi^T @
-    onehot_lo with int8 one-hots (exact 0/1; int32 accumulation).
+    MXU one-hot contraction, shaped for zero hidden relayouts: one
+    explicit [64, B, n] -> [B, 64*n] transpose of the int32 indices
+    (cheap), then per chunk an [B, 32, KC] @ [B, KC, 32] int8 matmul —
+    hist[a, c] for idx = a*32 + c.  The balanced 32+32 decomposition
+    halves the one-hot HBM traffic vs the 8+128 split (64 vs 136 bytes
+    per slot), and building oh_a directly transposed keeps XLA from
+    inserting a 300 MB int8 transpose before the dot (the round-1
+    formulation contracted non-adjacent axes, which did exactly that —
+    ~18 ms of the 27 ms dynamic stage 1).
     """
     r, total = idx_t.shape
     n = total // n_images
-    x = idx_t.reshape(r, n_images, n)
-    KC = 2048  # blocks per chunk: bounds the one-hot intermediates to
-    #            64 * B * KC * 136 int8 elements (~4.5 MB per image row)
-    pad = (-n) % KC
+    m = idx_t.reshape(r, n_images, n).transpose(1, 0, 2).reshape(
+        n_images, r * n)
+    KC = 32768  # slots per chunk: bounds one-hots to ~2*B*KC*32 int8
+    pad = (-m.shape[1]) % KC
     if pad:
-        x = jnp.concatenate(
-            [x, jnp.full((r, n_images, pad), klut.NULL_INDEX, x.dtype)],
+        m = jnp.concatenate(
+            [m, jnp.full((n_images, pad), klut.NULL_INDEX, m.dtype)],
             axis=-1)
-    chunks = jnp.moveaxis(x.reshape(r, n_images, -1, KC), 2, 0)
+    chunks = jnp.moveaxis(m.reshape(n_images, -1, KC), 1, 0)
 
-    def step(h, ch):  # ch: [64, B, KC]
-        hi = ch >> 7
-        lo = ch & 127
-        oh_lo = (lo[..., None] == jnp.arange(128, dtype=jnp.int32)
-                 ).astype(jnp.int8)
-        oh_hi = (hi[..., None] == jnp.arange(8, dtype=jnp.int32)
-                 ).astype(jnp.int8)
-        return h + jnp.einsum("rbnh,rbnl->bhl", oh_hi, oh_lo,
+    def step(h, ch):  # ch: [B, KC]
+        oh_a = (ch[:, None, :] >> 5 == jnp.arange(32, dtype=jnp.int32)
+                [None, :, None]).astype(jnp.int8)        # [B, 32, KC]
+        oh_c = ((ch & 31)[..., None] == jnp.arange(32, dtype=jnp.int32)
+                ).astype(jnp.int8)                       # [B, KC, 32]
+        return h + jnp.einsum("bak,bkc->bac", oh_a, oh_c,
                               preferred_element_type=jnp.int32), None
 
-    h0 = jnp.zeros((n_images, 8, 128), jnp.int32)
+    h0 = jnp.zeros((n_images, 32, 32), jnp.int32)
     h, _ = jax.lax.scan(step, h0, chunks)
     return h.reshape(n_images, 1024)
 
@@ -357,13 +316,14 @@ class FastBatchEncoder:
             (B * S, self._is_luma_seg.shape[0]))
         return seq, dcd, isl
 
-    def _step_fn(self, rgbs, lut):
+    def _step_fn(self, rgbs_flat, lut):
         """Fixed-table fused step.  f32: color + interleave in XLA, then
         ONE Pallas kernel does DCT (MXU dot) + quantize + zigzag + DC diff
         + symbolization + LUT attach + local packing — no coefficient or
         slot arrays in HBM.  f64 (exact mode): coefficients come from the
         XLA analyze stage and only symbolize-onward is fused."""
         from ..kernels import fused as kfused
+        rgbs = self._unflatten(rgbs_flat)
         if self._dtype == jnp.float64:
             seq, dcd, isl = self._analyze_zz_batch(rgbs)
             B, S = seq.shape[0], seq.shape[1]
@@ -380,36 +340,48 @@ class FastBatchEncoder:
             self.y_per_mcu, self.seg_rows, interpret=self.interpret)
         return words.reshape(B, S, -1), totals.reshape(B, S)
 
-    def _analyze_hist_fn(self, rgbs):
-        """Dynamic-table stage 1, one jit: analyze + Pallas symbolize into
-        the transposed slot fields + per-image MXU histograms.  The fields
-        stay on device in the layout ``attach_pack_grouped`` consumes."""
+    def _analyze_hist_fn(self, rgbs_flat):
+        """Dynamic-table stage 1, one jit: analyze + Pallas symbolize +
+        per-image MXU histograms.  f32 keeps only the pixel blocks on
+        device (stage 2 recomputes symbolization in-kernel — writing the
+        amplitude fields would be pure HBM waste); f64 (exact mode) keeps
+        the transposed slot fields as before."""
         from ..kernels import fused as kfused
+        rgbs = self._unflatten(rgbs_flat)
         if self._dtype == jnp.float64:
             seq, dcd, isl = self._analyze_zz_batch(rgbs)
             B, S = seq.shape[0], seq.shape[1]
             idx_t, extra_t, extran_t, _ = kfused.symbolize_segments(
                 seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1), isl,
                 B * S, interpret=self.interpret)
-        else:
-            px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
-                            sampling=self.sampling)
-            B, S = px.shape[0], px.shape[1]
-            idx_t, extra_t, extran_t = kfused.dct_symbolize_segments(
-                self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
-                px.reshape(B * S, -1, 64), B * S, self.y_per_mcu + 2,
-                self.y_per_mcu, interpret=self.interpret)
+            h = hist_1024_t(idx_t, B)
+            return (idx_t, extra_t, extran_t), h
+        px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
+                        sampling=self.sampling)
+        B, S = px.shape[0], px.shape[1]
+        px = px.reshape(B * S, -1, 64)
+        idx_t = kfused.dct_index_segments(
+            self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
+            px, B * S, self.y_per_mcu + 2, self.y_per_mcu,
+            interpret=self.interpret)
         h = hist_1024_t(idx_t, B)
-        return (idx_t, extra_t, extran_t), h
+        return (px,), h
 
     def _pack_only_fn(self, fields, lut_per_image):
         """Dynamic-table stage 2: per-image-LUT fused attach + pack."""
         from ..kernels import fused as kfused
-        idx_t, extra_t, extran_t = fields
         B, S = lut_per_image.shape[0], self.n_segs
-        words, totals = kfused.attach_pack_grouped(
-            lut_per_image, idx_t, extra_t, extran_t, B * S, S,
-            self.seg_rows, interpret=self.interpret)
+        if len(fields) == 3:  # f64 exact mode: pre-symbolized slot fields
+            idx_t, extra_t, extran_t = fields
+            words, totals = kfused.attach_pack_grouped(
+                lut_per_image, idx_t, extra_t, extran_t, B * S, S,
+                self.seg_rows, interpret=self.interpret)
+        else:  # f32: grouped one-kernel DCT->place over the retained px
+            (px,) = fields
+            words, totals = kfused.dct_attach_pack_grouped(
+                lut_per_image, self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, px, B * S, S, self.y_per_mcu + 2,
+                self.y_per_mcu, self.seg_rows, interpret=self.interpret)
         return words.reshape(B, S, -1), totals.reshape(B, S)
 
     # -- public API ------------------------------------------------------
@@ -418,15 +390,36 @@ class FastBatchEncoder:
         """Fixed-table fused device step: batch -> (words, total_bits)."""
         if self._fixed is None:
             raise ValueError("step() requires huffman='fixed'")
-        rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
-        return self._step(rgbs, self._fixed_lut)
+        return self._step(self._check_batch(rgbs), self._fixed_lut)
+
+    def _unflatten(self, rgbs_flat):
+        """In-jit view back to [B, H, W, 3] (see ``_check_batch``)."""
+        return rgbs_flat.reshape(rgbs_flat.shape[0], self.height,
+                                 self.width, 3)
 
     def _check_batch(self, rgbs):
-        rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
+        """Validate a [B, H, W, 3] batch and return it minor-flattened.
+
+        The jitted steps take the batch as [B, H, W*3]: XLA:TPU's codegen
+        for channel slices of a rank-4 *parameter* with minor dim 3 costs
+        ~4 ms per 20 MB batch, while the identical bytes passed logically
+        flat and reshaped inside the jit cost ~0.05 ms (measured
+        2026-08-17).  For host arrays the reshape is a free view; device
+        arrays pay one relayout here instead of a pathological one per
+        step.
+        """
+        if hasattr(rgbs, "shape") and tuple(rgbs.shape[1:]) == \
+                (self.height, self.width * 3):
+            return jnp.asarray(rgbs, dtype=jnp.uint8)
+        if isinstance(rgbs, np.ndarray):
+            rgbs = rgbs.astype(np.uint8, copy=False)
+        else:
+            rgbs = jnp.asarray(rgbs, dtype=jnp.uint8)
         if rgbs.shape[1:] != (self.height, self.width, 3):
             raise ValueError(f"batch shape {rgbs.shape} != "
                              f"{self.height}x{self.width}")
-        return rgbs
+        return jnp.asarray(
+            rgbs.reshape(rgbs.shape[0], self.height, self.width * 3))
 
     def _build_tables_batch(self, h_np):
         """Per-image K.2 table builds + combined LUTs from [B, 1024] hists.
