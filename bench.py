@@ -3,10 +3,18 @@
 Measures the fused device encode step (color convert -> 4:2:0 -> DCT/quant/
 zigzag -> symbolization -> Pallas Huffman attach -> Pallas parallel bit
 packing) on the 640x640 reference fixture, batch of 16, fixed Annex K.3
-tables, interleaved scan — inputs resident in HBM, outputs in HBM, steps
-pipelined, wall-clocked with block_until_ready.  This mirrors the C
-reference's own measurement convention (its per-stage timers exclude file
-read: in-memory pixels -> JPEG bits).
+tables, interleaved scan.  This mirrors the C reference's own measurement
+convention (its per-stage timers exclude file read: in-memory pixels ->
+JPEG bits).
+
+Timing methodology (this environment's tunneled TPU makes naive timing
+lie in BOTH directions — see CLAUDE.md): the step runs inside a
+``lax.fori_loop`` whose carry XORs the input each iteration (so no
+execution can be cached/replayed/hoisted/DCE'd), the loop result is a
+scalar reduction of the full output that is FETCHED to host (the tunnel's
+block_until_ready returns early for small programs), and the per-step
+time is the slope between two loop lengths (removes dispatch + fetch
+constants).
 
 Baseline: the reference's golden encoder (``utils/original.c``) compiled
 -O2 on this host: 19.0 MP/s single-core best-of-10 (BASELINE.md).
@@ -23,7 +31,9 @@ import numpy as np
 C_REFERENCE_MPS = 19.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+N1 = int(os.environ.get("BENCH_N1", "5"))
+N2 = int(os.environ.get("BENCH_N2", "25"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))  # dynamic-mode pipeline
 
 
 def _load_batch():
@@ -63,26 +73,58 @@ def main():
     # [B, H, W*3] — see FastBatchEncoder._check_batch for why
     batch = jax.device_put(jnp.asarray(batch_np.reshape(BATCH, h, w * 3)))
     jax.block_until_ready(batch)
+    # fresh-input deltas: every timed call sees bytes no earlier call saw
+    rng = np.random.default_rng(7)
+    deltas = [jax.device_put(jnp.uint8(int(v)))
+              for v in rng.integers(2, 255, 64)]
+    jax.block_until_ready(deltas)
+    _di = [0]
+
+    def next_delta():
+        _di[0] += 1
+        return deltas[_di[0] - 1]
 
     _t("warmup fixed")
     # Warmup/compile + correctness probe (PIL-independent: SOI/EOI + decode).
     jpegs = enc.encode_batch(batch)
     assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for j in jpegs)
 
-    _t("measure fixed")
-    # Device throughput: pipelined fused steps.
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = enc.step(batch)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+    def step_loop(n):
+        @jax.jit
+        def run(b, d):
+            def body(i, c):
+                seed, acc = c
+                words, totals = enc._step_fn(b ^ (seed + d), enc._fixed_lut)
+                s = jnp.sum(words, dtype=jnp.uint32)
+                return ((s & 1).astype(jnp.uint8),
+                        acc + s + jnp.sum(totals).astype(jnp.uint32))
+            return jax.lax.fori_loop(0, n, body,
+                                     (jnp.uint8(0), jnp.uint32(0)))[1]
+        return run
+
+    def slope(mk, n1=N1, n2=N2, reps=2):
+        r1, r2 = mk(n1), mk(n2)
+        int(np.asarray(r1(batch, next_delta())))   # compile + settle
+        int(np.asarray(r2(batch, next_delta())))
+
+        def t(r):
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                int(np.asarray(r(batch, next_delta())))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (t(r2) - t(r1)) / (n2 - n1)
+
+    _t("measure fixed (fori slope)")
+    dt = slope(step_loop)
     mps = (BATCH * h * w) / dt / 1e6
 
     _t("measure e2e")
     # Secondary: e2e bytes-out (tunnel d2h-bound in this environment).
+    xor = jax.jit(lambda b, d: b ^ d)
     t0 = time.perf_counter()
-    enc.encode_batch(batch)
+    enc.encode_batch(xor(batch, next_delta()))
     e2e = time.perf_counter() - t0
     e2e_mps = (BATCH * h * w) / e2e / 1e6
 
@@ -90,19 +132,28 @@ def main():
     # reference's actual behavior).  Pipelined: batch i+1's analyze is
     # enqueued before batch i's histogram sync, hiding the device->host
     # histogram fetch and the host table builds behind device compute.
+    # Every batch is XOR-perturbed with a fresh delta so no execution can
+    # be replayed by the tunnel.
     _t("warmup dynamic")
     dyn_enc = FastBatchEncoder(
         h, w, config=EncodeConfig(scan_layout="interleaved",
                                   huffman="dynamic"), segs_per_image=1)
-    out = dyn_enc.dynamic_pack(batch)  # warmup/compile
+    analyze = jax.jit(lambda b, d: dyn_enc._analyze_hist_fn(b ^ d))
+    out = dyn_enc.dynamic_pack(batch)  # warmup/compile assemble path
     jax.block_until_ready(out[:2])
+    fields, hist = analyze(batch, deltas[0])  # compile
+    jax.block_until_ready(hist)
+    _, luts = dyn_enc._build_tables_batch(np.asarray(hist))
+    out = dyn_enc._pack_only(fields, jnp.asarray(luts))  # compile
+    jax.block_until_ready(out)
+
     def start_batch():
-        slots, h = dyn_enc._analyze_hist(batch)
+        fields, hst = analyze(batch, next_delta())
         try:  # overlap the histogram d2h with later batches' device work
-            h.copy_to_host_async()
+            hst.copy_to_host_async()
         except AttributeError:
             pass
-        return slots, h
+        return fields, hst
 
     _t("measure dynamic")
     t0 = time.perf_counter()
@@ -110,11 +161,13 @@ def main():
     for _ in range(ITERS - 1):
         nxt = start_batch()
         _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
-        out = dyn_enc._pack_only(pend[0], jax.numpy.asarray(luts))
+        out = dyn_enc._pack_only(pend[0], jnp.asarray(luts))
         pend = nxt
     _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
-    out = dyn_enc._pack_only(pend[0], jax.numpy.asarray(luts))
+    out = dyn_enc._pack_only(pend[0], jnp.asarray(luts))
     jax.block_until_ready(out)
+    # fetch a word to force true completion (tunnel block can return early)
+    int(np.asarray(out[0][0, 0, 0]))
     dyn_dt = (time.perf_counter() - t0) / ITERS
     dyn_mps = (BATCH * h * w) / dyn_dt / 1e6
 
@@ -136,18 +189,40 @@ def main():
     for _ in range(5):
         parse_coefficients(one)
     entropy_ms = (time.perf_counter() - t0) / 5 * 1000.0
-    args = (jnp.asarray(coeffs[comps[0].comp_id]),
-            jnp.asarray(coeffs[comps[1].comp_id]),
-            jnp.asarray(coeffs[comps[2].comp_id]),
-            jnp.asarray(quant[comps[0].quant_id]),
-            jnp.asarray(quant[comps[1].quant_id]))
-    out2 = reconstruct(*args, h, w, samp="420")  # warm/compile
-    jax.block_until_ready(out2)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out2 = reconstruct(*args, h, w, samp="420")
-    jax.block_until_ready(out2)
-    recon_ms = (time.perf_counter() - t0) / ITERS * 1000.0
+    args = tuple(jax.device_put(jnp.asarray(a)) for a in (
+        coeffs[comps[0].comp_id], coeffs[comps[1].comp_id],
+        coeffs[comps[2].comp_id], quant[comps[0].quant_id],
+        quant[comps[1].quant_id]))
+    jax.block_until_ready(args)
+
+    def recon_loop(n):
+        @jax.jit
+        def run(cy, cb, cr, ql, qc, d):
+            def body(i, c):
+                seed, acc = c
+                out = reconstruct(cy + seed, cb, cr, ql, qc, h, w,
+                                  samp="420")
+                s = jnp.sum(out.astype(jnp.uint32))
+                return (s & 1).astype(cy.dtype), acc + s
+            return jax.lax.fori_loop(
+                0, n, body, (d.astype(cy.dtype), jnp.uint32(0)))[1]
+        return run
+
+    def recon_slope(n1=N1, n2=N2):
+        r1, r2 = recon_loop(n1), recon_loop(n2)
+        int(np.asarray(r1(*args, next_delta())))
+        int(np.asarray(r2(*args, next_delta())))
+
+        def t(r):
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                int(np.asarray(r(*args, next_delta())))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (t(r2) - t(r1)) / (n2 - n1)
+
+    recon_ms = recon_slope() * 1000.0
     dec_mps = (h * w) / max(entropy_ms, recon_ms) / 1e3
 
     _t("done")
@@ -161,7 +236,7 @@ def main():
           f"reconstruct {recon_ms:.1f}ms/img -> pipelined {dec_mps:.1f} MP/s",
           file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
-          f"step={dt*1000:.1f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
+          f"step={dt*1000:.2f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
           f"host assembly over the tunnel); dynamic-huffman "
           f"{dyn_mps:.1f} MP/s ({dyn_dt*1000:.1f}ms/batch, "
           f"{mps/max(dyn_mps,1e-9):.2f}x slower than fixed)", file=sys.stderr)

@@ -373,20 +373,39 @@ def _dct_consts(m, bias, ql, qc, width: int = 128):
 
 def _dct_place_call(luts, segs_per_group: int, m, bias, ql, qc, px, S: int,
                     period: int, ypm: int, seg_rows: int, interpret: bool):
-    """Shared one-kernel DCT->place launch (grouped LUTs).
+    """Shared one-kernel DCT->place launch (grouped LUTs) from pixel blocks.
 
     luts: [G, 1024] combined LUTs, one per group of ``segs_per_group``
     consecutive segments (G == 1 serves the fixed-table mode).  Returns
     (words, totals).  The caller has already checked the VMEM budget.
     """
-    seg_rows_p = (seg_rows + 7) & ~7
     cb = _CHUNK * _TB
     xt, nblk, geom = _dct_front(px, S, tile_blocks=cb)
+    return _place_from_xt(luts, segs_per_group, m, bias, ql, qc, xt, S,
+                          period, ypm, seg_rows, geom["real_nblk"], cb,
+                          interpret)
+
+
+def _pick_chunk(nblk_seg: int) -> int:
+    """Largest supported chunk width dividing the per-segment block count."""
+    for cb in (512, 384, 256, 128):
+        if nblk_seg % cb == 0:
+            return cb
+    raise ValueError(f"nblk_seg={nblk_seg} not a multiple of 128")
+
+
+def _place_from_xt(luts, segs_per_group: int, m, bias, ql, qc, xt, S: int,
+                   period: int, ypm: int, seg_rows: int, real_nblk: int,
+                   cb: int, interpret: bool):
+    """One-kernel DCT->place launch from a pre-relayouted [64, nblk] xt
+    (the Pallas front's output, or ``_dct_front``'s)."""
+    seg_rows_p = (seg_rows + 7) & ~7
+    nblk = xt.shape[1]
     chunks_per_seg = (nblk // S) // cb
     cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
     kernel = functools.partial(
-        _dct_place_kernel, real_nblk=geom["real_nblk"], period=period,
-        ypm=ypm, chunk=_CHUNK)
+        _dct_place_kernel, real_nblk=real_nblk, period=period,
+        ypm=ypm, chunk=cb // _TB)
     out, tot = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
@@ -412,6 +431,61 @@ def _dct_place_call(luts, segs_per_group: int, m, bias, ql, qc, px, S: int,
     words = jax.lax.bitcast_convert_type(
         out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
     return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "segs_per_group", "period",
+                                    "ypm", "seg_rows", "interpret"))
+def dct_attach_pack_xt(luts, m, bias, ql, qc, xt, n_segments: int,
+                       segs_per_group: int, period: int, ypm: int,
+                       seg_rows: int, interpret: bool = False):
+    """One-kernel DCT->place directly from a [64, nblk] transposed pixel
+    layout (``kernels.front.front_420`` output — no padding columns, so
+    ``real_nblk`` is the full per-segment block count).  Grouped LUTs as
+    in ``dct_attach_pack_grouped``; G == 1 serves fixed-table mode."""
+    S = n_segments
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError("segment space exceeds int32 bit offsets")
+    seg_rows_p = (seg_rows + 7) & ~7
+    if seg_rows_p * 128 * 4 > _RESIDENT_VMEM_BUDGET:
+        raise ValueError("segment words exceed the VMEM-resident budget; "
+                         "use the px two-phase path")
+    nblk_seg = xt.shape[1] // S
+    cb = _pick_chunk(nblk_seg)
+    return _place_from_xt(luts.reshape(-1, 1024), segs_per_group, m, bias,
+                          ql, qc, xt, S, period, ypm, seg_rows, nblk_seg,
+                          cb, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "period", "ypm",
+                                    "interpret"))
+def dct_index_xt(m, bias, ql, qc, xt, n_segments: int, period: int,
+                 ypm: int, interpret: bool = False):
+    """Fused DCT->symbolize emitting ONLY the combined-LUT index field,
+    directly from a [64, nblk] transposed pixel layout (dynamic-mode
+    stage 1 over the Pallas front's output)."""
+    S = n_segments
+    nblk = xt.shape[1]
+    nblk_seg = nblk // S
+    if nblk_seg % _TB:
+        raise ValueError(f"per-segment blocks {nblk_seg} not tile-aligned")
+    cspecs, cargs = _dct_consts(m, bias, ql, qc)
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dct_idxonly_kernel, period=period, ypm=ypm,
+                               tiles_per_seg=nblk_seg // _TB,
+                               real_nblk=nblk_seg)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+        grid=grid,
+        in_specs=cspecs + [dat()],
+        out_specs=dat(),
+        scratch_shapes=[pltpu.VMEM((1, _TB), jnp.int32)],
+        interpret=interpret,
+    )(*cargs, xt)
 
 
 @functools.partial(jax.jit,

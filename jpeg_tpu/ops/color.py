@@ -47,14 +47,44 @@ def _avg1x2(plane_i32):
 
 
 def rgb_to_ycbcr_444(rgb, dtype=jnp.float32):
-    """[..., H, W, 3] uint8 -> full-resolution (y, cb, cr) int32 planes."""
-    x = rgb.astype(dtype)
+    """[..., H, W, 3] uint8 -> full-resolution (y, cb, cr) int32 planes.
+
+    float64: the reference's double expressions verbatim (C parity).
+
+    float32 (the fast path) uses exact FIXED-POINT arithmetic instead:
+    the coefficients are the decimal fractions 299/1000, 168736/1e6, ...,
+    so ``floor(sum_of_scaled_int_products / scale)`` is a deterministic
+    pure-integer function of the pixel — identical on every backend and
+    under any FMA/fusion choice the compiler makes.  (Float expressions
+    here previously differed by 1 ulp between XLA and Pallas/Mosaic
+    compilations of the same formula, flipping the floor on ~1e-5 of
+    pixels and breaking the engines-byte-identical invariant.)  The
+    divergence from the C doubles is the same class as the old f32 path:
+    rare one-code-value flips at exact-integer boundaries, PSNR-neutral.
+
+    Exactness of the f32 ops: all scaled sums are < 2^31 (int32 exact);
+    the chroma >> 6 then /15625 uses floor(floor(x/64)/15625) ==
+    floor(x/1e6); quotients and dividends are < 2^24 so f32 divides
+    cannot cross an integer boundary (remainder >= 1/15625 >> ulp).
+    """
+    if dtype == jnp.float64:
+        x = rgb.astype(dtype)
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = (0.299 * r + 0.587 * g) + 0.114 * b
+        cb = ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b
+        cr = ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b
+        return (jnp.floor(y).astype(jnp.int32),
+                jnp.floor(cb).astype(jnp.int32),
+                jnp.floor(cr).astype(jnp.int32))
+    x = rgb.astype(jnp.int32)
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    y = (0.299 * r + 0.587 * g) + 0.114 * b
-    cb = ((128.0 - 0.168736 * r) - 0.331264 * g) + 0.5 * b
-    cr = ((128.0 + 0.5 * r) - 0.418688 * g) - 0.081312 * b
-    return (jnp.floor(y).astype(jnp.int32), jnp.floor(cb).astype(jnp.int32),
-            jnp.floor(cr).astype(jnp.int32))
+    y_t = 299 * r + 587 * g + 114 * b
+    y = jnp.floor(y_t.astype(jnp.float32) / 1000.0).astype(jnp.int32)
+    cb_t = 128_000_000 + (-168736 * r - 331264 * g + 500000 * b)
+    cr_t = 128_000_000 + (500000 * r - 418688 * g - 81312 * b)
+    cb = jnp.floor((cb_t >> 6).astype(jnp.float32) / 15625.0)
+    cr = jnp.floor((cr_t >> 6).astype(jnp.float32) / 15625.0)
+    return y, cb.astype(jnp.int32), cr.astype(jnp.int32)
 
 
 def _avg2x2(plane_i32):

@@ -316,24 +316,46 @@ class FastBatchEncoder:
             (B * S, self._is_luma_seg.shape[0]))
         return seq, dcd, isl
 
+    @property
+    def _front_ok(self):
+        """Whole-front-in-Pallas eligibility (kernels.front)."""
+        from ..kernels import front as kfront
+        return (self._dtype != jnp.float64 and
+                kfront.front_eligible(self.height, self.width,
+                                      self.sampling, self.n_segs))
+
+    def _front_xt(self, rgbs_flat):
+        from ..kernels import front as kfront
+        return kfront.front_420(rgbs_flat, self.mcus_x, self.mcus_y,
+                                interpret=self.interpret)
+
     def _step_fn(self, rgbs_flat, lut):
-        """Fixed-table fused step.  f32: color + interleave in XLA, then
-        ONE Pallas kernel does DCT (MXU dot) + quantize + zigzag + DC diff
-        + symbolization + LUT attach + local packing — no coefficient or
+        """Fixed-table fused step.  f32: a Pallas front kernel does the
+        deinterleave + color + 4:2:0 + block/MCU relayout (MXU permutation
+        matmuls — the same stage cost ~4 ms as XLA ops), then ONE Pallas
+        kernel does DCT (MXU dot) + quantize + zigzag + DC diff +
+        symbolization + LUT attach + local packing — no coefficient or
         slot arrays in HBM.  f64 (exact mode): coefficients come from the
         XLA analyze stage and only symbolize-onward is fused."""
         from ..kernels import fused as kfused
-        rgbs = self._unflatten(rgbs_flat)
         if self._dtype == jnp.float64:
+            rgbs = self._unflatten(rgbs_flat)
             seq, dcd, isl = self._analyze_zz_batch(rgbs)
             B, S = seq.shape[0], seq.shape[1]
             words, totals = kfused.analyze_attach_pack_segments(
                 lut, seq.reshape(B * S, -1, 64), dcd.reshape(B * S, -1),
                 isl, B * S, self.seg_rows, interpret=self.interpret)
             return words.reshape(B, S, -1), totals.reshape(B, S)
-        px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
-                        sampling=self.sampling)
-        B, S = px.shape[0], px.shape[1]
+        B, S = rgbs_flat.shape[0], self.n_segs
+        if self._front_ok:
+            xt = self._front_xt(rgbs_flat)
+            words, totals = kfused.dct_attach_pack_xt(
+                lut[None, :], self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, xt, B * S, B * S, self.y_per_mcu + 2,
+                self.y_per_mcu, self.seg_rows, interpret=self.interpret)
+            return words.reshape(B, S, -1), totals.reshape(B, S)
+        px = analyze_px(self._unflatten(rgbs_flat), self.mcus_x,
+                        self.mcus_y, self.n_segs, sampling=self.sampling)
         words, totals = kfused.dct_attach_pack_segments(
             lut, self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
             px.reshape(B * S, -1, 64), B * S, self.y_per_mcu + 2,
@@ -356,9 +378,17 @@ class FastBatchEncoder:
                 B * S, interpret=self.interpret)
             h = hist_1024_t(idx_t, B)
             return (idx_t, extra_t, extran_t), h
+        B, S = rgbs_flat.shape[0], self.n_segs
+        if self._front_ok:
+            xt = self._front_xt(rgbs_flat)
+            idx_t = kfused.dct_index_xt(
+                self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
+                xt, B * S, self.y_per_mcu + 2, self.y_per_mcu,
+                interpret=self.interpret)
+            h = hist_1024_t(idx_t, B)
+            return (xt,), h
         px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
                         sampling=self.sampling)
-        B, S = px.shape[0], px.shape[1]
         px = px.reshape(B * S, -1, 64)
         idx_t = kfused.dct_index_segments(
             self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
@@ -376,6 +406,12 @@ class FastBatchEncoder:
             words, totals = kfused.attach_pack_grouped(
                 lut_per_image, idx_t, extra_t, extran_t, B * S, S,
                 self.seg_rows, interpret=self.interpret)
+        elif fields[0].ndim == 2:  # f32 front path: retained [64, nblk] xt
+            (xt,) = fields
+            words, totals = kfused.dct_attach_pack_xt(
+                lut_per_image, self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, xt, B * S, S, self.y_per_mcu + 2,
+                self.y_per_mcu, self.seg_rows, interpret=self.interpret)
         else:  # f32: grouped one-kernel DCT->place over the retained px
             (px,) = fields
             words, totals = kfused.dct_attach_pack_grouped(
