@@ -146,26 +146,44 @@ def main():
     _, luts = dyn_enc._build_tables_batch(np.asarray(hist))
     out = dyn_enc._pack_only(fields, jnp.asarray(luts))  # compile
     jax.block_until_ready(out)
-
-    def start_batch():
-        fields, hst = analyze(batch, next_delta())
-        try:  # overlap the histogram d2h with later batches' device work
-            hst.copy_to_host_async()
-        except AttributeError:
-            pass
-        return fields, hst
+    # compile the K-wide histogram stack too (a cold compile inside the
+    # timed loop once cost 65 ms/batch amortized)
+    np.asarray(jnp.stack([hist] * 5))
 
     _t("measure dynamic")
+    # Super-batched histogram sync (encode_stream's structure): enqueue K
+    # analyzes, fetch their stacked histograms in ONE device->host round
+    # trip (the round trip, ~48 ms on this tunnel, is the dominant cost
+    # of a per-batch sync), then run the host K.2 builds + per-image-LUT
+    # packs while the next super-batch's analyzes are already in flight.
+    K = 5
     t0 = time.perf_counter()
-    pend = start_batch()
-    for _ in range(ITERS - 1):
-        nxt = start_batch()
-        _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
-        out = dyn_enc._pack_only(pend[0], jnp.asarray(luts))
-        pend = nxt
-    _, luts = dyn_enc._build_tables_batch(np.asarray(pend[1]))
-    out = dyn_enc._pack_only(pend[0], jnp.asarray(luts))
-    jax.block_until_ready(out)
+    out = None
+    pend, staged = [], None
+
+    def stage():
+        nonlocal staged, out
+        nxt = None
+        if pend:
+            hs = jnp.stack([hst for _, hst in pend])
+            try:
+                hs.copy_to_host_async()
+            except Exception:
+                pass
+            nxt = ([f for f, _ in pend], hs)
+            pend.clear()
+        if staged is not None:
+            for fields, h_np in zip(staged[0], np.asarray(staged[1])):
+                _, luts = dyn_enc._build_tables_batch(h_np)
+                out = dyn_enc._pack_only(fields, jnp.asarray(luts))
+        staged = nxt
+
+    for i in range(ITERS):
+        pend.append(analyze(batch, next_delta()))
+        if len(pend) == K:
+            stage()
+    stage()
+    stage()
     # fetch a word to force true completion (tunnel block can return early)
     int(np.asarray(out[0][0, 0, 0]))
     dyn_dt = (time.perf_counter() - t0) / ITERS

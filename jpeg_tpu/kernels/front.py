@@ -7,27 +7,28 @@ channel deinterleave + 8x8 blocking + MCU interleave + [nblk, 64] ->
 2026-08-17 with the cache-proof fori-slope methodology) even though the
 pure HBM traffic is <0.2 ms; this kernel does the same relayout with
 MXU permutation matmuls, XLU 2D transposes, and aligned slice/concats
-in a few hundred microseconds.
+in ~0.4 ms.
 
 Layout algebra (the whole kernel is this observation): moving a LEADING
 row factor into lanes (or a leading lane factor into rows) is free —
 aligned slices + concat; only MINOR factors are expensive to move.  So
 every exchange is phrased as: make the factor leading (0/1 permutation
-matmul on the matching side), transpose if it must switch sides, then
-slice + concat.  All matmuls are 0/1 matrices against integer-valued
-operands bounded by 256, which bf16 represents exactly, so the MXU's
-bf16 default loses nothing and every emitted pixel value is bit-identical
-to the XLA front's.
+matmul on the matching side), transpose (XLU) if it must switch sides,
+then slice + concat.  All matmuls are 0/1 matrices against
+integer-valued operands bounded by 256, which bf16 represents exactly,
+so the MXU's bf16 default loses nothing and every emitted pixel value
+is bit-identical to the XLA front's.
 
-Color math mirrors ``ops.color.rgb_to_ycbcr_444`` expression-for-
-expression (reference: utils/original.c:372-404); chroma subsampling
-reproduces the 2x2 truncating average exactly in f32 (all intermediate
-sums are small integers, exact in f32).
+Color convert is the exact fixed-point integer formulation of
+``ops.color.rgb_to_ycbcr_444`` (deterministic across backends); chroma
+subsampling reproduces the truncating averages exactly (all
+intermediate sums are small integers, exact in f32).  Reference
+behavior: utils/original.c:372-404, main/encoder.c:133-138.
 
-Coverage: 4:2:0, interleaved, one segment per image, W % 128 == 0,
-H % 128 == 0, W <= 1280 (VMEM for the [W, W] lane permutation).
-``front_eligible`` gates callers; everything else falls back to the XLA
-front.
+Coverage: 4:2:0 / 4:2:2 / 4:4:4, interleaved, one segment per image,
+W % 128 == 0, H % 128 == 0, W <= 1280 (VMEM for the [W, W] lane
+permutation).  ``front_eligible`` gates callers; everything else falls
+back to the XLA front.
 """
 from __future__ import annotations
 
@@ -41,58 +42,110 @@ from jax.experimental.pallas import tpu as pltpu
 
 _MAX_W = 1280
 
+# per-slab output columns (slab = 128 image rows) by sampling:
+#   420: 8 MCU rows x (4Y + Cb + Cr) x mx        = 48 mx
+#   422: 16 MCU rows x (2Y + Cb + Cr) x mx       = 64 mx
+#   444: 16 MCU rows x 3 x (W/8)                 = 6 W = 96 mx
+
+
+def slab_cols(mx: int, sampling: str) -> int:
+    return {"420": 48 * mx, "422": 64 * mx, "444": 96 * mx}[sampling]
+
 
 def front_eligible(height: int, width: int, sampling: str,
                    n_segs_per_image: int) -> bool:
-    return (sampling == "420" and n_segs_per_image == 1
+    return (sampling in ("420", "422", "444") and n_segs_per_image == 1
             and width % 128 == 0 and height % 128 == 0
             and width <= _MAX_W)
 
 
-@functools.lru_cache(maxsize=8)
-def _consts(mx: int, bf16: bool = True):
+def _perm(n, pairs):
+    m = np.zeros((n, n), np.float32)
+    for src, dst in pairs:
+        m[src, dst] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=16)
+def _consts_np(mx: int, sampling: str):
     """0/1 permutation matrices (numpy, cached per geometry)."""
     W = 16 * mx
+    mats = {}
     # Deinterleave: 384 interleaved RGB lanes (128 px) -> R|G|B 128 each.
     sel = np.zeros((384, 384), np.float32)
     for j in range(128):
         for c in range(3):
             sel[3 * j + c, c * 128 + j] = 1.0
-    # Y lane perm: (m, dh, px) -> (px, m, dh).
-    r1y = np.zeros((W, W), np.float32)
-    for m in range(mx):
-        for dh in range(2):
-            for px in range(8):
-                r1y[16 * m + 8 * dh + px, px * 2 * mx + 2 * m + dh] = 1.0
-    # Chroma lane perm: (m, pcol) -> (pcol, m).
-    r1c = np.zeros((W // 2, W // 2), np.float32)
-    for m in range(mx):
-        for pcol in range(8):
-            r1c[8 * m + pcol, pcol * mx + m] = 1.0
-    # Chroma horizontal pair sum.
-    ps2 = np.zeros((W, W // 2), np.float32)
-    for j in range(W // 2):
-        ps2[2 * j, j] = 1.0
-        ps2[2 * j + 1, j] = 1.0
-    # Chroma row compaction: (t, 2*prow) -> (t, prow).
-    lc2 = np.zeros((64, 128), np.float32)
-    for t in range(8):
-        for prow in range(8):
-            lc2[8 * t + prow, 16 * t + 2 * prow] = 1.0
-    # Final per-MCU-row window perms: lanes -> cols 6m+q of the window.
-    rny = np.zeros((4 * mx, 6 * mx), np.float32)   # (dv, m, dh) -> 6m+2dv+dh
-    for dv in range(2):
+    mats["sel"] = sel
+    if sampling in ("420", "422"):
+        # Y lane perm: (m, dh, px) -> (px, m, dh).
+        mats["r1y"] = _perm(W, [
+            (16 * m + 8 * dh + px, px * 2 * mx + 2 * m + dh)
+            for m in range(mx) for dh in range(2) for px in range(8)])
+        # Chroma lane perm: (m, pcol) -> (pcol, m).
+        mats["r1c"] = _perm(W // 2, [
+            (8 * m + pcol, pcol * mx + m)
+            for m in range(mx) for pcol in range(8)])[:, :]
+        # Horizontal pair sum.
+        ps2 = np.zeros((W, W // 2), np.float32)
+        for j in range(W // 2):
+            ps2[2 * j, j] = 1.0
+            ps2[2 * j + 1, j] = 1.0
+        mats["ps2"] = ps2
+    if sampling == "420":
+        # Chroma row compaction: (t, 2*prow) -> (t, prow).
+        lc2 = np.zeros((64, 128), np.float32)
+        for t in range(8):
+            for prow in range(8):
+                lc2[8 * t + prow, 16 * t + 2 * prow] = 1.0
+        mats["lc2"] = lc2
+        # Window perms: lanes -> cols 6m+q of one MCU row's window.
+        mats["rny"] = np.zeros((4 * mx, 6 * mx), np.float32)
+        for dv in range(2):
+            for m in range(mx):
+                for dh in range(2):
+                    mats["rny"][dv * 2 * mx + 2 * m + dh,
+                                6 * m + 2 * dv + dh] = 1.0
+        mats["rcb"] = np.zeros((mx, 6 * mx), np.float32)
+        mats["rcr"] = np.zeros((mx, 6 * mx), np.float32)
+        for m in range(mx):
+            mats["rcb"][m, 6 * m + 4] = 1.0
+            mats["rcr"][m, 6 * m + 5] = 1.0
+    elif sampling == "422":
+        # Window perms for one 8-row MCU row: cols 4m+q, q = Y0 Y1 Cb Cr.
+        mats["rny"] = np.zeros((2 * mx, 4 * mx), np.float32)
         for m in range(mx):
             for dh in range(2):
-                rny[dv * 2 * mx + 2 * m + dh, 6 * m + 2 * dv + dh] = 1.0
-    rcb = np.zeros((mx, 6 * mx), np.float32)
-    rcr = np.zeros((mx, 6 * mx), np.float32)
-    for m in range(mx):
-        rcb[m, 6 * m + 4] = 1.0
-        rcr[m, 6 * m + 5] = 1.0
+                mats["rny"][2 * m + dh, 4 * m + dh] = 1.0
+        mats["rcb"] = np.zeros((mx, 4 * mx), np.float32)
+        mats["rcr"] = np.zeros((mx, 4 * mx), np.float32)
+        for m in range(mx):
+            mats["rcb"][m, 4 * m + 2] = 1.0
+            mats["rcr"][m, 4 * m + 3] = 1.0
+    else:  # 444
+        m8 = W // 8
+        # plane lane perm: (m8, px) -> (px, m8); shared by Y/Cb/Cr.
+        mats["r1y"] = _perm(W, [
+            (8 * m + px, px * m8 + m)
+            for m in range(m8) for px in range(8)])
+        # Window perms: cols 3m+q per 8-row MCU row.
+        mats["rny"] = np.zeros((m8, 3 * m8), np.float32)
+        mats["rcb"] = np.zeros((m8, 3 * m8), np.float32)
+        mats["rcr"] = np.zeros((m8, 3 * m8), np.float32)
+        for m in range(m8):
+            mats["rny"][m, 3 * m] = 1.0
+            mats["rcb"][m, 3 * m + 1] = 1.0
+            mats["rcr"][m, 3 * m + 2] = 1.0
+    names = sorted(mats)
+    return names, tuple(mats[n] for n in names)
+
+
+def _consts(mx: int, sampling: str, bf16: bool = True):
+    # convert to jnp at every call site: caching device arrays would leak
+    # tracers across jit traces (numpy stays cached in _consts_np)
     dt = jnp.bfloat16 if bf16 else jnp.float32
-    return tuple(jnp.asarray(a, dt)
-                 for a in (sel, r1y, r1c, ps2, lc2, rny, rcb, rcr))
+    names, mats = _consts_np(mx, sampling)
+    return names, tuple(jnp.asarray(m, dt) for m in mats)
 
 
 def _dot(a, b):
@@ -116,114 +169,159 @@ def _row_interleave8(pieces, rows, cols):
     return out
 
 
-def _y_path(y, r1y, mx, bf16):
-    """Y plane [128, W] (rows 16t+8dv+py, lanes 16m+8dh+px) ->
-    8 per-MCU-row pieces [64, 4mx] (rows py*8+px, lanes (dv, m, dh))."""
-    W = 16 * mx
-    y1 = _dot(_b16(y, bf16), r1y)          # [128, W] lanes (px, m, dh)
-    yT = y1.T                        # [W, 128] rows (px, m, dh)
+def _exchange8(p1):
+    """[128, W'] (rows (k16, sub8), lanes (px8, rest)) ->
+    [64, 16*W'/8] (rows (sub, px), lanes (k, rest)).
+
+    The generic minor-exchange: one XLU transpose, 8 aligned px slices,
+    8 more transposes, 16 aligned row slices + lane concat each, and a
+    repeat/mask row interleave.  Every block-relayout variant in this
+    module is this primitive behind a lane permutation.
+    """
+    Wp = p1.shape[1]
+    width = Wp // 8
+    pT = p1.T                                     # [W', 128]
     ts = []
     for px in range(8):
-        s = yT[px * 2 * mx:(px + 1) * 2 * mx]    # [2mx, 128] rows (m, dh)
-        sT = s.T                                 # [128, 2mx] rows (t, dv, py)
-        # leading (t, dv) rows -> lanes: slice + concat
+        s = pT[px * width:(px + 1) * width]       # [width, 128]
+        sT = s.T                                  # [128, width]
         ts.append(jnp.concatenate(
             [sT[8 * k:8 * (k + 1)] for k in range(16)], axis=1))
-        # [8, 32mx] rows py, lanes (t, dv, m, dh)
-    yb = _row_interleave8(ts, 8, 32 * mx)        # [64, 32mx] rows (py, px)
-    return [yb[:, t * 4 * mx:(t + 1) * 4 * mx] for t in range(8)]
+        # [8, 16*width]: rows sub, lanes (k, rest)
+    return _row_interleave8(ts, 8, 16 * width)
 
 
-def _c_path(c, r1c, ps2, lc2, mx, bf16):
-    """Chroma plane [128, W] -> 8 pieces [64, mx] (rows prow*8+pcol, lanes m).
-
-    Exact 2x2 truncating average (utils/original.c:393-404): horizontal
-    pair sums ride a 0/1 matmul on values shifted by -128 (sums in
-    [-256, 254], bf16-exact), the vertical pair adds in f32, and
-    (sum4 + 512) * 0.25 floored recovers (a+b+c+d)//4 exactly.
-    """
-    W = 16 * mx
-    ps = _dot(_b16(c - 128.0, bf16), ps2)              # [128, W/2] pair sums - 256
-    ps_tot = ps + pltpu.roll(ps, 127, axis=0)    # row r += row r+1
-    csub = jnp.floor((ps_tot + 512.0) * 0.25)    # ints 0..255 at even rows
-    c1 = _dot(_b16(csub, bf16), r1c)                   # lanes (pcol, m)
-    c2 = _dot(lc2, _b16(c1, bf16))                     # [64, W/2] rows (t, prow)
-    cT = c2.T                                    # [W/2, 64] rows (pcol, m)
-    ts = []
-    for pcol in range(8):
-        s = cT[pcol * mx:(pcol + 1) * mx]        # [mx, 64] rows m
-        sT = s.T                                 # [64, mx] rows (t, prow)
-        ts.append(jnp.concatenate(
-            [sT[8 * t:8 * (t + 1)] for t in range(8)], axis=1))
-        # [8, 8mx] rows prow, lanes (t, m)
-    zb = _row_interleave8(ts, 8, 8 * mx)         # [64, 8mx] rows (prow, pcol)
-    return [zb[:, t * mx:(t + 1) * mx] for t in range(8)]
-
-
-def _front_kernel(sel_ref, r1y_ref, r1c_ref, ps2_ref, lc2_ref, rny_ref,
-                  rcb_ref, rcr_ref, in_ref, out_ref, *, mx: int,
-                  bf16: bool):
-    W = 16 * mx
-    # Mosaic has no direct u8 -> f32 cast; hop through int32
-    x = in_ref[0].astype(jnp.int32).astype(jnp.float32)  # [128, W*3]
-    parts = [_dot(_b16(x[:, g * 384:(g + 1) * 384], bf16), sel_ref[:])
+def _deint_color(x, sel, W, bf16):
+    """[128, W*3] f32 interleaved u8 values -> (y, cb, cr) [128, W] f32
+    integer planes (exact fixed-point color — see ops.color)."""
+    parts = [_dot(_b16(x[:, g * 384:(g + 1) * 384], bf16), sel)
              for g in range(W * 3 // 384)]
-    r = jnp.concatenate([p[:, :128] for p in parts], axis=1).astype(jnp.int32)
+    r = jnp.concatenate([p[:, :128] for p in parts],
+                        axis=1).astype(jnp.int32)
     g = jnp.concatenate([p[:, 128:256] for p in parts],
                         axis=1).astype(jnp.int32)
     b = jnp.concatenate([p[:, 256:384] for p in parts],
                         axis=1).astype(jnp.int32)
-    # exact mirror of ops.color.rgb_to_ycbcr_444's fixed-point f32 path
-    # (deterministic integer arithmetic — see that docstring)
     y_t = 299 * r + 587 * g + 114 * b
     y = jnp.floor(y_t.astype(jnp.float32) / 1000.0)
     cb_t = 128_000_000 + (-168736 * r - 331264 * g + 500000 * b)
     cr_t = 128_000_000 + (500000 * r - 418688 * g - 81312 * b)
     cb = jnp.floor((cb_t >> 6).astype(jnp.float32) / 15625.0)
     cr = jnp.floor((cr_t >> 6).astype(jnp.float32) / 15625.0)
+    return y, cb, cr
 
-    ypieces = _y_path(y, r1y_ref[:], mx, bf16)
-    cbpieces = _c_path(cb, r1c_ref[:], ps2_ref[:], lc2_ref[:], mx, bf16)
-    crpieces = _c_path(cr, r1c_ref[:], ps2_ref[:], lc2_ref[:], mx, bf16)
-    windows = []
-    for t in range(8):
-        w = _dot(_b16(ypieces[t], bf16), rny_ref[:])
-        w = w + _dot(_b16(cbpieces[t], bf16), rcb_ref[:])
-        w = w + _dot(_b16(crpieces[t], bf16), rcr_ref[:])
-        windows.append(w)                        # [64, 6mx]
+
+def _front_kernel(names, *refs, mx: int, sampling: str, bf16: bool):
+    # pallas passes (in_ref, *const_refs, out_ref)
+    in_ref, out_ref = refs[0], refs[-1]
+    W = 16 * mx
+    c = {n: r[:] for n, r in zip(names, refs[1:-1])}
+    x = in_ref[0].astype(jnp.int32).astype(jnp.float32)  # [128, W*3]
+    y, cb, cr = _deint_color(x, c["sel"], W, bf16)
+
+    if sampling == "420":
+        # Y rows (t8, dv, py): k16 = (t, dv); lanes (m, dh, px).
+        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]))
+        # [64, 32mx] rows (py, px), lanes (k=(t,dv), m, dh)
+        ypieces = [ey[:, t * 4 * mx:(t + 1) * 4 * mx] for t in range(8)]
+
+        def cpath(p):
+            ps = _dot(_b16(p - 128.0, bf16), c["ps2"])
+            ps_tot = ps + pltpu.roll(ps, 127, axis=0)    # row r += row r+1
+            csub = jnp.floor((ps_tot + 512.0) * 0.25)    # (a+b+c+d)//4
+            c1 = _dot(_b16(csub, bf16), c["r1c"])        # lanes (pcol, m)
+            c2 = _dot(c["lc2"], _b16(c1, bf16))          # rows (t8, prow)
+            cT = c2.T                                    # [W/2, 64]
+            ts = []
+            for pcol in range(8):
+                s = cT[pcol * mx:(pcol + 1) * mx]
+                sT = s.T                                 # [64, mx]
+                ts.append(jnp.concatenate(
+                    [sT[8 * t:8 * (t + 1)] for t in range(8)], axis=1))
+            zb = _row_interleave8(ts, 8, 8 * mx)         # rows (prow, pcol)
+            return [zb[:, t * mx:(t + 1) * mx] for t in range(8)]
+
+        cbp, crp = cpath(cb), cpath(cr)
+        windows = []
+        for t in range(8):
+            w = _dot(_b16(ypieces[t], bf16), c["rny"])
+            w = w + _dot(_b16(cbp[t], bf16), c["rcb"])
+            w = w + _dot(_b16(crp[t], bf16), c["rcr"])
+            windows.append(w)                            # [64, 6mx]
+    elif sampling == "422":
+        # Y rows (t16, py); lanes (m, dh, px).
+        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]))
+        # [64, 32mx] rows (py, px), lanes (t16, m, dh)
+
+        def cpath(p):
+            ps = _dot(_b16(p - 128.0, bf16), c["ps2"])   # pair sums - 256
+            csub = jnp.floor((ps + 256.0) * 0.5)         # (a+b)//2, all rows
+            c1 = _dot(_b16(csub, bf16), c["r1c"])        # lanes (pcol, m)
+            return _exchange8(c1)   # [64, 16mx] rows (prow, pcol), lanes (t, m)
+
+        ecb, ecr = cpath(cb), cpath(cr)
+        windows = []
+        for t in range(16):
+            w = _dot(_b16(ey[:, t * 2 * mx:(t + 1) * 2 * mx], bf16),
+                     c["rny"])
+            w = w + _dot(_b16(ecb[:, t * mx:(t + 1) * mx], bf16), c["rcb"])
+            w = w + _dot(_b16(ecr[:, t * mx:(t + 1) * mx], bf16), c["rcr"])
+            windows.append(w)                            # [64, 4mx]
+    else:  # 444
+        m8 = W // 8
+        ey, ecb, ecr = (
+            _exchange8(_dot(_b16(p, bf16), c["r1y"])) for p in (y, cb, cr))
+        # each [64, 2W] rows (py, px), lanes (t16, m8)
+        windows = []
+        for t in range(16):
+            w = _dot(_b16(ey[:, t * m8:(t + 1) * m8], bf16), c["rny"])
+            w = w + _dot(_b16(ecb[:, t * m8:(t + 1) * m8], bf16), c["rcb"])
+            w = w + _dot(_b16(ecr[:, t * m8:(t + 1) * m8], bf16), c["rcr"])
+            windows.append(w)                            # [64, 3*m8]
     out_ref[:] = jnp.concatenate(windows, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("mx", "my", "interpret"))
-def front_420(batch_flat, mx: int, my: int, interpret: bool = False):
-    """[B, H, W*3] u8 -> xt [64, B*my*6*mx] f32 (MCU-interleaved,
-    transposed, un-level-shifted pixel blocks; block column order is the
-    T.81 A.2.3 interleaved MCU scan: per MCU Y00 Y01 Y10 Y11 Cb Cr).
+@functools.partial(jax.jit,
+                   static_argnames=("mx", "my", "sampling", "interpret"))
+def front_analyze(batch_flat, mx: int, my: int, sampling: str = "420",
+                  interpret: bool = False):
+    """[B, H, W*3] u8 -> xt [64, B*nblk_img] f32: MCU-interleaved,
+    transposed, un-level-shifted pixel blocks, ready for the fused
+    DCT->place kernels.  Block column order is the T.81 A.2.3
+    interleaved MCU scan (420: Y00 Y01 Y10 Y11 Cb Cr; 422: Y0 Y1 Cb Cr;
+    444: Y Cb Cr per MCU).
 
-    Grid walks (image, 8-MCU-row slab); each step's [64, 48mx] output
-    block lands at 128-aligned columns because mx % 8 == 0.
+    ``mx``/``my`` are the 16x16-granular grid (width//16, height//16)
+    regardless of sampling; the kernel derives its own MCU geometry.
+    Grid walks (image, 128-image-row slab); each step's [64, slab_cols]
+    output block lands at 128-aligned columns because mx % 8 == 0.
     """
     B = batch_flat.shape[0]
     W = 16 * mx
     if batch_flat.shape[1] != 16 * my or batch_flat.shape[2] != W * 3:
         raise ValueError(f"batch {batch_flat.shape} != geometry "
                          f"{16*my}x{W}*3")
-    if not front_eligible(16 * my, W, "420", 1):
+    if not front_eligible(16 * my, W, sampling, 1):
         raise ValueError("geometry not front-eligible")
-    consts = _consts(mx, bf16=not interpret)
-    G = my // 8
-    cspecs = [pl.BlockSpec(c.shape, lambda b, g: (0,) * c.ndim,
+    names, consts = _consts(mx, sampling, bf16=not interpret)
+    G = 16 * my // 128
+    sc = slab_cols(mx, sampling)
+    cspecs = [pl.BlockSpec(c.shape, lambda b, g: (0, 0),
                            memory_space=pltpu.VMEM) for c in consts]
     out = pl.pallas_call(
-        functools.partial(_front_kernel, mx=mx, bf16=not interpret),
-        out_shape=jax.ShapeDtypeStruct((64, B * G * 48 * mx), jnp.float32),
+        functools.partial(_front_kernel, names, mx=mx, sampling=sampling,
+                          bf16=not interpret),
+        out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.float32),
         grid=(B, G),
-        in_specs=cspecs + [
-            pl.BlockSpec((1, 128, W * 3), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((64, 48 * mx),
-                               lambda b, g, G=G: (0, b * G + g),
+        in_specs=[pl.BlockSpec((1, 128, W * 3), lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM)] + cspecs,
+        out_specs=pl.BlockSpec((64, sc), lambda b, g, G=G: (0, b * G + g),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*consts, batch_flat)
+    )(batch_flat, *consts)
     return out
+
+
+def front_420(batch_flat, mx: int, my: int, interpret: bool = False):
+    """Back-compat alias for the 4:2:0 front."""
+    return front_analyze(batch_flat, mx, my, "420", interpret=interpret)

@@ -18,6 +18,7 @@ byte-identical between engines at equal dtype.
 """
 from __future__ import annotations
 
+import collections
 import functools
 
 import numpy as np
@@ -326,8 +327,9 @@ class FastBatchEncoder:
 
     def _front_xt(self, rgbs_flat):
         from ..kernels import front as kfront
-        return kfront.front_420(rgbs_flat, self.mcus_x, self.mcus_y,
-                                interpret=self.interpret)
+        return kfront.front_analyze(
+            rgbs_flat, self.width // 16, self.height // 16, self.sampling,
+            interpret=self.interpret)
 
     def _step_fn(self, rgbs_flat, lut):
         """Fixed-table fused step.  f32: a Pallas front kernel does the
@@ -506,41 +508,72 @@ class FastBatchEncoder:
             words, totals, tables = self.dynamic_pack(rgbs)
         return self._fetch_assemble(words, totals, tables)
 
-    def encode_stream(self, batches):
+    def encode_stream(self, batches, sync_depth: int = 4):
         """Pipelined multi-batch encode; yields one list of JPEGs per batch.
 
-        Two-deep software pipeline: batch i's device work is enqueued
-        before batch i-1's outputs are fetched and assembled, so host-side
-        table builds / byte work and the device->host transfer overlap the
-        device analyze of the next batch.  In dynamic mode the per-batch
-        histogram sync is likewise hidden behind the previous batch's
-        pack.  This is the throughput API for feeds of many batches
-        (addresses the dynamic-mode host/device serialization flagged in
-        round 1).
+        Fixed mode: two-deep software pipeline — batch i's device work is
+        enqueued before batch i-1's outputs are fetched and assembled.
+
+        Dynamic mode: the histogram device->host sync is the expensive
+        step on high-latency links (one blocking round trip per batch),
+        so up to ``sync_depth`` batches' analyzes are enqueued first and
+        their histograms fetched in ONE stacked transfer; the host K.2
+        builds and per-image-LUT packs then run per batch with the next
+        super-batch's analyzes already in flight.  Amortizes the link
+        round trip ``sync_depth``-fold while keeping submission order.
         """
-        pending = None
-        for rgbs in batches:
-            rgbs = self._check_batch(rgbs)
-            if self._fixed is not None:
+        if self._fixed is not None:
+            pending = None
+            for rgbs in batches:
+                rgbs = self._check_batch(rgbs)
                 words, totals = self._step(rgbs, self._fixed_lut)
                 cur = (words, totals, [self._fixed] * int(rgbs.shape[0]))
-            else:
-                fields, h = self._analyze_hist(rgbs)
-                try:  # overlap the histogram d2h with prior-batch assembly
-                    h.copy_to_host_async()
-                except AttributeError:
-                    pass
-                cur = (fields, h)
+                if pending is not None:
+                    yield self._fetch_assemble(*pending)
+                pending = cur
             if pending is not None:
                 yield self._fetch_assemble(*pending)
-            if self._fixed is None:
-                fields, h = cur
-                tables, luts = self._build_tables_batch(np.asarray(h))
-                words, totals = self._pack_only(fields, jnp.asarray(luts))
-                cur = (words, totals, tables)
-            pending = cur
-        if pending is not None:
-            yield self._fetch_assemble(*pending)
+            return
+
+        analyzed = []          # (fields, hist) awaiting the batched sync
+        staged = None          # previous super-batch: (fields list, stacked h)
+        ready = collections.deque()   # packed, awaiting fetch+assembly
+
+        def stage():
+            """Two-deep super-batch pipeline step: start the current
+            super-batch's stacked histogram transfer (async when the
+            backend supports it) and consume the PREVIOUS one — its
+            device->host copy has had a whole super-batch of device work
+            to hide behind."""
+            nonlocal staged
+            nxt = None
+            if analyzed:
+                hs = jnp.stack([h for _, h in analyzed])
+                try:
+                    hs.copy_to_host_async()
+                except Exception:  # best-effort hint (see CLAUDE.md)
+                    pass
+                nxt = ([f for f, _ in analyzed], hs)
+                analyzed.clear()
+            if staged is not None:
+                fields_list, hs_prev = staged
+                for fields, h_np in zip(fields_list, np.asarray(hs_prev)):
+                    tables, luts = self._build_tables_batch(h_np)
+                    words, totals = self._pack_only(fields,
+                                                    jnp.asarray(luts))
+                    ready.append((words, totals, tables))
+            staged = nxt
+
+        for rgbs in batches:
+            analyzed.append(self._analyze_hist(self._check_batch(rgbs)))
+            if len(analyzed) >= sync_depth:
+                stage()
+            while len(ready) > 1:  # keep one packed batch in flight
+                yield self._fetch_assemble(*ready.popleft())
+        stage()
+        stage()
+        while ready:
+            yield self._fetch_assemble(*ready.popleft())
 
     def _fetch_assemble(self, words, totals, tables):
         # Fetch totals first (tiny), then one sliced transfer of just the

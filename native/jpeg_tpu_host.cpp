@@ -110,22 +110,33 @@ static int build_one_huff_table(const int64_t* freq_in, int32_t* bits,
   }
 
   // Pairwise merge with the reference's exact tie-breaking: ascending
-  // scan, <= comparisons (largest index among equal minima wins).
+  // scan, <= comparisons (largest index among equal minima wins).  The
+  // scan walks only the ACTIVE (nonzero) symbols, kept in ascending
+  // index order, so the comparison sequence is identical to the full
+  // 257-entry scan — most real histograms have ~100 live symbols, which
+  // cuts the O(n^2) merge cost ~4x.
+  int act[257];
+  int na = 0;
+  for (int i = 0; i < 257; ++i)
+    if (freq[i]) act[na++] = i;
   for (;;) {
-    int v1 = -1, v2 = -1;
-    for (int i = 0; i < 257; ++i) {
-      if (freq[i] == 0) continue;
-      if (v1 == -1 || freq[i] <= freq[v1]) {
-        v2 = v1;
-        v1 = i;
-      } else if (v2 == -1 || freq[i] <= freq[v2]) {
-        v2 = i;
+    int p1 = -1, p2 = -1;  // positions within act[]
+    for (int k = 0; k < na; ++k) {
+      int i = act[k];
+      if (p1 == -1 || freq[i] <= freq[act[p1]]) {
+        p2 = p1;
+        p1 = k;
+      } else if (p2 == -1 || freq[i] <= freq[act[p2]]) {
+        p2 = k;
       }
     }
-    if (v2 == -1) break;
+    if (p2 == -1) break;
+    int v1 = act[p1], v2 = act[p2];
 
     freq[v1] += freq[v2];
     freq[v2] = 0;
+    memmove(act + p2, act + p2 + 1, (size_t)(na - 1 - p2) * sizeof(int));
+    --na;
     int w = v1;
     for (;;) {
       code_len[w] += 1;
@@ -490,13 +501,46 @@ int64_t jt_decode_scan_mt(const uint8_t* data, int64_t len, int64_t start,
 int64_t jt_build_huff_tables(const int64_t* freqs, int64_t n_tables,
                              int32_t* bits, int32_t* huffval, int32_t* code,
                              int32_t* length) {
-  for (int64_t t = 0; t < n_tables; ++t) {
-    int rc = build_one_huff_table(freqs + t * 257, bits + t * 17,
-                                  huffval + t * 256, code + t * 256,
-                                  length + t * 256);
-    if (rc) return rc;
+  // Tables are independent: build in parallel (round-robin over
+  // hardware threads), reporting the lowest-index failure so error
+  // codes are deterministic.
+  int hw = (int)std::thread::hardware_concurrency();
+  int nt = hw > 1 ? (int)(n_tables < hw ? n_tables : hw) : 1;
+  if (nt <= 1 || n_tables < 4) {
+    for (int64_t t = 0; t < n_tables; ++t) {
+      int rc = build_one_huff_table(freqs + t * 257, bits + t * 17,
+                                    huffval + t * 256, code + t * 256,
+                                    length + t * 256);
+      if (rc) return rc;
+    }
+    return 0;
   }
-  return 0;
+  std::vector<int64_t> first_bad(nt, -1);
+  std::vector<int> bad_rc(nt, 0);
+  std::vector<std::thread> workers;
+  for (int w = 0; w < nt; ++w) {
+    workers.emplace_back([&, w]() {
+      for (int64_t t = w; t < n_tables; t += nt) {
+        int rc = build_one_huff_table(freqs + t * 257, bits + t * 17,
+                                      huffval + t * 256, code + t * 256,
+                                      length + t * 256);
+        if (rc && (first_bad[w] == -1 || t < first_bad[w])) {
+          first_bad[w] = t;
+          bad_rc[w] = rc;
+        }
+      }
+    });
+  }
+  for (auto& th : workers) th.join();
+  int64_t bad = -1;
+  int rc = 0;
+  for (int w = 0; w < nt; ++w) {
+    if (first_bad[w] != -1 && (bad == -1 || first_bad[w] < bad)) {
+      bad = first_bad[w];
+      rc = bad_rc[w];
+    }
+  }
+  return rc;
 }
 
 }  // extern "C"

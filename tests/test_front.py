@@ -1,0 +1,67 @@
+"""Pallas analyze-front parity: kernels.front vs the XLA front.
+
+The front kernel must emit bit-identical pixel blocks to analyze_px for
+every sampling, and the full fast-path encode through the front must be
+byte-identical to the XLA-engine encoder on front-eligible geometry
+(W, H multiples of 128 — smaller test images fall back and are covered
+by the other suites).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeg_tpu.core.types import EncodeConfig
+from jpeg_tpu.kernels import front as kfront
+from jpeg_tpu.pipelines.encode import JpegEncoder
+from jpeg_tpu.pipelines.fast import FastBatchEncoder, analyze_px
+
+_GEOM = {"420": (16, 16), "422": (16, 8), "444": (8, 8)}
+
+
+@pytest.fixture(scope="module")
+def img128():
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (128, 128, 3)).astype(np.uint8)
+    # mix smooth + noise so symbol streams have runs and EOBs
+    yy, xx = np.mgrid[0:128, 0:128]
+    smooth = ((yy * 2 + xx) % 256).astype(np.uint8)
+    base[:, :64, 0] = smooth[:, :64]
+    return base
+
+
+@pytest.mark.parametrize("samp", ["420", "422", "444"])
+def test_front_matches_analyze_px(samp, img128):
+    B, H, W = 2, 128, 128
+    batch = np.stack([img128, img128[::-1].copy()])
+    flat = jnp.asarray(batch.reshape(B, H, W * 3))
+    xt = kfront.front_analyze(flat, W // 16, H // 16, samp, interpret=True)
+    mw, mh = _GEOM[samp]
+    px = analyze_px(jnp.asarray(batch), W // mw, H // mh, 1, sampling=samp)
+    ref = np.asarray(px).reshape(-1, 64).T
+    assert np.array_equal(np.asarray(xt), ref)
+
+
+@pytest.mark.parametrize("samp", ["420", "422", "444"])
+def test_front_engine_bytes(samp, img128):
+    """Front-eligible fast path == XLA engine bytes (128x128, fixed)."""
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       subsampling=samp)
+    fast = FastBatchEncoder(128, 128, config=cfg, interpret=True)
+    assert fast._front_ok  # geometry must actually exercise the front
+    got = fast.encode_batch(np.stack([img128]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed", subsampling=samp,
+                                   engine="xla")).encode(img128)
+    assert bytes(got[0]) == bytes(ref)
+
+
+def test_front_dynamic_bytes(img128):
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="dynamic")
+    fast = FastBatchEncoder(128, 128, config=cfg, interpret=True)
+    assert fast._front_ok
+    got = fast.encode_batch(np.stack([img128, img128[:, ::-1].copy()]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="dynamic", engine="xla"))
+    assert bytes(got[0]) == bytes(ref.encode(img128))
+    assert bytes(got[1]) == bytes(ref.encode(img128[:, ::-1]))
