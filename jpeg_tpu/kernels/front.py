@@ -214,8 +214,13 @@ def _deint_color(x, sel, W, bf16):
 def _front_kernel(names, *refs, mx: int, sampling: str, bf16: bool):
     # pallas passes (in_ref, *const_refs, out_ref)
     in_ref, out_ref = refs[0], refs[-1]
-    W = 16 * mx
     c = {n: r[:] for n, r in zip(names, refs[1:-1])}
+    out_ref[:] = _front_slab(c, in_ref, mx, sampling, bf16)
+
+
+def _front_slab(c, in_ref, mx: int, sampling: str, bf16: bool):
+    """One 128-image-row slab -> [64, slab_cols] xt value (pure VMEM)."""
+    W = 16 * mx
     x = in_ref[0].astype(jnp.int32).astype(jnp.float32)  # [128, W*3]
     y, cb, cr = _deint_color(x, c["sel"], W, bf16)
 
@@ -278,7 +283,7 @@ def _front_kernel(names, *refs, mx: int, sampling: str, bf16: bool):
             w = w + _dot(_b16(ecb[:, t * m8:(t + 1) * m8], bf16), c["rcb"])
             w = w + _dot(_b16(ecr[:, t * m8:(t + 1) * m8], bf16), c["rcr"])
             windows.append(w)                            # [64, 3*m8]
-    out_ref[:] = jnp.concatenate(windows, axis=1)
+    return jnp.concatenate(windows, axis=1)
 
 
 @functools.partial(jax.jit,
@@ -325,3 +330,166 @@ def front_analyze(batch_flat, mx: int, my: int, sampling: str = "420",
 def front_420(batch_flat, mx: int, my: int, interpret: bool = False):
     """Back-compat alias for the 4:2:0 front."""
     return front_analyze(batch_flat, mx, my, "420", interpret=interpret)
+
+
+# -- fused front + entropy kernels (u8 image in, packed words out) --------
+
+PERIOD = {"420": 6, "422": 4, "444": 3}
+YPM = {"420": 4, "422": 2, "444": 1}
+
+
+def _tile_lanes(a, sc):
+    """[64, 128] lane-broadcast constant -> [64, sc] (sc % 128 == 0)."""
+    if a.shape[1] == sc:
+        return a
+    return jnp.concatenate([a] * (sc // a.shape[1]), axis=1)
+
+
+def _mega_place_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
+                       nblk_seg: int, sc: int):
+    """ONE kernel from raw u8 pixels to packed segment bitstreams.
+
+    Grid (image, 128-row slab): the front relayout (deinterleave + color
+    + subsample + blocking + MCU interleave) feeds the DCT -> quantize ->
+    zigzag -> DC diff -> symbolize -> attach -> place chain entirely in
+    VMEM — the only HBM traffic is the u8 input read and the final words
+    write.  main/encoder.c:81-432 plus its framebuffer walk as one pass.
+    """
+    from . import fused as kf
+    in_ref, lut_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:6]
+    nconst = len(names)
+    crefs = refs[6:6 + nconst]
+    out_ref, tot_ref = refs[6 + nconst:8 + nconst]
+    lw_ref, carry_ref, prev_ref = refs[8 + nconst:]
+    c = {n: r[:] for n, r in zip(names, crefs)}
+
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    xt = _front_slab(c, in_ref, mx, sampling, bf16)      # [64, sc]
+    idx, extra, extra_n = kf._dct_symbolize_chunk_v(
+        m_ref[:], _tile_lanes(bias_ref[:], sc), _tile_lanes(ql_ref[:], sc),
+        _tile_lanes(qc_ref[:], sc), xt, prev_ref, first=g == 0,
+        base_blk=g * sc, real_nblk=nblk_seg, period=PERIOD[sampling],
+        ypm=YPM[sampling])
+    value, nbits = kf._attach_chunk(lut_ref[0], idx, extra, extra_n)
+    kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+
+
+def _mega_index_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
+                       nblk_seg: int, sc: int):
+    """Front + DCT + symbolize emitting only the combined-LUT index field
+    (dynamic-mode stage 1 — feeds the MXU histograms)."""
+    from . import fused as kf
+    in_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:5]
+    nconst = len(names)
+    crefs = refs[5:5 + nconst]
+    idx_ref = refs[5 + nconst]
+    prev_ref = refs[6 + nconst]
+    c = {n: r[:] for n, r in zip(names, crefs)}
+    g = pl.program_id(1)
+    xt = _front_slab(c, in_ref, mx, sampling, bf16)
+    idx, _, _ = kf._dct_symbolize_chunk_v(
+        m_ref[:], _tile_lanes(bias_ref[:], sc), _tile_lanes(ql_ref[:], sc),
+        _tile_lanes(qc_ref[:], sc), xt, prev_ref, first=g == 0,
+        base_blk=g * sc, real_nblk=nblk_seg, period=PERIOD[sampling],
+        ypm=YPM[sampling])
+    idx_ref[:] = idx
+
+
+def _mega_args(mx, my, sampling, interpret):
+    names, consts = _consts(mx, sampling, bf16=not interpret)
+    G = 16 * my // 128
+    sc = slab_cols(mx, sampling)
+    cspecs = [pl.BlockSpec(c.shape, lambda b, g: (0, 0),
+                           memory_space=pltpu.VMEM) for c in consts]
+    return names, consts, G, sc, cspecs
+
+
+def _bcast128(v):
+    """[64] zig-zag-ordered table -> [64, 128] lane broadcast."""
+    return jnp.broadcast_to(v.astype(jnp.float32)[:, None], (64, 128))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mx", "my", "sampling", "seg_rows",
+                                    "interpret"))
+def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
+                sampling: str, seg_rows: int, interpret: bool = False):
+    """Fused u8 batch -> (words [B, seg_rows*128] u32, total_bits [B]).
+
+    ``luts``: [1, 1024] (fixed mode, shared) or [B, 1024] (dynamic mode,
+    per image).  One segment per image (front_eligible geometry).
+    """
+    B = batch_flat.shape[0]
+    names, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
+    seg_rows_p = (seg_rows + 7) & ~7
+    from . import fused as kf
+    if seg_rows_p * 128 * 4 > kf._RESIDENT_VMEM_BUDGET:
+        raise ValueError("segment words exceed the VMEM-resident budget")
+    grouped = luts.shape[0] != 1
+    kernel = functools.partial(
+        _mega_place_kernel, names, mx=mx, sampling=sampling,
+        bf16=not interpret, nblk_seg=G * sc, sc=sc)
+    out, tot = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((B * seg_rows_p, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((B * 8, 128), jnp.int32)],
+        grid=(B, G),
+        in_specs=[pl.BlockSpec((1, 128, batch_flat.shape[2]),
+                               lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 8, 128),
+                               lambda b, g, grp=grouped:
+                                   (b if grp else 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((64, 64), lambda b, g: (0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                               memory_space=pltpu.VMEM)] * 3 + cspecs,
+        out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda b, g: (b, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda b, g: (b, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((128, sc), jnp.int32),
+                        pltpu.VMEM((1, sc), jnp.int32),
+                        pltpu.VMEM((1, sc), jnp.int32)],
+        interpret=interpret,
+    )(batch_flat, luts.reshape(-1, 8, 128), m.astype(jnp.float32),
+      _bcast128(bias), _bcast128(ql), _bcast128(qc), *consts)
+    words = jax.lax.bitcast_convert_type(
+        out.reshape(B, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+    return words.reshape(B, seg_rows * 128), tot.reshape(B, 8, 128)[:, 0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mx", "my", "sampling", "interpret"))
+def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
+                sampling: str, interpret: bool = False):
+    """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]."""
+    B = batch_flat.shape[0]
+    names, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
+    kernel = functools.partial(
+        _mega_index_kernel, names, mx=mx, sampling=sampling,
+        bf16=not interpret, nblk_seg=G * sc, sc=sc)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.int32),
+        grid=(B, G),
+        in_specs=[pl.BlockSpec((1, 128, batch_flat.shape[2]),
+                               lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((64, 64), lambda b, g: (0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec((64, 128), lambda b, g: (0, 0),
+                               memory_space=pltpu.VMEM)] * 3 + cspecs,
+        out_specs=pl.BlockSpec((64, sc), lambda b, g, G=G: (0, b * G + g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, sc), jnp.int32)],
+        interpret=interpret,
+    )(batch_flat, m.astype(jnp.float32), _bcast128(bias), _bcast128(ql),
+      _bcast128(qc), *consts)

@@ -250,24 +250,34 @@ def _dct_symbolize(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
 def _dct_symbolize_chunk(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
                          first, base_blk, *, real_nblk: int, period: int,
                          ypm: int):
+    return _dct_symbolize_chunk_v(m_ref[:], bias_ref[:], ql_ref[:],
+                                  qc_ref[:], xt_ref[:], prev_ref, first,
+                                  base_blk, real_nblk=real_nblk,
+                                  period=period, ypm=ypm)
+
+
+def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
+                           base_blk, *, real_nblk: int, period: int,
+                           ypm: int):
     """Chunk-wide DCT + quantize + zigzag + DC diff + symbolization.
 
-    Same math as ``_dct_symbolize`` but width-generic: ``xt_ref`` holds
+    Same math as ``_dct_symbolize`` but width-generic: ``xt`` holds
     ``chunk`` 128-block tiles ([64, CB]); ``first`` is true for the first
     chunk of a segment (resets the DC chains — restart semantics);
     ``base_blk`` is the chunk's first in-segment block index.  The DC
     prev-neighbor lane rolls cross tile boundaries inside the chunk
     naturally; ``prev_ref`` ([1, CB] VMEM scratch) carries the previous
-    chunk's DC row.
+    chunk's DC row.  Value-level so fused callers (the front+place mega
+    kernel) can feed an in-VMEM slab that never touched HBM.
     """
-    f = jax.lax.dot_general(m_ref[:], xt_ref[:], (((1,), (0,)), ((), ())),
+    f = jax.lax.dot_general(m, xt, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    f = f + bias_ref[:]
+    f = f + bias
     lane = _lane_iota((1, f.shape[1]))
     blk = base_blk + lane                             # [1, CB] in-segment
     pos = jax.lax.rem(blk, jnp.int32(period))
     isl_row = pos < ypm
-    q = jnp.where(jnp.broadcast_to(isl_row, f.shape), ql_ref[:], qc_ref[:])
+    q = jnp.where(jnp.broadcast_to(isl_row, f.shape), ql_b, qc_b)
     v = jnp.trunc(f / q)
     v = jnp.clip(v, -2048.0, 2047.0).astype(jnp.int32)
 

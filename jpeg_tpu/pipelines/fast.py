@@ -350,11 +350,12 @@ class FastBatchEncoder:
             return words.reshape(B, S, -1), totals.reshape(B, S)
         B, S = rgbs_flat.shape[0], self.n_segs
         if self._front_ok:
-            xt = self._front_xt(rgbs_flat)
-            words, totals = kfused.dct_attach_pack_xt(
-                lut[None, :], self._dct_m, self._dct_bias, self._ql_zz,
-                self._qc_zz, xt, B * S, B * S, self.y_per_mcu + 2,
-                self.y_per_mcu, self.seg_rows, interpret=self.interpret)
+            from ..kernels import front as kfront
+            words, totals = kfront.front_place(
+                rgbs_flat, lut[None, :], self._dct_m, self._dct_bias,
+                self._ql_zz, self._qc_zz, self.width // 16,
+                self.height // 16, self.sampling, self.seg_rows,
+                interpret=self.interpret)
             return words.reshape(B, S, -1), totals.reshape(B, S)
         px = analyze_px(self._unflatten(rgbs_flat), self.mcus_x,
                         self.mcus_y, self.n_segs, sampling=self.sampling)
@@ -382,13 +383,15 @@ class FastBatchEncoder:
             return (idx_t, extra_t, extran_t), h
         B, S = rgbs_flat.shape[0], self.n_segs
         if self._front_ok:
-            xt = self._front_xt(rgbs_flat)
-            idx_t = kfused.dct_index_xt(
-                self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
-                xt, B * S, self.y_per_mcu + 2, self.y_per_mcu,
-                interpret=self.interpret)
+            from ..kernels import front as kfront
+            idx_t = kfront.front_index(
+                rgbs_flat, self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, self.width // 16, self.height // 16,
+                self.sampling, interpret=self.interpret)
             h = hist_1024_t(idx_t, B)
-            return (xt,), h
+            # stage 2 re-runs the fused front in-kernel; keep only the
+            # raw batch (nothing else needs to survive the sync)
+            return (rgbs_flat,), h
         px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
                         sampling=self.sampling)
         px = px.reshape(B * S, -1, 64)
@@ -408,12 +411,16 @@ class FastBatchEncoder:
             words, totals = kfused.attach_pack_grouped(
                 lut_per_image, idx_t, extra_t, extran_t, B * S, S,
                 self.seg_rows, interpret=self.interpret)
-        elif fields[0].ndim == 2:  # f32 front path: retained [64, nblk] xt
-            (xt,) = fields
-            words, totals = kfused.dct_attach_pack_xt(
-                lut_per_image, self._dct_m, self._dct_bias, self._ql_zz,
-                self._qc_zz, xt, B * S, S, self.y_per_mcu + 2,
-                self.y_per_mcu, self.seg_rows, interpret=self.interpret)
+        elif fields[0].dtype == jnp.uint8:  # front path: raw batch kept;
+            # stage 2 re-runs the in-kernel front (cheaper than holding
+            # 39 MB of xt across the histogram sync)
+            from ..kernels import front as kfront
+            (rgbs_flat,) = fields
+            words, totals = kfront.front_place(
+                rgbs_flat, lut_per_image, self._dct_m, self._dct_bias,
+                self._ql_zz, self._qc_zz, self.width // 16,
+                self.height // 16, self.sampling, self.seg_rows,
+                interpret=self.interpret)
         else:  # f32: grouped one-kernel DCT->place over the retained px
             (px,) = fields
             words, totals = kfused.dct_attach_pack_grouped(
