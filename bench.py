@@ -189,6 +189,54 @@ def main():
     dyn_dt = (time.perf_counter() - t0) / ITERS
     dyn_mps = (BATCH * h * w) / dyn_dt / 1e6
 
+    # Device-bound dynamic throughput (stages 1+2 fori slopes): what the
+    # chip itself sustains when the histogram sync and host K.2 builds
+    # pipeline behind other batches' device work (they do in
+    # encode_stream; this tunnel's 8 MB/s d2h makes the wall number above
+    # link-bound, which no real deployment is).
+    _t("measure dynamic device")
+    luts_d = jnp.asarray(luts)
+    jax.block_until_ready(luts_d)
+
+    def dyn_stage_loop(n, stage2):
+        from jpeg_tpu.kernels import front as kfront
+
+        @jax.jit
+        def run(b, d):
+            def body(i, c):
+                seed, acc = c
+                bp = b ^ (seed + d)
+                if stage2:
+                    o, tot = kfront.front_place(
+                        bp, luts_d, dyn_enc._dct_m, dyn_enc._dct_bias,
+                        dyn_enc._ql_zz, dyn_enc._qc_zz, w // 16, h // 16,
+                        "420", dyn_enc.seg_rows)
+                    s = jnp.sum(o, dtype=jnp.uint32)
+                else:
+                    _, hist = dyn_enc._analyze_hist_fn(bp)
+                    s = jnp.sum(hist.astype(jnp.uint32))
+                return (s & 1).astype(jnp.uint8), acc + s
+            return jax.lax.fori_loop(0, n, body,
+                                     (jnp.uint8(0), jnp.uint32(0)))[1]
+        return run
+
+    def stage_slope(stage2):
+        r1, r2 = dyn_stage_loop(N1, stage2), dyn_stage_loop(N2, stage2)
+        int(np.asarray(r1(batch, next_delta())))
+        int(np.asarray(r2(batch, next_delta())))
+
+        def t(r):
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                int(np.asarray(r(batch, next_delta())))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (t(r2) - t(r1)) / (N2 - N1)
+
+    dyn_dev_dt = stage_slope(False) + stage_slope(True)
+    dyn_dev_mps = (BATCH * h * w) / dyn_dev_dt / 1e6
+
     # Secondary: decode. Host-side entropy decode (native C++ bit-walk)
     # feeds the device IDCT/reconstruct; the two stages pipeline across
     # images, so sustained throughput is bounded by the slower stage.
@@ -203,10 +251,11 @@ def main():
                                   huffman="fixed"), segs_per_image=8)
     one = enc8.encode_batch(batch[:1])[0]
     comps, coeffs, quant, w2, h2 = parse_coefficients(one)  # warm
-    t0 = time.perf_counter()
-    for _ in range(5):
+    entropy_ms = 1e9
+    for _ in range(5):  # best-of: host timing is noisy on a shared box
+        t0 = time.perf_counter()
         parse_coefficients(one)
-    entropy_ms = (time.perf_counter() - t0) / 5 * 1000.0
+        entropy_ms = min(entropy_ms, (time.perf_counter() - t0) * 1000.0)
     args = tuple(jax.device_put(jnp.asarray(a)) for a in (
         coeffs[comps[0].comp_id], coeffs[comps[1].comp_id],
         coeffs[comps[2].comp_id], quant[comps[0].quant_id],
@@ -240,7 +289,7 @@ def main():
             return best
         return (t(r2) - t(r1)) / (n2 - n1)
 
-    recon_ms = recon_slope() * 1000.0
+    recon_ms = max(recon_slope() * 1000.0, 0.01)
     dec_mps = (h * w) / max(entropy_ms, recon_ms) / 1e3
 
     _t("done")
@@ -255,9 +304,11 @@ def main():
           file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
-          f"host assembly over the tunnel); dynamic-huffman "
-          f"{dyn_mps:.1f} MP/s ({dyn_dt*1000:.1f}ms/batch, "
-          f"{mps/max(dyn_mps,1e-9):.2f}x slower than fixed)", file=sys.stderr)
+          f"host assembly over the tunnel); dynamic-huffman device "
+          f"{dyn_dev_mps:.1f} MP/s ({dyn_dev_dt*1000:.2f}ms/batch stages "
+          f"1+2, {mps/max(dyn_dev_mps,1e-9):.2f}x fixed), pipelined wall "
+          f"over this 8 MB/s tunnel {dyn_mps:.1f} MP/s "
+          f"({dyn_dt*1000:.1f}ms/batch)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,5 +1,11 @@
 """Per-stage device timing — the TPU analog of the reference's stage
-timers (``utils/original.c:1160-1336``).  Run: python bench/stages.py"""
+timers (``utils/original.c:1160-1336``).  Run: python bench/stages.py
+
+Every device stage is timed with the cache-proof fori-slope methodology
+(carry-dependent inputs, fetched scalar result, slope of two loop
+lengths — see bench.py and CLAUDE.md: on the tunneled chip both plain
+block_until_ready and repeated same-input dispatch timings lie).
+"""
 import os
 import sys
 import time
@@ -15,79 +21,92 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
-    from jpeg_tpu.core import tables as T
     from jpeg_tpu.core.types import EncodeConfig
-    from jpeg_tpu.ops import color as C, dct as D
+    from jpeg_tpu.kernels import front as kfront
     from jpeg_tpu.pipelines import fast as F
 
     from bench import _load_batch  # repo-root bench.py helpers
 
     batch_np = _load_batch()
     B, H, W = batch_np.shape[0], batch_np.shape[1], batch_np.shape[2]
-    # minor-flattened [B, H, W*3] — the layout the jitted steps consume
-    # (see FastBatchEncoder._check_batch); stage fns unflatten in-jit
     batch = jax.device_put(jnp.asarray(batch_np.reshape(B, H, W * 3)))
     jax.block_until_ready(batch)
     mp = B * H * W / 1e6
+    mx, my = W // 16, H // 16
 
-    lq, cq = (jnp.asarray(x) for x in T.quant_tables())
     enc = F.FastBatchEncoder(H, W, config=EncodeConfig(
         scan_layout="interleaved", huffman="fixed"))
     dyn = F.FastBatchEncoder(H, W, config=EncodeConfig(
         scan_layout="interleaved", huffman="dynamic"))
+    rng = np.random.default_rng(11)
+    deltas = [jax.device_put(jnp.uint8(int(v)))
+              for v in rng.integers(2, 255, 64)]
+    jax.block_until_ready(deltas)
+    di = [0]
 
-    unflat = lambda b: b.reshape(B, H, W, 3)
-    color = jax.jit(lambda b: C.rgb_to_ycbcr_420(unflat(b)))
-    dcts = jax.jit(lambda y, cb, cr: (
-        D.dct_quantize_zigzag(C.to_blocks(y), lq),
-        D.dct_quantize_zigzag(C.to_blocks(cb), cq),
-        D.dct_quantize_zigzag(C.to_blocks(cr), cq)))
-    azz = jax.jit(lambda b: F.analyze_zz(unflat(b), lq, cq, W // 16, H // 16, 1))
-    apx = jax.jit(lambda b: F.analyze_px(unflat(b), W // 16, H // 16, 1))
-    step = enc.step
+    def slope(fn, n1=4, n2=16, reps=2):
+        """fn maps a perturbed batch to output(s); returns ms/iteration."""
+        def make(n):
+            @jax.jit
+            def run(b, d):
+                def body(i, c):
+                    seed, acc = c
+                    o = fn(b ^ (seed + d))
+                    s = sum(jnp.sum(x, dtype=jnp.uint32) for x in
+                            (o if isinstance(o, tuple) else (o,)))
+                    return (s & 1).astype(jnp.uint8), acc + s
+                return jax.lax.fori_loop(0, n, body,
+                                         (jnp.uint8(0), jnp.uint32(0)))[1]
+            return run
+        r1, r2 = make(n1), make(n2)
+        int(np.asarray(r1(batch, deltas[di[0]]))); di[0] += 1
+        int(np.asarray(r2(batch, deltas[di[0]]))); di[0] += 1
 
-    # warm up all
-    planes = color(batch)
-    zz = dcts(*planes)
-    seq = azz(batch)
-    px = apx(batch)
-    out = step(batch)
-    ah = dyn._analyze_hist(batch)
-    tables, luts = dyn._build_tables_batch(np.asarray(ah[1]))
-    po = dyn._pack_only(ah[0], jnp.asarray(luts))
-    jax.block_until_ready((seq, out, ah, po))
+        def t(r):
+            best = 1e9
+            for _ in range(reps):
+                d = deltas[di[0]]; di[0] += 1
+                t0 = time.perf_counter()
+                int(np.asarray(r(batch, d)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return (t(r2) - t(r1)) / (n2 - n1) * 1000.0
 
-    # Amortized timing: enqueue ITERS dispatches, block once — isolates
-    # device time from the per-call host->device dispatch latency (which
-    # dominates on tunneled chips; locally the two coincide).
-    ITERS = 10
+    def report(name, ms):
+        print(f"{name:<58}{ms:10.3f} ms")
 
-    def amortized(name, fn, *args):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            o = fn(*args)
-        jax.block_until_ready(o)
-        ms = (time.perf_counter() - t0) / ITERS * 1000.0
-        print(f"{name:<52}{ms:10.3f} ms")
-        return ms
+    pargs = (enc._dct_m, enc._dct_bias, enc._ql_zz, enc._qc_zz)
 
-    amortized("RGB->YCbCr + 4:2:0", color, batch)
-    amortized("DCT + quantize + zig-zag (3 planes)", dcts, *planes)
-    amortized("analyze_zz (color+DCT+interleave+DC diff)", azz, batch)
-    amortized("analyze_px (color+interleave, XLA front)", apx, batch)
-    step_ms = amortized("full fixed step (px + fused DCT/sym/attach/pack)",
-                        step, batch)
-    amortized("dynamic stage 1 (analyze + Pallas symbolize + MXU hist)",
-              dyn._analyze_hist, batch)
+    report("front (deint+color+4:2:0+relayout, one Pallas kernel)",
+           slope(lambda b: kfront.front_analyze(b, mx, my, "420")))
+    report("front+index (dynamic stage-1 feed)",
+           slope(lambda b: kfront.front_index(b, *pargs, mx, my, "420")))
+    s1 = slope(lambda b: dyn._analyze_hist_fn(b)[1])
+    report("dynamic stage 1 (front+index + MXU histograms)", s1)
+    step_ms = slope(lambda b: enc._step_fn(b, enc._fixed_lut))
+    report("full fixed step (front_place mega-kernel)", step_ms)
+
+    # host K.2 builds (wall clock — pure host)
+    fields, h = dyn._analyze_hist(batch)
+    h_np = np.asarray(h)
+    tables, luts = dyn._build_tables_batch(h_np)
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        tables, luts = dyn._build_tables_batch(np.asarray(ah[1]))
-    print(f"{'dynamic host K.2 builds + LUTs (16 images)':<52}"
-          f"{(time.perf_counter() - t0) / ITERS * 1000.0:10.3f} ms")
-    amortized("dynamic stage 2 (grouped attach + pack)",
-              dyn._pack_only, ah[0], jnp.asarray(luts))
-    print(f"\nbatch = {B} x {W}x{H} = {mp:.2f} MP; "
-          f"device throughput = {mp / (step_ms / 1000):.1f} MP/s")
+    for _ in range(10):
+        dyn._build_tables_batch(h_np)
+    report("dynamic host K.2 builds + LUTs (16 images, wall)",
+           (time.perf_counter() - t0) / 10 * 1000.0)
+
+    luts_d = jax.device_put(jnp.asarray(luts))
+    jax.block_until_ready(luts_d)
+    s2 = slope(lambda b: kfront.front_place(
+        b, luts_d, *pargs, mx, my, "420", enc.seg_rows))
+    report("dynamic stage 2 (front_place, per-image LUTs)", s2)
+
+    print(f"\nbatch = {B} x {W}x{H} = {mp:.2f} MP")
+    print(f"fixed device throughput   = {mp / (step_ms / 1000):.0f} MP/s")
+    print(f"dynamic device throughput = {mp / ((s1 + s2) / 1000):.0f} MP/s "
+          f"(stages 1+2; histogram sync + host builds pipeline behind "
+          f"other batches' device work)")
 
 
 if __name__ == "__main__":
