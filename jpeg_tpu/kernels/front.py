@@ -40,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_W = 1280
+_MAX_W = 4096
+_STRIP_MCU = 64  # strip width in 16-px MCU columns (1024 px): bounds the
+#                  per-strip permutation matrices to [1024, 1024] bf16
 
 # per-slab output columns (slab = 128 image rows) by sampling:
 #   420: 8 MCU rows x (4Y + Cb + Cr) x mx        = 48 mx
@@ -54,9 +56,20 @@ def slab_cols(mx: int, sampling: str) -> int:
 
 def front_eligible(height: int, width: int, sampling: str,
                    n_segs_per_image: int) -> bool:
-    return (sampling in ("420", "422", "444") and n_segs_per_image == 1
-            and width % 128 == 0 and height % 128 == 0
+    """Pallas-front eligibility.  Heights only need MCU granularity — the
+    mega kernels pad rows to full 128-row slabs and mask the tail blocks
+    via ``real_nblk`` (tail MCU rows are contiguous in the interleaved
+    scan, so masking is exact).  ``front_analyze`` (the xt-emitting
+    variant) additionally requires height % 128 == 0."""
+    mcu_h = {"420": 16, "422": 8, "444": 8}.get(sampling)
+    return (mcu_h is not None and n_segs_per_image == 1
+            and width % 128 == 0 and height % mcu_h == 0
             and width <= _MAX_W)
+
+
+def _strip_plan(mx: int):
+    k, rem = divmod(mx, _STRIP_MCU)
+    return [_STRIP_MCU] * k + ([rem] if rem else [])
 
 
 def _perm(n, pairs):
@@ -148,6 +161,23 @@ def _consts(mx: int, sampling: str, bf16: bool = True):
     return names, tuple(jnp.asarray(m, dt) for m in mats)
 
 
+def _strip_args(mx: int, sampling: str, bf16: bool):
+    """Strip plan -> (meta [(mxs, names, base)], flat consts tuple).
+
+    Strips of equal width share one const set (the permutation matrices
+    depend only on the strip width)."""
+    meta, consts = [], []
+    base_by_w = {}
+    for mxs in _strip_plan(mx):
+        if mxs not in base_by_w:
+            names, cs = _consts(mxs, sampling, bf16)
+            base_by_w[mxs] = (len(consts), names)
+            consts.extend(cs)
+        base, names = base_by_w[mxs]
+        meta.append((mxs, names, base))
+    return meta, tuple(consts)
+
+
 def _dot(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -211,17 +241,48 @@ def _deint_color(x, sel, W, bf16):
     return y, cb, cr
 
 
-def _front_kernel(names, *refs, mx: int, sampling: str, bf16: bool):
+def _front_kernel(meta, *refs, sampling: str, bf16: bool):
     # pallas passes (in_ref, *const_refs, out_ref)
     in_ref, out_ref = refs[0], refs[-1]
-    c = {n: r[:] for n, r in zip(names, refs[1:-1])}
-    out_ref[:] = _front_slab(c, in_ref, mx, sampling, bf16)
+    strip_cs = _strip_consts(meta, refs[1:-1])
+    out_ref[:] = _front_slab(strip_cs, in_ref, sampling, bf16)
 
 
-def _front_slab(c, in_ref, mx: int, sampling: str, bf16: bool):
-    """One 128-image-row slab -> [64, slab_cols] xt value (pure VMEM)."""
+def _strip_consts(meta, crefs):
+    """meta: [(mxs, names, base)] per strip -> [(mxs, {name: value})]."""
+    out = []
+    cache = {}
+    for mxs, names, base in meta:
+        if base not in cache:
+            cache[base] = {n: crefs[base + i][:]
+                           for i, n in enumerate(names)}
+        out.append((mxs, cache[base]))
+    return out
+
+
+def _front_slab(strip_cs, in_ref, sampling: str, bf16: bool):
+    """One 128-image-row slab -> [64, slab_cols] xt value (pure VMEM).
+
+    Wide images process in 1024-px strips (bounding the permutation
+    matrices); each strip emits its per-MCU-row windows, assembled in
+    (MCU row, strip) order — exactly the interleaved scan's column
+    order.
+    """
+    n_t = 8 if sampling == "420" else 16
+    wins = [[] for _ in range(n_t)]
+    off = 0
+    for mxs, c in strip_cs:
+        x = in_ref[0][:, off:off + 48 * mxs].astype(
+            jnp.int32).astype(jnp.float32)        # [128, 48*mxs]
+        for t, w in enumerate(_strip_windows(c, x, mxs, sampling, bf16)):
+            wins[t].append(w)
+        off += 48 * mxs
+    return jnp.concatenate([w for ws in wins for w in ws], axis=1)
+
+
+def _strip_windows(c, x, mx: int, sampling: str, bf16: bool):
+    """One strip of one slab -> per-MCU-row window values."""
     W = 16 * mx
-    x = in_ref[0].astype(jnp.int32).astype(jnp.float32)  # [128, W*3]
     y, cb, cr = _deint_color(x, c["sel"], W, bf16)
 
     if sampling == "420":
@@ -283,7 +344,7 @@ def _front_slab(c, in_ref, mx: int, sampling: str, bf16: bool):
             w = w + _dot(_b16(ecb[:, t * m8:(t + 1) * m8], bf16), c["rcb"])
             w = w + _dot(_b16(ecr[:, t * m8:(t + 1) * m8], bf16), c["rcr"])
             windows.append(w)                            # [64, 3*m8]
-    return jnp.concatenate(windows, axis=1)
+    return windows
 
 
 @functools.partial(jax.jit,
@@ -306,15 +367,15 @@ def front_analyze(batch_flat, mx: int, my: int, sampling: str = "420",
     if batch_flat.shape[1] != 16 * my or batch_flat.shape[2] != W * 3:
         raise ValueError(f"batch {batch_flat.shape} != geometry "
                          f"{16*my}x{W}*3")
-    if not front_eligible(16 * my, W, sampling, 1):
+    if 16 * my % 128 or not front_eligible(16 * my, W, sampling, 1):
         raise ValueError("geometry not front-eligible")
-    names, consts = _consts(mx, sampling, bf16=not interpret)
+    meta, consts = _strip_args(mx, sampling, not interpret)
     G = 16 * my // 128
     sc = slab_cols(mx, sampling)
     cspecs = [pl.BlockSpec(c.shape, lambda b, g: (0, 0),
                            memory_space=pltpu.VMEM) for c in consts]
     out = pl.pallas_call(
-        functools.partial(_front_kernel, names, mx=mx, sampling=sampling,
+        functools.partial(_front_kernel, meta, sampling=sampling,
                           bf16=not interpret),
         out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.float32),
         grid=(B, G),
@@ -345,8 +406,35 @@ def _tile_lanes(a, sc):
     return jnp.concatenate([a] * (sc // a.shape[1]), axis=1)
 
 
-def _mega_place_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
-                       nblk_seg: int, sc: int):
+def _pick_slab_chunk(sc: int) -> int:
+    """Largest 128-multiple <= 2048 dividing the slab columns: bounds the
+    place stage's [128, cb] local-pack window while keeping few chunks."""
+    for k in range(16, 0, -1):
+        if sc % (128 * k) == 0:
+            return 128 * k
+    raise ValueError(f"slab columns {sc} not a multiple of 128")
+
+
+def _place_slab(kf, xt, g, sc, cbp, nblk_real, sampling, m, bias128,
+                ql128, qc128, lut, out_ref, tot_ref, lw_ref, carry_ref,
+                prev_ref):
+    """Symbolize + attach + place one slab's xt, in cbp-wide chunks."""
+    bias_t = _tile_lanes(bias128, cbp)
+    ql_t = _tile_lanes(ql128, cbp)
+    qc_t = _tile_lanes(qc128, cbp)
+    for j in range(sc // cbp):
+        chunk = xt[:, j * cbp:(j + 1) * cbp]
+        idx, extra, extra_n = kf._dct_symbolize_chunk_v(
+            m, bias_t, ql_t, qc_t, chunk, prev_ref,
+            first=(g == 0) if j == 0 else False,
+            base_blk=g * sc + j * cbp, real_nblk=nblk_real,
+            period=PERIOD[sampling], ypm=YPM[sampling])
+        value, nbits = kf._attach_chunk(lut, idx, extra, extra_n)
+        kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+
+
+def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
+                       nblk_real: int, sc: int, cbp: int, nconst: int):
     """ONE kernel from raw u8 pixels to packed segment bitstreams.
 
     Grid (image, 128-row slab): the front relayout (deinterleave + color
@@ -354,14 +442,15 @@ def _mega_place_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
     zigzag -> DC diff -> symbolize -> attach -> place chain entirely in
     VMEM — the only HBM traffic is the u8 input read and the final words
     write.  main/encoder.c:81-432 plus its framebuffer walk as one pass.
+    ``nblk_real`` < slabs*sc masks the zero-padded tail MCU rows of
+    heights that are not slab multiples (tail blocks emit no bits).
     """
     from . import fused as kf
     in_ref, lut_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:6]
-    nconst = len(names)
     crefs = refs[6:6 + nconst]
     out_ref, tot_ref = refs[6 + nconst:8 + nconst]
     lw_ref, carry_ref, prev_ref = refs[8 + nconst:]
-    c = {n: r[:] for n, r in zip(names, crefs)}
+    strip_cs = _strip_consts(meta, crefs)
 
     g = pl.program_id(1)
 
@@ -370,44 +459,46 @@ def _mega_place_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
         out_ref[:, :] = jnp.zeros_like(out_ref)
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
-    xt = _front_slab(c, in_ref, mx, sampling, bf16)      # [64, sc]
-    idx, extra, extra_n = kf._dct_symbolize_chunk_v(
-        m_ref[:], _tile_lanes(bias_ref[:], sc), _tile_lanes(ql_ref[:], sc),
-        _tile_lanes(qc_ref[:], sc), xt, prev_ref, first=g == 0,
-        base_blk=g * sc, real_nblk=nblk_seg, period=PERIOD[sampling],
-        ypm=YPM[sampling])
-    value, nbits = kf._attach_chunk(lut_ref[0], idx, extra, extra_n)
-    kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+    xt = _front_slab(strip_cs, in_ref, sampling, bf16)   # [64, sc]
+    _place_slab(kf, xt, g, sc, cbp, nblk_real, sampling, m_ref[:],
+                bias_ref[:], ql_ref[:], qc_ref[:], lut_ref[0], out_ref,
+                tot_ref, lw_ref, carry_ref, prev_ref)
 
 
-def _mega_index_kernel(names, *refs, mx: int, sampling: str, bf16: bool,
-                       nblk_seg: int, sc: int):
+def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
+                       nblk_real: int, sc: int, cbp: int, nconst: int):
     """Front + DCT + symbolize emitting only the combined-LUT index field
     (dynamic-mode stage 1 — feeds the MXU histograms)."""
     from . import fused as kf
     in_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:5]
-    nconst = len(names)
     crefs = refs[5:5 + nconst]
     idx_ref = refs[5 + nconst]
     prev_ref = refs[6 + nconst]
-    c = {n: r[:] for n, r in zip(names, crefs)}
+    strip_cs = _strip_consts(meta, crefs)
     g = pl.program_id(1)
-    xt = _front_slab(c, in_ref, mx, sampling, bf16)
-    idx, _, _ = kf._dct_symbolize_chunk_v(
-        m_ref[:], _tile_lanes(bias_ref[:], sc), _tile_lanes(ql_ref[:], sc),
-        _tile_lanes(qc_ref[:], sc), xt, prev_ref, first=g == 0,
-        base_blk=g * sc, real_nblk=nblk_seg, period=PERIOD[sampling],
-        ypm=YPM[sampling])
-    idx_ref[:] = idx
+    xt = _front_slab(strip_cs, in_ref, sampling, bf16)
+    bias_t = _tile_lanes(bias_ref[:], cbp)
+    ql_t = _tile_lanes(ql_ref[:], cbp)
+    qc_t = _tile_lanes(qc_ref[:], cbp)
+    outs = []
+    for j in range(sc // cbp):
+        idx, _, _ = kf._dct_symbolize_chunk_v(
+            m_ref[:], bias_t, ql_t, qc_t, xt[:, j * cbp:(j + 1) * cbp],
+            prev_ref, first=(g == 0) if j == 0 else False,
+            base_blk=g * sc + j * cbp, real_nblk=nblk_real,
+            period=PERIOD[sampling], ypm=YPM[sampling])
+        outs.append(idx)
+    idx_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
+                                                                axis=1)
 
 
 def _mega_args(mx, my, sampling, interpret):
-    names, consts = _consts(mx, sampling, bf16=not interpret)
+    meta, consts = _strip_args(mx, sampling, not interpret)
     G = 16 * my // 128
     sc = slab_cols(mx, sampling)
     cspecs = [pl.BlockSpec(c.shape, lambda b, g: (0, 0),
                            memory_space=pltpu.VMEM) for c in consts]
-    return names, consts, G, sc, cspecs
+    return meta, consts, G, sc, cspecs
 
 
 def _bcast128(v):
@@ -417,24 +508,30 @@ def _bcast128(v):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "seg_rows",
-                                    "interpret"))
+                                    "interpret", "real_height"))
 def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
-                sampling: str, seg_rows: int, interpret: bool = False):
+                sampling: str, seg_rows: int, interpret: bool = False,
+                real_height: int | None = None):
     """Fused u8 batch -> (words [B, seg_rows*128] u32, total_bits [B]).
 
     ``luts``: [1, 1024] (fixed mode, shared) or [B, 1024] (dynamic mode,
     per image).  One segment per image (front_eligible geometry).
+    ``batch_flat`` rows must be a 128-multiple (callers zero-pad);
+    ``real_height`` (default: all rows) masks the padded tail MCU rows.
     """
     B = batch_flat.shape[0]
-    names, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
+    meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
     seg_rows_p = (seg_rows + 7) & ~7
     from . import fused as kf
     if seg_rows_p * 128 * 4 > kf._RESIDENT_VMEM_BUDGET:
         raise ValueError("segment words exceed the VMEM-resident budget")
     grouped = luts.shape[0] != 1
+    cbp = _pick_slab_chunk(sc)
+    nblk_real = _real_nblk(mx, my, sampling, real_height, G, sc)
     kernel = functools.partial(
-        _mega_place_kernel, names, mx=mx, sampling=sampling,
-        bf16=not interpret, nblk_seg=G * sc, sc=sc)
+        _mega_place_kernel, meta, sampling=sampling,
+        bf16=not interpret, nblk_real=nblk_real, sc=sc, cbp=cbp,
+        nconst=len(consts))
     out, tot = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((B * seg_rows_p, 128), jnp.int32),
@@ -455,9 +552,9 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((8, 128), lambda b, g: (b, 0),
                                 memory_space=pltpu.VMEM)],
-        scratch_shapes=[pltpu.VMEM((128, sc), jnp.int32),
-                        pltpu.VMEM((1, sc), jnp.int32),
-                        pltpu.VMEM((1, sc), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((128, cbp), jnp.int32),
+                        pltpu.VMEM((1, cbp), jnp.int32),
+                        pltpu.VMEM((1, cbp), jnp.int32)],
         interpret=interpret,
     )(batch_flat, luts.reshape(-1, 8, 128), m.astype(jnp.float32),
       _bcast128(bias), _bcast128(ql), _bcast128(qc), *consts)
@@ -466,16 +563,31 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     return words.reshape(B, seg_rows * 128), tot.reshape(B, 8, 128)[:, 0, 0]
 
 
+def _real_nblk(mx, my, sampling, real_height, G, sc):
+    if real_height is None:
+        return G * sc
+    mcu_h = {"420": 16, "422": 8, "444": 8}[sampling]
+    blocks_per_mcu_row = sc * mcu_h // 128
+    return (real_height // mcu_h) * blocks_per_mcu_row
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("mx", "my", "sampling", "interpret"))
+                   static_argnames=("mx", "my", "sampling", "interpret",
+                                    "real_height"))
 def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
-                sampling: str, interpret: bool = False):
-    """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]."""
+                sampling: str, interpret: bool = False,
+                real_height: int | None = None):
+    """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]
+    (padded tail blocks emit NULL_INDEX, whose histogram bin is
+    dropped)."""
     B = batch_flat.shape[0]
-    names, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
+    meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
+    cbp = _pick_slab_chunk(sc)
     kernel = functools.partial(
-        _mega_index_kernel, names, mx=mx, sampling=sampling,
-        bf16=not interpret, nblk_seg=G * sc, sc=sc)
+        _mega_index_kernel, meta, sampling=sampling,
+        bf16=not interpret,
+        nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc),
+        sc=sc, cbp=cbp, nconst=len(consts))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.int32),
@@ -489,7 +601,7 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                                memory_space=pltpu.VMEM)] * 3 + cspecs,
         out_specs=pl.BlockSpec((64, sc), lambda b, g, G=G: (0, b * G + g),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, sc), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, cbp), jnp.int32)],
         interpret=interpret,
     )(batch_flat, m.astype(jnp.float32), _bcast128(bias), _bcast128(ql),
       _bcast128(qc), *consts)

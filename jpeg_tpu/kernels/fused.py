@@ -455,26 +455,60 @@ def _place_from_xt(luts, segs_per_group: int, m, bias, ql, qc, xt, S: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_segments", "segs_per_group", "period",
-                                    "ypm", "seg_rows", "interpret"))
+                                    "ypm", "seg_rows", "interpret",
+                                    "real_nblk"))
 def dct_attach_pack_xt(luts, m, bias, ql, qc, xt, n_segments: int,
                        segs_per_group: int, period: int, ypm: int,
-                       seg_rows: int, interpret: bool = False):
+                       seg_rows: int, interpret: bool = False,
+                       real_nblk: int | None = None):
     """One-kernel DCT->place directly from a [64, nblk] transposed pixel
-    layout (``kernels.front.front_420`` output — no padding columns, so
-    ``real_nblk`` is the full per-segment block count).  Grouped LUTs as
-    in ``dct_attach_pack_grouped``; G == 1 serves fixed-table mode."""
+    layout (``kernels.front.front_analyze`` output).  ``real_nblk`` <
+    per-segment blocks masks zero-padded tail MCU rows (heights that are
+    not slab multiples).  Grouped LUTs as in ``dct_attach_pack_grouped``;
+    G == 1 serves fixed-table mode.
+
+    Segments whose worst-case words buffer exceeds the VMEM residency
+    budget (≈4 MP of image per segment) run the two-phase split instead:
+    an attach kernel emits (value, nbits, bits) fields and
+    ``_segment_place`` finishes with the tile-dense windowed scatter —
+    still entirely Pallas, just with one HBM round trip for the fields.
+    """
     S = n_segments
-    if S * seg_rows * 128 * 32 >= 2 ** 31:
+    if seg_rows * 128 * 32 >= 2 ** 31:
         raise ValueError("segment space exceeds int32 bit offsets")
     seg_rows_p = (seg_rows + 7) & ~7
-    if seg_rows_p * 128 * 4 > _RESIDENT_VMEM_BUDGET:
-        raise ValueError("segment words exceed the VMEM-resident budget; "
-                         "use the px two-phase path")
-    nblk_seg = xt.shape[1] // S
-    cb = _pick_chunk(nblk_seg)
-    return _place_from_xt(luts.reshape(-1, 1024), segs_per_group, m, bias,
-                          ql, qc, xt, S, period, ypm, seg_rows, nblk_seg,
-                          cb, interpret)
+    nblk = xt.shape[1]
+    nblk_seg = nblk // S
+    rn = nblk_seg if real_nblk is None else real_nblk
+    if seg_rows_p * 128 * 4 <= _RESIDENT_VMEM_BUDGET:
+        cb = _pick_chunk(nblk_seg)
+        return _place_from_xt(luts.reshape(-1, 1024), segs_per_group, m,
+                              bias, ql, qc, xt, S, period, ypm, seg_rows,
+                              rn, cb, interpret)
+    if segs_per_group != S:
+        raise ValueError("grouped LUTs unsupported on the two-phase path")
+    cspecs, cargs = _dct_consts(m, bias, ql, qc)
+    grid = (nblk // _TB,)
+    dat = lambda: pl.BlockSpec((64, _TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+    kernel = functools.partial(_dct_attach_kernel, period=period, ypm=ypm,
+                               tiles_per_seg=nblk_seg // _TB, real_nblk=rn)
+    value_t, nbits_t, bits = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((64, nblk), jnp.int32),
+                   jax.ShapeDtypeStruct((1, nblk), jnp.int32)],
+        grid=grid,
+        in_specs=[pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] + cspecs + [dat()],
+        out_specs=[dat(), dat(),
+                   pl.BlockSpec((1, _TB), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((1, _TB), jnp.int32)],
+        interpret=interpret,
+    )(luts.reshape(-1, 8, 128)[0], *cargs, xt)
+    return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
+                          interpret)
 
 
 @functools.partial(jax.jit,

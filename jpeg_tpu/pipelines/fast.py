@@ -318,18 +318,35 @@ class FastBatchEncoder:
         return seq, dcd, isl
 
     @property
-    def _front_ok(self):
-        """Whole-front-in-Pallas eligibility (kernels.front)."""
+    def _front_geom_ok(self):
+        """Pallas-front geometry eligibility (kernels.front)."""
         from ..kernels import front as kfront
         return (self._dtype != jnp.float64 and
                 kfront.front_eligible(self.height, self.width,
                                       self.sampling, self.n_segs))
 
-    def _front_xt(self, rgbs_flat):
-        from ..kernels import front as kfront
-        return kfront.front_analyze(
-            rgbs_flat, self.width // 16, self.height // 16, self.sampling,
-            interpret=self.interpret)
+    @property
+    def _front_ok(self):
+        """Mega-kernel eligibility: geometry + the VMEM-resident segment
+        words budget (≈4 MP of image per segment).  Bigger segments keep
+        the Pallas front but split entropy into the two-phase kernels
+        (``_front_geom_ok``)."""
+        from ..kernels import fused as kfused
+        seg_rows_p = (self.seg_rows + 7) & ~7
+        return (self._front_geom_ok and
+                seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
+
+    @property
+    def _h_pad(self):
+        """Rows padded up to full 128-row slabs (mega kernels mask the
+        padded tail MCU rows via real_height)."""
+        return -(-self.height // 128) * 128
+
+    def _pad_rows(self, rgbs_flat):
+        pad = self._h_pad - self.height
+        if pad:
+            rgbs_flat = jnp.pad(rgbs_flat, ((0, 0), (0, pad), (0, 0)))
+        return rgbs_flat
 
     def _step_fn(self, rgbs_flat, lut):
         """Fixed-table fused step.  f32: a Pallas front kernel does the
@@ -352,10 +369,28 @@ class FastBatchEncoder:
         if self._front_ok:
             from ..kernels import front as kfront
             words, totals = kfront.front_place(
-                rgbs_flat, lut[None, :], self._dct_m, self._dct_bias,
-                self._ql_zz, self._qc_zz, self.width // 16,
-                self.height // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret)
+                self._pad_rows(rgbs_flat), lut[None, :], self._dct_m,
+                self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
+                self._h_pad // 16, self.sampling, self.seg_rows,
+                interpret=self.interpret, real_height=self.height)
+            return words.reshape(B, S, -1), totals.reshape(B, S)
+        if self._front_geom_ok:
+            # Pallas front + two-phase entropy: segments too large for the
+            # VMEM-resident mega kernel (> ~4 MP/segment)
+            from ..kernels import front as kfront
+            mx, myp = self.width // 16, self._h_pad // 16
+            xt = kfront.front_analyze(self._pad_rows(rgbs_flat), mx, myp,
+                                      self.sampling,
+                                      interpret=self.interpret)
+            G = self._h_pad // 128
+            sc = kfront.slab_cols(mx, self.sampling)
+            rn = kfront._real_nblk(mx, myp, self.sampling, self.height,
+                                   G, sc)
+            words, totals = kfused.dct_attach_pack_xt(
+                lut[None, :], self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, xt, B * S, B * S, self.y_per_mcu + 2,
+                self.y_per_mcu, self.seg_rows, interpret=self.interpret,
+                real_nblk=rn)
             return words.reshape(B, S, -1), totals.reshape(B, S)
         px = analyze_px(self._unflatten(rgbs_flat), self.mcus_x,
                         self.mcus_y, self.n_segs, sampling=self.sampling)
@@ -385,9 +420,10 @@ class FastBatchEncoder:
         if self._front_ok:
             from ..kernels import front as kfront
             idx_t = kfront.front_index(
-                rgbs_flat, self._dct_m, self._dct_bias, self._ql_zz,
-                self._qc_zz, self.width // 16, self.height // 16,
-                self.sampling, interpret=self.interpret)
+                self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
+                self._ql_zz, self._qc_zz, self.width // 16,
+                self._h_pad // 16, self.sampling,
+                interpret=self.interpret, real_height=self.height)
             h = hist_1024_t(idx_t, B)
             # stage 2 re-runs the fused front in-kernel; keep only the
             # raw batch (nothing else needs to survive the sync)
@@ -417,10 +453,10 @@ class FastBatchEncoder:
             from ..kernels import front as kfront
             (rgbs_flat,) = fields
             words, totals = kfront.front_place(
-                rgbs_flat, lut_per_image, self._dct_m, self._dct_bias,
-                self._ql_zz, self._qc_zz, self.width // 16,
-                self.height // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret)
+                self._pad_rows(rgbs_flat), lut_per_image, self._dct_m,
+                self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
+                self._h_pad // 16, self.sampling, self.seg_rows,
+                interpret=self.interpret, real_height=self.height)
         else:  # f32: grouped one-kernel DCT->place over the retained px
             (px,) = fields
             words, totals = kfused.dct_attach_pack_grouped(

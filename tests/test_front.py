@@ -65,3 +65,35 @@ def test_front_dynamic_bytes(img128):
                                    huffman="dynamic", engine="xla"))
     assert bytes(got[0]) == bytes(ref.encode(img128))
     assert bytes(got[1]) == bytes(ref.encode(img128[:, ::-1]))
+
+
+@pytest.mark.parametrize("h,w", [(192, 128), (128, 1152), (320, 1152)])
+def test_front_padded_and_strips(h, w, img128):
+    """Heights that need slab padding and widths that need 1024-px strip
+    processing must still match the XLA engine byte-for-byte."""
+    rng = np.random.default_rng(h + w)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    img[:64, :64] = img128[:64, :64]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed")
+    fast = FastBatchEncoder(h, w, config=cfg, interpret=True)
+    assert fast._front_ok
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed", engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
+
+
+def test_front_two_phase_over_budget(img128, monkeypatch):
+    """Segments exceeding the VMEM residency budget must keep the Pallas
+    front and produce identical bytes through the two-phase entropy
+    kernels."""
+    from jpeg_tpu.kernels import fused as kfused
+    monkeypatch.setattr(kfused, "_RESIDENT_VMEM_BUDGET", 1024)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed")
+    fast = FastBatchEncoder(192, 128, config=cfg, interpret=True)
+    assert fast._front_geom_ok and not fast._front_ok
+    img = np.concatenate([img128, img128[:64]], axis=0)
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed", engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
