@@ -25,10 +25,12 @@ subsampling reproduces the truncating averages exactly (all
 intermediate sums are small integers, exact in f32).  Reference
 behavior: utils/original.c:372-404, main/encoder.c:133-138.
 
-Coverage: 4:2:0 / 4:2:2 / 4:4:4, interleaved, one segment per image,
-W % 128 == 0, H % 128 == 0, W <= 1280 (VMEM for the [W, W] lane
-permutation).  ``front_eligible`` gates callers; everything else falls
-back to the XLA front.
+Coverage: 4:2:0 / 4:2:2 / 4:4:4, interleaved, W % 128 == 0 up to 4096
+(1024-px strips bound the permutation matrices), any MCU-granular
+height (rows pad to 128-row slabs; the tail masks via ``real_nblk``),
+and multi-segment restart streams whose boundaries fall on slab edges.
+``front_eligible`` gates callers; everything else falls back to the
+XLA front.
 """
 from __future__ import annotations
 
@@ -62,9 +64,15 @@ def front_eligible(height: int, width: int, sampling: str,
     scan, so masking is exact).  ``front_analyze`` (the xt-emitting
     variant) additionally requires height % 128 == 0."""
     mcu_h = {"420": 16, "422": 8, "444": 8}.get(sampling)
-    return (mcu_h is not None and n_segs_per_image == 1
-            and width % 128 == 0 and height % mcu_h == 0
-            and width <= _MAX_W)
+    if mcu_h is None or width % 128 or height % mcu_h or width > _MAX_W:
+        return False
+    if n_segs_per_image == 1:
+        return True
+    # multi-segment: restart boundaries must fall on 128-row slab edges
+    # and heights must not need slab padding (the padded tail would
+    # belong to the last segment only, breaking uniform segment shapes)
+    return (height % 128 == 0 and
+            (height // 128) % n_segs_per_image == 0)
 
 
 def _strip_plan(mx: int):
@@ -434,7 +442,8 @@ def _place_slab(kf, xt, g, sc, cbp, nblk_real, sampling, m, bias128,
 
 
 def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
-                       nblk_real: int, sc: int, cbp: int, nconst: int):
+                       nblk_real: int, sc: int, cbp: int, nconst: int,
+                       sps: int):
     """ONE kernel from raw u8 pixels to packed segment bitstreams.
 
     Grid (image, 128-row slab): the front relayout (deinterleave + color
@@ -453,20 +462,22 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
     strip_cs = _strip_consts(meta, crefs)
 
     g = pl.program_id(1)
+    gs = jax.lax.rem(g, jnp.int32(sps))  # slab index within the segment
 
-    @pl.when(g == 0)
+    @pl.when(gs == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
     xt = _front_slab(strip_cs, in_ref, sampling, bf16)   # [64, sc]
-    _place_slab(kf, xt, g, sc, cbp, nblk_real, sampling, m_ref[:],
+    _place_slab(kf, xt, gs, sc, cbp, nblk_real, sampling, m_ref[:],
                 bias_ref[:], ql_ref[:], qc_ref[:], lut_ref[0], out_ref,
                 tot_ref, lw_ref, carry_ref, prev_ref)
 
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
-                       nblk_real: int, sc: int, cbp: int, nconst: int):
+                       nblk_real: int, sc: int, cbp: int, nconst: int,
+                       sps: int):
     """Front + DCT + symbolize emitting only the combined-LUT index field
     (dynamic-mode stage 1 — feeds the MXU histograms)."""
     from . import fused as kf
@@ -476,6 +487,7 @@ def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
     prev_ref = refs[6 + nconst]
     strip_cs = _strip_consts(meta, crefs)
     g = pl.program_id(1)
+    gs = jax.lax.rem(g, jnp.int32(sps))
     xt = _front_slab(strip_cs, in_ref, sampling, bf16)
     bias_t = _tile_lanes(bias_ref[:], cbp)
     ql_t = _tile_lanes(ql_ref[:], cbp)
@@ -484,8 +496,8 @@ def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
     for j in range(sc // cbp):
         idx, _, _ = kf._dct_symbolize_chunk_v(
             m_ref[:], bias_t, ql_t, qc_t, xt[:, j * cbp:(j + 1) * cbp],
-            prev_ref, first=(g == 0) if j == 0 else False,
-            base_blk=g * sc + j * cbp, real_nblk=nblk_real,
+            prev_ref, first=(gs == 0) if j == 0 else False,
+            base_blk=gs * sc + j * cbp, real_nblk=nblk_real,
             period=PERIOD[sampling], ypm=YPM[sampling])
         outs.append(idx)
     idx_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
@@ -508,16 +520,19 @@ def _bcast128(v):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "seg_rows",
-                                    "interpret", "real_height"))
+                                    "interpret", "real_height", "n_segs"))
 def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, seg_rows: int, interpret: bool = False,
-                real_height: int | None = None):
-    """Fused u8 batch -> (words [B, seg_rows*128] u32, total_bits [B]).
+                real_height: int | None = None, n_segs: int = 1):
+    """Fused u8 batch -> (words [B*n_segs, seg_rows*128] u32,
+    total_bits [B*n_segs]).
 
     ``luts``: [1, 1024] (fixed mode, shared) or [B, 1024] (dynamic mode,
-    per image).  One segment per image (front_eligible geometry).
-    ``batch_flat`` rows must be a 128-multiple (callers zero-pad);
-    ``real_height`` (default: all rows) masks the padded tail MCU rows.
+    per image).  ``n_segs`` restart segments per image, each an equal
+    number of 128-row slabs (front_eligible geometry; ``seg_rows`` is
+    per segment).  ``batch_flat`` rows must be a 128-multiple (callers
+    zero-pad; only with n_segs == 1); ``real_height`` (default: all
+    rows) masks the padded tail MCU rows.
     """
     B = batch_flat.shape[0]
     meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
@@ -525,17 +540,21 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     from . import fused as kf
     if seg_rows_p * 128 * 4 > kf._RESIDENT_VMEM_BUDGET:
         raise ValueError("segment words exceed the VMEM-resident budget")
+    if G % n_segs or (n_segs > 1 and real_height not in (None, 16 * my)):
+        raise ValueError("segments must be whole slabs, unpadded")
+    sps = G // n_segs
     grouped = luts.shape[0] != 1
     cbp = _pick_slab_chunk(sc)
-    nblk_real = _real_nblk(mx, my, sampling, real_height, G, sc)
+    nblk_real = _real_nblk(mx, my, sampling, real_height, G, sc) // n_segs
     kernel = functools.partial(
         _mega_place_kernel, meta, sampling=sampling,
         bf16=not interpret, nblk_real=nblk_real, sc=sc, cbp=cbp,
-        nconst=len(consts))
+        nconst=len(consts), sps=sps)
+    S = B * n_segs
     out, tot = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((B * seg_rows_p, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((B * 8, 128), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
         grid=(B, G),
         in_specs=[pl.BlockSpec((1, 128, batch_flat.shape[2]),
                                lambda b, g: (b, g, 0),
@@ -548,9 +567,13 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec((64, 128), lambda b, g: (0, 0),
                                memory_space=pltpu.VMEM)] * 3 + cspecs,
-        out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda b, g: (b, 0),
+        out_specs=[pl.BlockSpec((seg_rows_p, 128),
+                                lambda b, g, n=n_segs, sp=sps:
+                                    (b * n + g // sp, 0),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((8, 128), lambda b, g: (b, 0),
+                   pl.BlockSpec((8, 128),
+                                lambda b, g, n=n_segs, sp=sps:
+                                    (b * n + g // sp, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((128, cbp), jnp.int32),
                         pltpu.VMEM((1, cbp), jnp.int32),
@@ -559,8 +582,8 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     )(batch_flat, luts.reshape(-1, 8, 128), m.astype(jnp.float32),
       _bcast128(bias), _bcast128(ql), _bcast128(qc), *consts)
     words = jax.lax.bitcast_convert_type(
-        out.reshape(B, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
-    return words.reshape(B, seg_rows * 128), tot.reshape(B, 8, 128)[:, 0, 0]
+        out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+    return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
 
 
 def _real_nblk(mx, my, sampling, real_height, G, sc):
@@ -573,21 +596,24 @@ def _real_nblk(mx, my, sampling, real_height, G, sc):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "interpret",
-                                    "real_height"))
+                                    "real_height", "n_segs"))
 def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, interpret: bool = False,
-                real_height: int | None = None):
+                real_height: int | None = None, n_segs: int = 1):
     """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]
     (padded tail blocks emit NULL_INDEX, whose histogram bin is
     dropped)."""
     B = batch_flat.shape[0]
     meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
     cbp = _pick_slab_chunk(sc)
+    if G % n_segs or (n_segs > 1 and real_height not in (None, 16 * my)):
+        raise ValueError("segments must be whole slabs, unpadded")
     kernel = functools.partial(
         _mega_index_kernel, meta, sampling=sampling,
         bf16=not interpret,
-        nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc),
-        sc=sc, cbp=cbp, nconst=len(consts))
+        nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc)
+        // n_segs,
+        sc=sc, cbp=cbp, nconst=len(consts), sps=G // n_segs)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.int32),

@@ -372,7 +372,8 @@ class FastBatchEncoder:
                 self._pad_rows(rgbs_flat), lut[None, :], self._dct_m,
                 self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
                 self._h_pad // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret, real_height=self.height)
+                interpret=self.interpret, real_height=self.height,
+                n_segs=S)
             return words.reshape(B, S, -1), totals.reshape(B, S)
         if self._front_geom_ok:
             # Pallas front + two-phase entropy: segments too large for the
@@ -423,7 +424,8 @@ class FastBatchEncoder:
                 self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
                 self._ql_zz, self._qc_zz, self.width // 16,
                 self._h_pad // 16, self.sampling,
-                interpret=self.interpret, real_height=self.height)
+                interpret=self.interpret, real_height=self.height,
+                n_segs=S)
             h = hist_1024_t(idx_t, B)
             # stage 2 re-runs the fused front in-kernel; keep only the
             # raw batch (nothing else needs to survive the sync)
@@ -456,7 +458,8 @@ class FastBatchEncoder:
                 self._pad_rows(rgbs_flat), lut_per_image, self._dct_m,
                 self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
                 self._h_pad // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret, real_height=self.height)
+                interpret=self.interpret, real_height=self.height,
+                n_segs=S)
         else:  # f32: grouped one-kernel DCT->place over the retained px
             (px,) = fields
             words, totals = kfused.dct_attach_pack_grouped(

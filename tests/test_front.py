@@ -97,3 +97,21 @@ def test_front_two_phase_over_budget(img128, monkeypatch):
     ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
                                    huffman="fixed", engine="xla")).encode(img)
     assert bytes(got[0]) == bytes(ref)
+
+
+@pytest.mark.parametrize("huff", ["fixed", "dynamic"])
+def test_front_multisegment(huff, img128):
+    """Restart segments on slab boundaries ride the mega kernels and
+    must match the XLA engine (DRI/RSTn markers included)."""
+    h = 256  # 2 slabs -> 2 segments of 8 MCU rows each
+    img = np.concatenate([img128, img128[::-1]], axis=0)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman=huff,
+                       restart_interval_mcu_rows=8)
+    fast = FastBatchEncoder(h, 128, config=cfg, segs_per_image=2,
+                            interpret=True)
+    assert fast._front_ok and fast.n_segs == 2
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved", huffman=huff,
+                                   restart_interval_mcu_rows=8,
+                                   engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
