@@ -241,17 +241,37 @@ class ShardedEncoder:
         qc_zz = jnp.asarray(
             np.asarray(self._chroma_q).reshape(64)[scan], jnp.float32)
 
+        from ..kernels import front as kfront
+        seg_rows_p = (seg_rows + 7) & ~7
+        use_front = (
+            kfront.front_eligible(self.slab_h, self.width, sampling, spd)
+            and seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
+
         def device_fn(rgb_local):  # [B_local, slab_h, W*3]
-            rgb_local = self._unflatten_local(rgb_local)
             b = rgb_local.shape[0]
-            px = F.analyze_px(rgb_local, mx, slab_my, spd, sampling=sampling)
-            px = px.reshape(b * spd, -1, 64)
-            words, totals = kfused.dct_attach_pack_grouped(
-                lut[None, :], dct_m, dct_b, ql_zz, qc_zz, px,
-                b * spd, b * spd, ypm + 2, ypm, seg_rows, interpret=interp)
-            idx_t = kfused.dct_index_segments(
-                dct_m, dct_b, ql_zz, qc_zz, px, b * spd, ypm + 2, ypm,
-                interpret=interp)
+            if use_front:
+                # per-device mega kernels: each device's slab encodes with
+                # the same one-pass front_place as FastBatchEncoder (spd
+                # restart segments per slab, DC chains reset per segment)
+                words, totals = kfront.front_place(
+                    rgb_local, lut[None, :], dct_m, dct_b, ql_zz, qc_zz,
+                    self.width // 16, self.slab_h // 16, sampling,
+                    seg_rows, interpret=interp, n_segs=spd)
+                idx_t = kfront.front_index(
+                    rgb_local, dct_m, dct_b, ql_zz, qc_zz,
+                    self.width // 16, self.slab_h // 16, sampling,
+                    interpret=interp, n_segs=spd)
+            else:
+                rgb4 = self._unflatten_local(rgb_local)
+                px = F.analyze_px(rgb4, mx, slab_my, spd, sampling=sampling)
+                px = px.reshape(b * spd, -1, 64)
+                words, totals = kfused.dct_attach_pack_grouped(
+                    lut[None, :], dct_m, dct_b, ql_zz, qc_zz, px,
+                    b * spd, b * spd, ypm + 2, ypm, seg_rows,
+                    interpret=interp)
+                idx_t = kfused.dct_index_segments(
+                    dct_m, dct_b, ql_zz, qc_zz, px, b * spd, ypm + 2, ypm,
+                    interpret=interp)
             hists = F.hist_1024_t(idx_t, b)
             ldc, lac, cdc, cac = F.split_hists(hists)
             h4 = jnp.stack([ldc, lac, cdc, cac], axis=1)  # [B_local, 4, 256]

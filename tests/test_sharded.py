@@ -130,3 +130,24 @@ def test_fused_step_is_jitted_end_to_end(mesh24, img_synthetic_160):
     assert words.shape[0] == 2 and words.shape[1] == enc.n_segments
     assert int(np.asarray(totals).min()) > 0
     assert hists.shape == (2, 4, 256)
+
+
+def test_sharded_front_mega_matches_xla(img_synthetic_160):
+    """When the per-device slab is front-eligible (128-row slabs, slab-
+    aligned restart segments), the Pallas engine rides the front_place
+    mega kernel and must still match the XLA engine byte-for-byte."""
+    mesh = make_mesh(data=2, space=2)
+    img = np.tile(np.asarray(img_synthetic_160)[:128, :64], (2, 2, 1))
+    batch = _batch(img, 2)  # 256x128: slab_h = 128 per space shard
+    base = dict(scan_layout="interleaved", huffman="fixed",
+                restart_interval_mcu_rows=8)
+    xla = ShardedEncoder(mesh, 256, 128,
+                         config=EncodeConfig(engine="xla", **base))
+    pal = ShardedEncoder(mesh, 256, 128,
+                         config=EncodeConfig(engine="pallas", **base))
+    # the interpret-mode Pallas path must actually take the front branch
+    from jpeg_tpu.kernels import front as kfront
+    assert kfront.front_eligible(pal.slab_h, pal.width, pal.sampling,
+                                 pal.segs_per_device)
+    assert [bytes(b) for b in pal.encode_batch(batch)] == \
+           [bytes(b) for b in xla.encode_batch(batch)]
