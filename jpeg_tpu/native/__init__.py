@@ -52,6 +52,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.jt_assemble_interleaved.restype = ctypes.c_int64
+            lib.jt_assemble_interleaved.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
             lib.jt_build_huff_tables.restype = ctypes.c_int64
             lib.jt_build_huff_tables.argtypes = [
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -173,6 +181,49 @@ def decode_scan(data: bytes, start: int, dc_specs: np.ndarray,
     if end < 0:
         raise ValueError("malformed entropy-coded segment")
     return out, int(end)
+
+
+def assemble_interleaved(words: np.ndarray, total_bits: np.ndarray,
+                         headers: list[bytes], n_segs: int,
+                         n_threads: int | None = None) -> list[bytes] | None:
+    """Batch full-file assembly for interleaved restart streams.
+
+    ``words`` [n_images * n_segs, stride] uint32, ``total_bits``
+    [n_images * n_segs], ``headers`` one SOI..SOS-header byte string per
+    image (identical objects fine).  Returns complete JPEG files (header
+    + finalized segments with RSTn + EOI), byte-identical to
+    ``jfif.assemble_interleaved(header, finish_scans(...))``, or None if
+    the native library is unavailable.  Images assemble on host threads.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(words, dtype=np.uint32)
+    tb = np.ascontiguousarray(total_bits, dtype=np.int32)
+    n = len(headers)
+    assert w.shape[0] == n * n_segs and tb.size == n * n_segs
+    hdr = np.frombuffer(b"".join(headers), np.uint8)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum([len(h) for h in headers], out=offs[1:])
+    seg_caps = (2 * (tb.astype(np.int64) // 8) + 2).reshape(n, n_segs)
+    stride = int((seg_caps.sum(1) + np.diff(offs)).max()) + 2 * n_segs + 2
+    out = np.empty(n * stride, np.uint8)
+    lens = np.empty(n, np.int64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    lib.jt_assemble_interleaved(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_int64(w.shape[1]),
+        tb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n), ctypes.c_int64(n_segs),
+        hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(stride),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(int(n_threads)))
+    return [out[i * stride:i * stride + lens[i]].tobytes()
+            for i in range(n)]
 
 
 def finish_scans(words: np.ndarray, total_bits: np.ndarray) -> list[bytes] | None:

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from .. import native
 from ..bitstream import jfif
 from ..core import tables as T
 from ..core.types import EncodeConfig
@@ -362,20 +363,26 @@ class ShardedEncoder:
         used = (int(totals.max()) + 31) // 32 + 1
         cap = min(words.shape[-1], -(-used // 128) * 128)
         words = np.asarray(words[:, :, :cap])
-        payloads = ops_pack.finish_scans(
-            words.reshape(B * self.n_segments, -1), totals.reshape(-1))
         y_sampling = {"420": (2, 2), "422": (2, 1),
                       "444": (1, 1)}[self.sampling]
-        out = []
-        for b in range(B):
-            segments = payloads[b * self.n_segments:(b + 1) * self.n_segments]
-            interval = self.mcus_per_segment if self.n_segments > 1 else 0
-            header = jfif.headers(self.width, self.height, self._luma_q,
-                                  self._chroma_q, tables_per_image[b],
-                                  restart_interval=interval,
-                                  y_sampling=y_sampling)
-            out.append(jfif.assemble_interleaved(header, segments))
-        return out
+        interval = self.mcus_per_segment if self.n_segments > 1 else 0
+        headers = [jfif.headers(self.width, self.height, self._luma_q,
+                                self._chroma_q, tables_per_image[b],
+                                restart_interval=interval,
+                                y_sampling=y_sampling)
+                   for b in range(B)]
+        files = native.assemble_interleaved(
+            words.reshape(B * self.n_segments, -1), totals.reshape(-1),
+            [h + jfif.sos_header_interleaved() for h in headers],
+            self.n_segments)
+        if files is not None:
+            return files
+        payloads = ops_pack.finish_scans(
+            words.reshape(B * self.n_segments, -1), totals.reshape(-1))
+        return [jfif.assemble_interleaved(
+                    headers[b],
+                    payloads[b * self.n_segments:(b + 1) * self.n_segments])
+                for b in range(B)]
 
     # -- public API ------------------------------------------------------
 

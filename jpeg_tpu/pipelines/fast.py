@@ -633,18 +633,27 @@ class FastBatchEncoder:
         return self._assemble(words_np, totals_np, tables)
 
     def _assemble(self, words, totals, tables):
+        from .. import native
         from ..ops.pack import finish_scans
         B = words.shape[0]
+        y_sampling = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[self.sampling]
+        interval = self.mcus_per_segment if self.n_segs > 1 else 0
+        headers = [jfif.headers(self.width, self.height, self._luma_q,
+                                self._chroma_q, tables[b],
+                                restart_interval=interval,
+                                y_sampling=y_sampling)
+                   for b in range(B)]
+        # one native call emits every complete file (finalize + RSTn + EOI
+        # on host threads); jfif.py remains the Python fallback
+        sos = jfif.sos_header_interleaved()
+        files = native.assemble_interleaved(
+            words.reshape(B * self.n_segs, -1), totals.reshape(-1),
+            [h + sos for h in headers], self.n_segs)
+        if files is not None:
+            return files
         payloads = finish_scans(words.reshape(B * self.n_segs, -1),
                                 totals.reshape(-1))
-        y_sampling = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[self.sampling]
-        out = []
-        for b in range(B):
-            segs = payloads[b * self.n_segs:(b + 1) * self.n_segs]
-            interval = self.mcus_per_segment if self.n_segs > 1 else 0
-            header = jfif.headers(self.width, self.height, self._luma_q,
-                                  self._chroma_q, tables[b],
-                                  restart_interval=interval,
-                                  y_sampling=y_sampling)
-            out.append(jfif.assemble_interleaved(header, segs))
-        return out
+        return [jfif.assemble_interleaved(
+                    headers[b],
+                    payloads[b * self.n_segs:(b + 1) * self.n_segs])
+                for b in range(B)]

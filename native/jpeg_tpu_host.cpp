@@ -498,6 +498,60 @@ int64_t jt_decode_scan_mt(const uint8_t* data, int64_t len, int64_t start,
   return end_pos.load();
 }
 
+// Full-file assembly for interleaved restart-delimited scans: header
+// bytes + finalized segments with RSTn markers interposed + EOI, one
+// complete JPEG per image, emitted in a single native call over the
+// batch (the last per-image Python work in batch encoding).  Marker
+// semantics match bitstream/jfif.py::assemble_interleaved (RST counter
+// 0xD0 + (i-1) % 8 before segment i, T.81 B.2.1.2); header bytes are
+// caller-provided and must run through the SOS header inclusive.
+//
+// words:       [n_images * n_segs, stride_words] big-endian-packed u32.
+// totals:      [n_images * n_segs] bit counts.
+// headers:     concatenated per-image header bytes (SOI..SOS header).
+// header_offs: [n_images + 1] offsets into headers.
+// out:         n_images * out_stride bytes; image i writes at
+//              i * out_stride.  out_stride must cover the worst case:
+//              header + sum(jt_finish_scan_max_out(bits)) + 2 * n_segs.
+// out_lens:    [n_images] receives each file's byte length.
+// Threads over images (independent outputs, fixed strides).
+int64_t jt_assemble_interleaved(const uint32_t* words, int64_t stride_words,
+                                const int32_t* totals, int64_t n_images,
+                                int64_t n_segs, const uint8_t* headers,
+                                const int64_t* header_offs, uint8_t* out,
+                                int64_t out_stride, int64_t* out_lens,
+                                int64_t n_threads) {
+  auto one = [&](int64_t i) {
+    uint8_t* dst = out + i * out_stride;
+    int64_t o = header_offs[i + 1] - header_offs[i];
+    std::memcpy(dst, headers + header_offs[i], (size_t)o);
+    for (int64_t s = 0; s < n_segs; ++s) {
+      if (s) {
+        dst[o++] = 0xFF;
+        dst[o++] = (uint8_t)(0xD0 + ((s - 1) & 7));
+      }
+      const int64_t seg = i * n_segs + s;
+      o += jt_finish_scan(words + seg * stride_words, totals[seg], dst + o);
+    }
+    dst[o++] = 0xFF;  // EOI
+    dst[o++] = 0xD9;
+    out_lens[i] = o;
+  };
+  int nt = (int)(n_threads < n_images ? n_threads : n_images);
+  if (nt <= 1) {
+    for (int64_t i = 0; i < n_images; ++i) one(i);
+    return 0;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  for (int t = 0; t < nt; ++t)
+    workers.emplace_back([&, t]() {
+      for (int64_t i = t; i < n_images; i += nt) one(i);
+    });
+  for (auto& w : workers) w.join();
+  return 0;
+}
+
 int64_t jt_build_huff_tables(const int64_t* freqs, int64_t n_tables,
                              int32_t* bits, int32_t* huffval, int32_t* code,
                              int32_t* length) {

@@ -44,6 +44,34 @@ def test_native_batch_finish():
     assert got == exp
 
 
+@pytest.mark.skipif(not native.available(), reason="toolchain unavailable")
+def test_native_assemble_interleaved_matches_python():
+    from jpeg_tpu.bitstream import jfif
+    rng = np.random.default_rng(5)
+    B, S = 3, 4
+    words = rng.integers(0, 1 << 32, size=(B * S, 40),
+                         dtype=np.uint64).astype(np.uint32)
+    words[:, ::3] |= 0xFF000000  # exercise stuffing
+    totals = rng.integers(1, 1270, size=B * S).astype(np.int32)
+    headers = [b"\xff\xd8HDR%d" % i for i in range(B)]  # distinct lengths ok
+    sos = jfif.sos_header_interleaved()
+    got = native.assemble_interleaved(
+        words, totals, [h + sos for h in headers], S)
+    exp = [jfif.assemble_interleaved(
+               headers[b],
+               [_numpy_finish(words[b * S + s], int(totals[b * S + s]))
+                for s in range(S)])
+           for b in range(B)]
+    assert got == exp
+    # single-segment (no RSTn) and single-thread paths
+    got1 = native.assemble_interleaved(
+        words[:B], totals[:B], [h + sos for h in headers], 1, n_threads=1)
+    exp1 = [jfif.assemble_interleaved(
+                headers[b], [_numpy_finish(words[b], int(totals[b]))])
+            for b in range(B)]
+    assert got1 == exp1
+
+
 def test_native_huffman_builder_matches_python():
     """The C++ K.2 builder must equal the Python one field-for-field."""
     from jpeg_tpu import native
