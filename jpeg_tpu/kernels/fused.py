@@ -49,7 +49,10 @@ def _attach_fields(t, idx, extra, extra_n):
     hi = idx >> 7
     lo = idx & 127
     entry = jnp.zeros_like(idx)
-    for r in range(8):
+    # rows 3 and 7 are structurally all-zero (a DC symbol is a magnitude
+    # class <= 11, so sym >= 128 with is_dc never occurs, and NULL_INDEX's
+    # entry is 0): skipping them leaves entry = 0, identical to the gather
+    for r in (0, 1, 2, 4, 5, 6):
         rowb = jnp.broadcast_to(t[r, :][None, :], idx.shape)
         g = jnp.take_along_axis(rowb, lo, axis=1)
         entry = jnp.where(hi == r, g, entry)
@@ -856,8 +859,13 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
         rolled = pltpu.roll(x, 1 << k, axis=0)
         x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
 
-    r0t = jnp.where(sub >= l, x, 0).T         # [TB, 128] this-row window
-    r1t = jnp.where(sub < l, x, 0).T          # next-row straddle
+    # one [128, TB] transpose, then mask in the transposed space (the
+    # two-transpose form costs a second full-array XLU pass)
+    xt2 = x.T                                 # [TB, 128]
+    lt = l.T                                  # [TB, 1]
+    lane = _lane_iota(xt2.shape)
+    r0t = jnp.where(lane >= lt, xt2, 0)       # [TB, 128] this-row window
+    r1t = jnp.where(lane < lt, xt2, 0)        # next-row straddle
     rows = shr(goff, jnp.int32(12))           # [1, TB] absolute segment row
     t = rows.T                                # [TB, 1]
 
@@ -958,9 +966,13 @@ def _place_acc_kernel(value_ref, nbits_ref, goff_ref, acc_ref, lw_ref):
         rolled = pltpu.roll(x, 1 << k, axis=0)
         x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
 
-    # block-major windows + tile-relative output rows (sorted, small)
-    r0t = jnp.where(sub >= l, x, 0).T         # [TB, 128]
-    r1t = jnp.where(sub < l, x, 0).T
+    # block-major windows + tile-relative output rows (sorted, small);
+    # one transpose, masks applied in the transposed space
+    xt2 = x.T                                 # [TB, 128]
+    lt = l.T                                  # [TB, 1]
+    lane = _lane_iota(xt2.shape)
+    r0t = jnp.where(lane >= lt, xt2, 0)       # [TB, 128]
+    r1t = jnp.where(lane < lt, xt2, 0)
     rows = shr(goff, jnp.int32(12))
     t = (rows - rows[0, 0]).T                 # [TB, 1]
 

@@ -55,7 +55,10 @@ def _lookup(t, idx):
     hi = idx >> 7
     lo = idx & 127
     entry = jnp.zeros_like(idx)
-    for r in range(8):
+    # rows 3 and 7 are structurally all-zero (a DC symbol is a magnitude
+    # class <= 11, so sym >= 128 with is_dc never occurs, and NULL_INDEX's
+    # entry is 0): skipping them leaves entry = 0, identical to the gather
+    for r in (0, 1, 2, 4, 5, 6):
         rowb = jnp.broadcast_to(t[r, :][None, :], idx.shape)
         g = jnp.take_along_axis(rowb, lo, axis=1)
         entry = jnp.where(hi == r, g, entry)
