@@ -61,10 +61,13 @@ def front_eligible(height: int, width: int, sampling: str,
     """Pallas-front eligibility.  Heights only need MCU granularity — the
     mega kernels pad rows to full 128-row slabs and mask the tail blocks
     via ``real_nblk`` (tail MCU rows are contiguous in the interleaved
-    scan, so masking is exact).  ``front_analyze`` (the xt-emitting
-    variant) additionally requires height % 128 == 0."""
+    scan, so masking is exact).  Widths only need 16-px granularity: the
+    deinterleave zero-pads a partial 128-px group and the place chunks
+    pad the slab's block columns to 128 with phantom zero-bit blocks
+    (``_pick_slab_pad``).  ``front_analyze`` (the xt-emitting variant)
+    additionally requires 128-aligned slab columns and height."""
     mcu_h = {"420": 16, "422": 8, "444": 8}.get(sampling)
-    if mcu_h is None or width % 128 or height % mcu_h or width > _MAX_W:
+    if mcu_h is None or width % 16 or height % mcu_h or width > _MAX_W:
         return False
     if n_segs_per_image == 1:
         return True
@@ -231,14 +234,26 @@ def _exchange8(p1):
 
 def _deint_color(x, sel, W, bf16):
     """[128, W*3] f32 interleaved u8 values -> (y, cb, cr) [128, W] f32
-    integer planes (exact fixed-point color — see ops.color)."""
-    parts = [_dot(_b16(x[:, g * 384:(g + 1) * 384], bf16), sel)
-             for g in range(W * 3 // 384)]
-    r = jnp.concatenate([p[:, :128] for p in parts],
+    integer planes (exact fixed-point color — see ops.color).
+
+    The deinterleave matmul works in 128-px (384-lane) groups; a partial
+    final group (W % 128 != 0) zero-pads its input to 384 lanes — the
+    zero pixels emit zero output columns, sliced away below."""
+    parts, widths = [], []
+    for g0 in range(0, W, 128):
+        wpx = min(128, W - g0)
+        xg = x[:, g0 * 3:(g0 + wpx) * 3]
+        if wpx < 128:
+            xg = jnp.concatenate(
+                [xg, jnp.zeros((x.shape[0], 384 - 3 * wpx), x.dtype)],
+                axis=1)
+        parts.append(_dot(_b16(xg, bf16), sel))
+        widths.append(wpx)
+    r = jnp.concatenate([p[:, :w] for p, w in zip(parts, widths)],
                         axis=1).astype(jnp.int32)
-    g = jnp.concatenate([p[:, 128:256] for p in parts],
+    g = jnp.concatenate([p[:, 128:128 + w] for p, w in zip(parts, widths)],
                         axis=1).astype(jnp.int32)
-    b = jnp.concatenate([p[:, 256:384] for p in parts],
+    b = jnp.concatenate([p[:, 256:256 + w] for p, w in zip(parts, widths)],
                         axis=1).astype(jnp.int32)
     y_t = 299 * r + 587 * g + 114 * b
     y = jnp.floor(y_t.astype(jnp.float32) / 1000.0)
@@ -375,7 +390,11 @@ def front_analyze(batch_flat, mx: int, my: int, sampling: str = "420",
     if batch_flat.shape[1] != 16 * my or batch_flat.shape[2] != W * 3:
         raise ValueError(f"batch {batch_flat.shape} != geometry "
                          f"{16*my}x{W}*3")
-    if 16 * my % 128 or not front_eligible(16 * my, W, sampling, 1):
+    if (16 * my % 128 or not front_eligible(16 * my, W, sampling, 1)
+            or slab_cols(mx, sampling) % 128):
+        # the xt-emitting variant writes [64, sc] HBM blocks at
+        # sc-strided columns, so sc must stay 128-aligned (the mega
+        # kernels handle unaligned sc via in-VMEM phantom padding)
         raise ValueError("geometry not front-eligible")
     meta, consts = _strip_args(mx, sampling, not interpret)
     G = 16 * my // 128
@@ -414,36 +433,60 @@ def _tile_lanes(a, sc):
     return jnp.concatenate([a] * (sc // a.shape[1]), axis=1)
 
 
-def _pick_slab_chunk(sc: int) -> int:
-    """Largest 128-multiple <= 2048 dividing the slab columns: bounds the
-    place stage's [128, cb] local-pack window while keeping few chunks."""
+def _pick_slab_pad(sc: int) -> tuple[int, int]:
+    """(padded slab columns, chunk width) for the mega kernels.
+
+    The place stage works in 128-multiple chunks, so a slab whose real
+    block count ``sc`` isn't a 128 multiple pads with phantom blocks
+    (NULL symbols, 0 bits — see ``_dct_symbolize_chunk_v`` pad_from).
+    Zero padding with the largest chunk <= 2048 wins when available;
+    otherwise the smallest padding (<= max(128, sc // 8) phantom
+    columns) that still admits a large chunk."""
     for k in range(16, 0, -1):
         if sc % (128 * k) == 0:
-            return 128 * k
-    raise ValueError(f"slab columns {sc} not a multiple of 128")
+            return sc, 128 * k
+    for k in range(16, 0, -1):
+        scp = -(-sc // (128 * k)) * (128 * k)
+        if scp - sc <= max(128, sc // 8):
+            return scp, 128 * k
+    raise AssertionError("k = 1 always pads < 128")
 
 
-def _place_slab(kf, xt, g, sc, cbp, nblk_real, sampling, m, bias128,
+def _pad_slab(xt, sc: int, sc_p: int):
+    if sc_p == sc:
+        return xt
+    return jnp.concatenate(
+        [xt, jnp.zeros((xt.shape[0], sc_p - sc), xt.dtype)], axis=1)
+
+
+def _place_slab(kf, xt, g, sc, sc_p, cbp, nblk_real, sampling, m, bias128,
                 ql128, qc128, lut, out_ref, tot_ref, lw_ref, carry_ref,
                 prev_ref):
-    """Symbolize + attach + place one slab's xt, in cbp-wide chunks."""
+    """Symbolize + attach + place one slab's xt, in cbp-wide chunks.
+
+    ``sc`` is the slab's real block count; ``sc_p`` the 128-aligned
+    padded count (phantom tail blocks emit no bits)."""
     bias_t = _tile_lanes(bias128, cbp)
     ql_t = _tile_lanes(ql128, cbp)
     qc_t = _tile_lanes(qc128, cbp)
-    for j in range(sc // cbp):
-        chunk = xt[:, j * cbp:(j + 1) * cbp]
+    xt = _pad_slab(xt, sc, sc_p)
+    for j in range(sc_p // cbp):
+        lo = j * cbp
+        chunk = xt[:, lo:lo + cbp]
+        pad_from = min(cbp, sc - lo)
         idx, extra, extra_n = kf._dct_symbolize_chunk_v(
             m, bias_t, ql_t, qc_t, chunk, prev_ref,
             first=(g == 0) if j == 0 else False,
-            base_blk=g * sc + j * cbp, real_nblk=nblk_real,
-            period=PERIOD[sampling], ypm=YPM[sampling])
+            base_blk=g * sc + lo, real_nblk=nblk_real,
+            period=PERIOD[sampling], ypm=YPM[sampling],
+            pad_from=pad_from if pad_from < cbp else None)
         value, nbits = kf._attach_chunk(lut, idx, extra, extra_n)
         kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
 
 
 def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
-                       nblk_real: int, sc: int, cbp: int, nconst: int,
-                       sps: int):
+                       nblk_real: int, sc: int, sc_p: int, cbp: int,
+                       nconst: int, sps: int):
     """ONE kernel from raw u8 pixels to packed segment bitstreams.
 
     Grid (image, 128-row slab): the front relayout (deinterleave + color
@@ -470,14 +513,14 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
     xt = _front_slab(strip_cs, in_ref, sampling, bf16)   # [64, sc]
-    _place_slab(kf, xt, gs, sc, cbp, nblk_real, sampling, m_ref[:],
+    _place_slab(kf, xt, gs, sc, sc_p, cbp, nblk_real, sampling, m_ref[:],
                 bias_ref[:], ql_ref[:], qc_ref[:], lut_ref[0], out_ref,
                 tot_ref, lw_ref, carry_ref, prev_ref)
 
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
-                       nblk_real: int, sc: int, cbp: int, nconst: int,
-                       sps: int):
+                       nblk_real: int, sc: int, sc_p: int, cbp: int,
+                       nconst: int, sps: int):
     """Front + DCT + symbolize emitting only the combined-LUT index field
     (dynamic-mode stage 1 — feeds the MXU histograms)."""
     from . import fused as kf
@@ -488,17 +531,20 @@ def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
     strip_cs = _strip_consts(meta, crefs)
     g = pl.program_id(1)
     gs = jax.lax.rem(g, jnp.int32(sps))
-    xt = _front_slab(strip_cs, in_ref, sampling, bf16)
+    xt = _pad_slab(_front_slab(strip_cs, in_ref, sampling, bf16), sc, sc_p)
     bias_t = _tile_lanes(bias_ref[:], cbp)
     ql_t = _tile_lanes(ql_ref[:], cbp)
     qc_t = _tile_lanes(qc_ref[:], cbp)
     outs = []
-    for j in range(sc // cbp):
+    for j in range(sc_p // cbp):
+        lo = j * cbp
+        pad_from = min(cbp, sc - lo)
         idx, _, _ = kf._dct_symbolize_chunk_v(
-            m_ref[:], bias_t, ql_t, qc_t, xt[:, j * cbp:(j + 1) * cbp],
+            m_ref[:], bias_t, ql_t, qc_t, xt[:, lo:lo + cbp],
             prev_ref, first=(gs == 0) if j == 0 else False,
-            base_blk=gs * sc + j * cbp, real_nblk=nblk_real,
-            period=PERIOD[sampling], ypm=YPM[sampling])
+            base_blk=gs * sc + lo, real_nblk=nblk_real,
+            period=PERIOD[sampling], ypm=YPM[sampling],
+            pad_from=pad_from if pad_from < cbp else None)
         outs.append(idx)
     idx_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
                                                                 axis=1)
@@ -544,12 +590,12 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
         raise ValueError("segments must be whole slabs, unpadded")
     sps = G // n_segs
     grouped = luts.shape[0] != 1
-    cbp = _pick_slab_chunk(sc)
+    sc_p, cbp = _pick_slab_pad(sc)
     nblk_real = _real_nblk(mx, my, sampling, real_height, G, sc) // n_segs
     kernel = functools.partial(
         _mega_place_kernel, meta, sampling=sampling,
-        bf16=not interpret, nblk_real=nblk_real, sc=sc, cbp=cbp,
-        nconst=len(consts), sps=sps)
+        bf16=not interpret, nblk_real=nblk_real, sc=sc, sc_p=sc_p,
+        cbp=cbp, nconst=len(consts), sps=sps)
     S = B * n_segs
     out, tot = pl.pallas_call(
         kernel,
@@ -586,6 +632,9 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
 
 
+# (front_index below shares this plumbing; keep the two in sync)
+
+
 def _real_nblk(mx, my, sampling, real_height, G, sc):
     if real_height is None:
         return G * sc
@@ -605,7 +654,7 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
     dropped)."""
     B = batch_flat.shape[0]
     meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
-    cbp = _pick_slab_chunk(sc)
+    sc_p, cbp = _pick_slab_pad(sc)
     if G % n_segs or (n_segs > 1 and real_height not in (None, 16 * my)):
         raise ValueError("segments must be whole slabs, unpadded")
     kernel = functools.partial(
@@ -613,10 +662,10 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
         bf16=not interpret,
         nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc)
         // n_segs,
-        sc=sc, cbp=cbp, nconst=len(consts), sps=G // n_segs)
+        sc=sc, sc_p=sc_p, cbp=cbp, nconst=len(consts), sps=G // n_segs)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((64, B * G * sc), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((64, B * G * sc_p), jnp.int32),
         grid=(B, G),
         in_specs=[pl.BlockSpec((1, 128, batch_flat.shape[2]),
                                lambda b, g: (b, g, 0),
@@ -625,7 +674,8 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec((64, 128), lambda b, g: (0, 0),
                                memory_space=pltpu.VMEM)] * 3 + cspecs,
-        out_specs=pl.BlockSpec((64, sc), lambda b, g, G=G: (0, b * G + g),
+        out_specs=pl.BlockSpec((64, sc_p),
+                               lambda b, g, G=G: (0, b * G + g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((1, cbp), jnp.int32)],
         interpret=interpret,

@@ -261,7 +261,7 @@ def _dct_symbolize_chunk(m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
 
 def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
                            base_blk, *, real_nblk: int, period: int,
-                           ypm: int):
+                           ypm: int, pad_from: int | None = None):
     """Chunk-wide DCT + quantize + zigzag + DC diff + symbolization.
 
     Same math as ``_dct_symbolize`` but width-generic: ``xt`` holds
@@ -272,6 +272,13 @@ def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
     naturally; ``prev_ref`` ([1, CB] VMEM scratch) carries the previous
     chunk's DC row.  Value-level so fused callers (the front+place mega
     kernel) can feed an in-VMEM slab that never touched HBM.
+
+    ``pad_from`` (static): lanes >= pad_from are phantom blocks appended
+    to 128-align a slab whose real block count isn't a 128 multiple
+    (width % 128 != 0 geometries).  They emit NULL_INDEX / 0 bits, and
+    the DC row stored for the next chunk is rolled so the last REAL
+    block's DC sits at the top lane — the next chunk's prev-neighbor
+    rolls then skip the phantom tail exactly.
     """
     f = jax.lax.dot_general(m, xt, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -294,9 +301,13 @@ def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
         prev_dc = jnp.where(d == dd, cand, prev_dc)
     prev_dc = jnp.where(first & (lane < d), 0, prev_dc)
     dcd = dc - prev_dc
-    prev_ref[:] = dc
 
     isl = jnp.where(blk < real_nblk, isl_row.astype(jnp.int32), -1)
+    if pad_from is not None and pad_from < f.shape[1]:
+        isl = jnp.where(lane >= pad_from, -1, isl)
+        prev_ref[:] = pltpu.roll(dc, f.shape[1] - pad_from, axis=1)
+    else:
+        prev_ref[:] = dc
     return _symbolize(v, dcd, isl)
 
 

@@ -245,7 +245,10 @@ class ShardedEncoder:
         from ..kernels import front as kfront
         seg_rows_p = (seg_rows + 7) & ~7
         use_front = (
-            kfront.front_eligible(self.slab_h, self.width, sampling, spd)
+            self.slab_h % 128 == 0  # whole 128-row slabs per device (the
+            # sharded step can't row-pad: each device owns a fixed slab)
+            and kfront.front_eligible(self.slab_h, self.width, sampling,
+                                      spd)
             and seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
 
         def device_fn(rgb_local):  # [B_local, slab_h, W*3]

@@ -375,10 +375,14 @@ class FastBatchEncoder:
                 interpret=self.interpret, real_height=self.height,
                 n_segs=S)
             return words.reshape(B, S, -1), totals.reshape(B, S)
-        if self._front_geom_ok:
+        from ..kernels import front as kfront
+        if (self._front_geom_ok and
+                kfront.slab_cols(self.width // 16, self.sampling)
+                % 128 == 0):
             # Pallas front + two-phase entropy: segments too large for the
-            # VMEM-resident mega kernel (> ~4 MP/segment)
-            from ..kernels import front as kfront
+            # VMEM-resident mega kernel (> ~4 MP/segment).  front_analyze
+            # needs 128-aligned slab columns (xt lands in HBM); unaligned
+            # widths fall through to the XLA front below.
             mx, myp = self.width // 16, self._h_pad // 16
             xt = kfront.front_analyze(self._pad_rows(rgbs_flat), mx, myp,
                                       self.sampling,

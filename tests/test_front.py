@@ -83,6 +83,64 @@ def test_front_padded_and_strips(h, w, img128):
     assert bytes(got[0]) == bytes(ref)
 
 
+@pytest.mark.parametrize("samp,h,w", [
+    ("420", 128, 96),    # sc = 288 -> padded 384, 3 chunks of 128
+    ("420", 192, 160),   # slab-padded height + phantom columns
+    ("422", 128, 80),    # sc = 320 -> padded 384
+    ("444", 128, 48),    # sc = 288 -> padded 384
+    ("420", 128, 1104),  # strips with a partial remainder strip
+])
+def test_front_unaligned_width(samp, h, w, img128):
+    """Widths that aren't 128 multiples ride the mega kernels through
+    phantom-padded slab columns and must match the XLA engine bytes."""
+    rng = np.random.default_rng(w)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    img[:64, :32] = img128[:64, :32]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       subsampling=samp)
+    fast = FastBatchEncoder(h, w, config=cfg, interpret=True)
+    assert fast._front_ok
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed", subsampling=samp,
+                                   engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
+
+
+def test_front_unaligned_width_dynamic(img128):
+    """Dynamic mode over phantom-padded slabs: NULL bins from phantom
+    blocks must not perturb the per-image histograms or tables."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (128, 96, 3)).astype(np.uint8)
+    img[:64, :32] = img128[:64, :32]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="dynamic")
+    fast = FastBatchEncoder(128, 96, config=cfg, interpret=True)
+    assert fast._front_ok
+    got = fast.encode_batch(np.stack([img, img[:, ::-1].copy()]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="dynamic", engine="xla"))
+    assert bytes(got[0]) == bytes(ref.encode(img))
+    assert bytes(got[1]) == bytes(ref.encode(img[:, ::-1]))
+
+
+def test_front_unaligned_multisegment(img128):
+    """Phantom-padded slabs + restart segments: DC chains must reset per
+    segment and skip phantom lanes at every slab boundary."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (256, 96, 3)).astype(np.uint8)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=8)
+    fast = FastBatchEncoder(256, 96, config=cfg, segs_per_image=2,
+                            interpret=True)
+    assert fast._front_ok and fast.n_segs == 2
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed",
+                                   restart_interval_mcu_rows=8,
+                                   engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
+
+
 def test_front_two_phase_over_budget(img128, monkeypatch):
     """Segments exceeding the VMEM residency budget must keep the Pallas
     front and produce identical bytes through the two-phase entropy
