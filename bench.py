@@ -292,6 +292,68 @@ def main():
     recon_ms = max(recon_slope() * 1000.0, 0.01)
     dec_mps = (h * w) / max(entropy_ms, recon_ms) / 1e3
 
+    # Device entropy decode (kernels.huffdec): 128 restart segments
+    # bit-walk in lockstep on the VPU lanes.  Fresh-input rule: the
+    # carry-dependent XOR flips bits ONLY in padding words at least one
+    # word past each segment's real bytes, so every iteration sees a new
+    # input array while the decoded work stays exactly the real stream's.
+    _t("device entropy decode bench")
+    from jpeg_tpu.kernels import huffdec as hd
+    st = hd.parse_scan_structure(one)
+    dev_entropy_ms = float("nan")
+    if st is not None:
+        mcus = (h // 16) * (w // 16)
+        S = mcus // st["restart_interval"]
+        segs = hd.unstuff_segments(st["entropy"], n_expected=S)
+        streams, active, max_words = hd.pack_streams(segs)
+        tabs = st["tabs"]
+        c0, c1 = st["comps"][0][0], st["comps"][1][0]
+        quad = (st["dht"][(0, tabs[c0][0])], st["dht"][(1, tabs[c0][1])],
+                st["dht"][(0, tabs[c1][0])], st["dht"][(1, tabs[c1][1])])
+        maxc, delt, hvp = hd.lane_tables([quad] * S)
+        pad_mask = np.zeros_like(streams)
+        for i, s in enumerate(segs):
+            pad_mask[i, -(-len(s) // 4) + 1] = 1
+        nblk_seg = st["restart_interval"] * 6
+        dargs = tuple(jax.device_put(jnp.asarray(a)) for a in (
+            streams, pad_mask, maxc, delt, hvp, active * nblk_seg))
+        jax.block_until_ready(dargs)
+
+        def hd_loop(n):
+            @jax.jit
+            def run(sw, pm, mc, dl, hp, ac, d):
+                def body(i, c):
+                    seed, acc = c
+                    out = hd.decode_segments(
+                        sw ^ (pm * (seed + d)), mc, dl, hp, ac, "420",
+                        nblk_seg, max_words)
+                    s = jnp.sum(out, dtype=jnp.int32)
+                    return (s & 1) + 1, acc + s
+                return jax.lax.fori_loop(
+                    0, n, body, (d, jnp.int32(0)))[1]
+            return run
+
+        def hd_slope(n1=N1, n2=N2):
+            r1, r2 = hd_loop(n1), hd_loop(n2)
+            d32 = jnp.int32(3)
+            int(np.asarray(r1(*dargs, d32)))
+            int(np.asarray(r2(*dargs, d32)))
+
+            def t(r):
+                best = 1e9
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    int(np.asarray(r(*dargs, d32)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+            return (t(r2) - t(r1)) / (n2 - n1)
+
+        try:
+            dev_entropy_ms = max(hd_slope() * 1000.0, 0.01)
+        except Exception as e:  # pragma: no cover - platform-dependent
+            print(f"# device entropy decode skipped: {e}", file=sys.stderr)
+    dev_dec_mps = (h * w) / max(dev_entropy_ms, recon_ms) / 1e3
+
     _t("done")
     print(json.dumps({
         "metric": "device_encode_throughput",
@@ -300,8 +362,9 @@ def main():
         "vs_baseline": round(mps / C_REFERENCE_MPS, 2),
     }))
     print(f"# decode: entropy(host C++) {entropy_ms:.1f}ms/img, device "
-          f"reconstruct {recon_ms:.1f}ms/img -> pipelined {dec_mps:.1f} MP/s",
-          file=sys.stderr)
+          f"reconstruct {recon_ms:.1f}ms/img -> pipelined {dec_mps:.1f} MP/s;"
+          f" device entropy (kernels.huffdec) {dev_entropy_ms:.1f}ms/img -> "
+          f"all-device {dev_dec_mps:.1f} MP/s", file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
           f"host assembly over the tunnel); dynamic-huffman device "

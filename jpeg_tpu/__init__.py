@@ -12,7 +12,9 @@ reference ESP32 JPEG encoder + frame-differencing firmware
 
 Public API:
     encode_jpeg(rgb, config)             — single-image encode on device
-    decode_jpeg(data)                    — decode (device reconstruction)
+    decode_jpeg(data)                    — decode (device reconstruction;
+                                           device entropy for restart streams)
+    decode_jpeg_batch(datas)             — batch decode, one entropy kernel
     pipelines.fast.FastBatchEncoder      — fused batch encode (Pallas)
     pipelines.bucket.BucketedEncoder     — mixed-resolution batches
     parallel.sharded.ShardedEncoder      — multi-chip (data, space) mesh
@@ -28,10 +30,17 @@ def encode_jpeg(rgb, config=None) -> bytes:
     return _impl(rgb, config)
 
 
-def decode_jpeg(data: bytes):
+def decode_jpeg(data: bytes, entropy_engine: str = "auto"):
     """Baseline JFIF bytes -> [H, W, 3] uint8 RGB (device reconstruction)."""
     from .pipelines.decode import decode_jpeg as _impl
-    return _impl(data)
+    return _impl(data, entropy_engine=entropy_engine)
+
+
+def decode_jpeg_batch(datas, entropy_engine: str = "auto"):
+    """Batch decode: all images' restart segments share one device
+    entropy kernel launch (see pipelines.decode.decode_jpeg_batch)."""
+    from .pipelines.decode import decode_jpeg_batch as _impl
+    return _impl(datas, entropy_engine=entropy_engine)
 
 
 __version__ = "0.1.0"

@@ -1,0 +1,483 @@
+"""Device-parallel baseline Huffman decode: restart segments on VPU lanes.
+
+Baseline entropy decode is bit-serial WITHIN a restart segment but
+embarrassingly parallel ACROSS segments (DC predictors reset at every
+RSTn, T.81 F.2.1.3.1).  The C++ host runtime exploits this with threads
+(``native/jpeg_tpu_host.cpp`` ``jt_decode_scan_mt``); this kernel is the
+TPU-native version: 128 segments decode in lockstep on the VPU lanes,
+one Huffman symbol per inner step, with the canonical-code length
+determination vectorized over all 16 code lengths on sublanes
+(T.81 F.2.2.3 DECODE, the dual of ``main/encoder.c:145-176``).
+
+Layout rules (all shaped around Mosaic's gather constraint —
+``take_along_axis`` along lanes needs full-shape indices, so every
+per-symbol gather runs against a [128, W] source with W small):
+
+* streams: [Sp, max_words] u32 big-endian bit streams, one segment per
+  sublane row (the host un-stuffs 0xFF00 and splits at RSTn markers —
+  byte fiddling, not FLOPs);
+* a [128, 64]-word VMEM window slides over each lane's stream (per-lane
+  word base; when any lane nears the edge, one full-row gather refills
+  every lane at its own position);
+* per-lane canonical tables: maxcode / (valptr - mincode) as [64, Sp]
+  (4 tables x 16 lengths on sublanes) and HUFFVAL byte-packed 4-per-word
+  as [Sp, 256] — so per-IMAGE Huffman tables come for free (each lane
+  carries its own) and the symbol lookup gathers a [128, 64] source;
+* decode state (bit position, DC predictors, window base) lives in
+  [1, 128] rows — one VPU register each.
+
+Block-synchronized iteration: all lanes decode block b together (a lane
+that hit its EOB idles until the slowest lane finishes), and the block
+chunk per grid step is a multiple of the MCU period, so the component /
+table choice for block b is Python-static — no per-lane table selection
+ever happens.  Restart streams with uniform segments (this framework's
+own output; ``restart_interval_mcu_rows`` always divides the MCU rows)
+are eligible; anything else falls back to the native host decoder.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LG = 128   # lanes per segment group
+_WNDW = 64  # sliding window words per lane (> worst-case block: 57)
+# blocks per grid step: a multiple of the MCU period (so table choice
+# is static) whose x64 out-lane count is 128-aligned; kept at one or two
+# MCUs because each block unrolls a full decode body in the kernel
+# (larger chunks balloon Mosaic compile time)
+_CHUNK = {6: 6, 4: 4, 3: 6}
+
+# MCU pattern per sampling: (dc_table_row, ac_table_row, component) per
+# block position; table rows index the stacked [4 x 16] canonical tables
+# (0 = luma DC, 1 = luma AC, 2 = chroma DC, 3 = chroma AC).
+_PATTERN = {
+    "420": [(0, 1, 0)] * 4 + [(2, 3, 1), (2, 3, 2)],
+    "422": [(0, 1, 0)] * 2 + [(2, 3, 1), (2, 3, 2)],
+    "444": [(0, 1, 0), (2, 3, 1), (2, 3, 2)],
+}
+
+
+def canonical_tables(bits: np.ndarray, huffval: np.ndarray):
+    """DHT (BITS, HUFFVAL) -> (maxcode [16], delta [16], hv [256]).
+
+    T.81 F.2.2.3: a length-l code c decodes iff c <= maxcode[l]; the
+    symbol is HUFFVAL[valptr[l] + c - mincode[l]] = hv[c + delta[l]].
+    Lengths with no codes keep maxcode -1 (never matches, codes are
+    non-negative).
+    """
+    maxcode = np.full(16, -1, np.int64)
+    delta = np.zeros(16, np.int64)
+    code = 0
+    k = 0
+    for l in range(1, 17):
+        n = int(bits[l])
+        if n:
+            maxcode[l - 1] = code + n - 1
+            delta[l - 1] = k - code
+        code = (code + n) << 1
+        k += n
+    hv = np.zeros(256, np.int64)
+    hv[:len(huffval)] = np.asarray(huffval, np.int64)
+    return maxcode, delta, hv
+
+
+def _sub_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _shr(x, s):
+    return jax.lax.shift_right_logical(x, s)
+
+
+def _select16(sel, arr16):
+    """Pick per-lane row ``sel`` [1, 128] of ``arr16`` [16, 128]."""
+    sub = _sub_iota(arr16.shape)
+    return jnp.sum(jnp.where(sub == sel, arr16, 0), axis=0, keepdims=True,
+                   dtype=jnp.int32)
+
+
+def _fetch32(wnd_ref, base_bits, bitpos):
+    """Aligned 32-bit big-endian peek at ``bitpos`` per lane.
+
+    wnd_ref: [128, _WNDW] window; base_bits: [1, 128] window origin in
+    bits (32-aligned); bitpos: [1, 128].  Returns peek32 [1, 128] with
+    bits [bitpos, bitpos+32) left-aligned.
+    """
+    rel = jnp.clip(_shr(bitpos - base_bits, jnp.int32(5)), 0, _WNDW - 2)
+    idx = rel.T + (_lane_iota((_LG, _WNDW)) & 1)  # lanes 0,1 -> w, w+1
+    got = jnp.take_along_axis(wnd_ref[:], idx, axis=1)
+    pair = got[:, 0:2].T                          # [2, 128]
+    w0, w1 = pair[0:1], pair[1:2]
+    s = bitpos & 31
+    return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
+
+
+def _decode_symbol(peek32, maxc, delt, hvp, tbl: int):
+    """One canonical Huffman decode step for every lane.
+
+    peek32 [1, 128]; maxc/delt [64, 128] stacked tables; hvp [128, 256]
+    byte-packed HUFFVAL (4 symbols/word, 64 words per table); ``tbl``
+    static table row.  Returns (sym, code length) [1, 128] each; lanes
+    whose bits match no code get length 100 (corrupt or padding —
+    callers mask on it).
+    """
+    peek16 = _shr(peek32, jnp.int32(16))
+    sub = _sub_iota((16, _LG))
+    sh = _shr(jnp.broadcast_to(peek16, (16, _LG)), 15 - sub)
+    fits = sh <= maxc[16 * tbl:16 * (tbl + 1)]
+    lsel = jnp.min(jnp.where(fits, sub, 99), axis=0, keepdims=True)
+    code = _select16(lsel, sh)
+    symidx = jnp.clip(
+        code + _select16(lsel, delt[16 * tbl:16 * (tbl + 1)]), 0, 255)
+    widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
+    word = jnp.take_along_axis(hvp[:, 64 * tbl:64 * (tbl + 1)],
+                               widx, axis=1)[:, 0:1].T
+    sym = _shr(word, 8 * (symidx & 3)) & 0xFF
+    return sym, lsel + 1
+
+
+def _extend(extra, size):
+    """T.81 F.2.2.1 EXTEND: ``size``-bit magnitude -> signed value."""
+    half = jnp.left_shift(1, jnp.clip(size - 1, 0, 31))
+    full = jnp.left_shift(1, jnp.clip(size, 0, 31)) - 1
+    return jnp.where((size > 0) & (extra < half), extra - full, extra)
+
+
+def _take_bits(peek32, off, n):
+    """Bits [off, off+n) of peek32 as an unsigned value ([1, 128])."""
+    v = _shr(peek32 << jnp.clip(off, 0, 31),
+             (32 - jnp.clip(n, 1, 31)) & 31)
+    return jnp.where(n == 0, 0, v)
+
+
+def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref, out_ref,
+               st_ref, wnd_ref, *, sampling: str, nblk_real: int,
+               chunk: int, max_words: int):
+    # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
+    # (bits, 32-aligned; -32*_WNDW forces the first refill)
+    period = len(_PATTERN[sampling])
+    c = pl.program_id(1)
+
+    maxc = maxc_ref[:]
+    delt = delt_ref[:]
+    hvp = hvp_ref[:]
+    nblk_l = nblk_ref[:]       # [1, 128] per-lane real block count
+
+    @pl.when(c == 0)
+    def _():
+        st_ref[:, :] = jnp.zeros_like(st_ref)
+        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
+
+    def ensure_window(bp):
+        """Refill every lane's window at its own word position when any
+        lane is within one symbol (32 bits + the 2-word fetch) of its
+        window edge.  One full-row gather refills all lanes at once;
+        typical refill cadence is ~60 consumed words (hundreds of
+        symbols), so the wide gather amortizes to noise."""
+        def refill():
+            # Mosaic's dynamic_gather is single-vreg (source <= 128
+            # lanes): walk the stream in 128-word chunks, gathering the
+            # in-range targets of each (max_words is 128-padded)
+            base_w = jnp.clip(_shr(bp, jnp.int32(5)), 0,
+                              max_words - _WNDW).T     # [128, 1]
+            idx = base_w + _lane_iota((_LG, 128))      # targets on [:64]
+            acc = jnp.zeros((_LG, 128), jnp.int32)
+            for k in range(0, max_words, 128):
+                src = streams_ref[:, k:k + 128]
+                got = jnp.take_along_axis(
+                    src, jnp.clip(idx - k, 0, 127), axis=1)
+                acc = jnp.where((idx >= k) & (idx < k + 128), got, acc)
+            wnd_ref[:, :] = acc[:, :_WNDW]
+            st_ref[4:5, :] = base_w.T * 32
+
+        need = jnp.max(bp - st_ref[4:5, :]) > 32 * (_WNDW - 3)
+        jax.lax.cond(need, refill, lambda: None)
+
+    for j in range(chunk):
+        dct, act_t, comp = _PATTERN[sampling][j % period]
+        blk_live = (c * chunk + j) < nblk_real     # scalar (static max)
+
+        def dec_block(j=j, dct=dct, act_t=act_t, comp=comp):
+            live_l = (c * chunk + j) < nblk_l      # per-lane (short tails)
+            bitpos = st_ref[0:1, :]
+            ensure_window(bitpos)
+            base_bits = st_ref[4:5, :]
+            # -- DC --
+            peek = _fetch32(wnd_ref, base_bits, bitpos)
+            sym, ln = _decode_symbol(peek, maxc, delt, hvp, dct)
+            size = sym & 15
+            ok = live_l & (ln < 17)
+            diff = _extend(_take_bits(peek, ln, size), size)
+            pred = st_ref[1 + comp:2 + comp, :]
+            dc = pred + jnp.where(ok, diff, 0)
+            st_ref[1 + comp:2 + comp, :] = dc
+            bitpos = bitpos + jnp.where(ok, ln + size, 0)
+
+            okb = jnp.broadcast_to(ok, (64, _LG))
+            acc0 = jnp.where(okb & (_sub_iota((64, _LG)) == 0),
+                             jnp.broadcast_to(dc, (64, _LG)), 0)
+
+            # -- AC: one symbol per iteration, all lanes in lockstep --
+            def cond(carry):
+                done, _, _, _ = carry
+                return jnp.logical_not(jnp.all(done))
+
+            def body(carry, act_t=act_t):
+                done, slot, bp, acc = carry
+                ensure_window(bp)
+                peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
+                sym, ln = _decode_symbol(peek, maxc, delt, hvp, act_t)
+                run = _shr(sym, jnp.int32(4))
+                size = sym & 15
+                bad = ln >= 17
+                eob = (sym == 0) & ~bad
+                zrl = (sym == 0xF0) & ~bad
+                coef = _extend(_take_bits(peek, ln, size), size)
+                live = ~done & ~bad
+                bp = bp + jnp.where(live, ln + size, 0)
+                pos = slot + run
+                wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
+                acc = acc + jnp.where(
+                    jnp.broadcast_to(wr, (64, _LG))
+                    & (_sub_iota((64, _LG))
+                       == jnp.broadcast_to(pos, (64, _LG))),
+                    jnp.broadcast_to(coef, (64, _LG)), 0)
+                slot = jnp.where(live,
+                                 jnp.where(zrl, slot + 16, pos + 1),
+                                 slot)
+                done = done | ~live | eob | (slot > 63)
+                return done, slot, bp, acc
+
+            carry = (~ok, jnp.ones((1, _LG), jnp.int32), bitpos, acc0)
+            # refill inside the loop is not needed: ensure_window above
+            # guarantees a full block's worst case fits the window
+            done, slot, bitpos, acc = jax.lax.while_loop(cond, body, carry)
+            st_ref[0:1, :] = bitpos
+            return acc
+
+        acc64 = jax.lax.cond(blk_live, dec_block,
+                             lambda: jnp.zeros((64, _LG), jnp.int32))
+        out_ref[:, j * 64:(j + 1) * 64] = acc64.T
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sampling", "nblk_seg", "max_words",
+                                    "interpret"))
+def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
+                    nblk_seg: int, max_words: int,
+                    interpret: bool = False):
+    """[Sp, max_words] u32 segment streams -> zz [Sp, nblk_p, 64] int32.
+
+    Sp must be a multiple of 128; ``nblk_lane`` [1, Sp] int32 holds each
+    segment's REAL block count (0 for padding lanes, shorter counts for
+    a stream's final partial segment) — blocks past it emit zeros and
+    consume no bits.  ``nblk_seg`` is the static maximum (the uniform
+    segment length).  Block order is the interleaved MCU emission order;
+    DC terms are the cumulative (un-diffed) values; slots are in zigzag
+    order — exactly what ``pipelines.decode.reconstruct`` consumes after
+    the MCU-order inverse.
+    """
+    Sp = streams.shape[0]
+    period = len(_PATTERN[sampling])
+    chunk = _CHUNK[period]
+    nblk_p = -(-nblk_seg // chunk) * chunk
+    kernel = functools.partial(
+        _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
+        max_words=max_words)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Sp, nblk_p * 64), jnp.int32),
+        grid=(Sp // _LG, nblk_p // chunk),
+        in_specs=[
+            pl.BlockSpec((_LG, max_words), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LG, 256), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_LG, chunk * 64), lambda g, c: (g, c),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
+                        pltpu.VMEM((_LG, _WNDW), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane)
+    return out.reshape(Sp, nblk_p, 64)
+
+
+# -- host-side preparation -------------------------------------------------
+
+def parse_scan_structure(data: bytes):
+    """Light marker walk (no entropy decode) for device-decode routing.
+
+    Returns None unless the stream is a single-scan BASELINE INTERLEAVED
+    3-component image with a restart interval and Cb/Cr sharing Huffman
+    and quant tables (this framework's standard output; anything else
+    takes the native host decoder).  Otherwise returns a dict with the
+    geometry, per-table DHT specs, quantizers (raster order), and the
+    entropy byte range.
+    """
+    from ..core import tables as T
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dht: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, qid)
+    width = height = 0
+    ri = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9,):
+            break
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4:
+                    return None  # 16-bit DQT
+                zzq = np.frombuffer(seg[p + 1:p + 65],
+                                    np.uint8).astype(np.int32)
+                q = np.zeros(64, np.int32)
+                q[T.SCAN_ORDER] = zzq
+                quant[seg[p] & 15] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = np.zeros(17, np.int32)
+                bits[1:] = np.frombuffer(seg[p + 1:p + 17], np.uint8)
+                n = int(bits.sum())
+                vals = np.frombuffer(seg[p + 17:p + 17 + n], np.uint8)
+                dht[(tc, th)] = (bits, vals.astype(np.int32))
+                p += 17 + n
+        elif marker == 0xC0:
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                      seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                     for c in range(seg[5])]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None  # progressive / non-baseline
+        elif marker == 0xDD:
+            ri = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:
+            ns = seg[0]
+            if ns != 3 or len(comps) != 3:
+                return None
+            tabs = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4,
+                                     seg[2 + 2 * c] & 15)
+                    for c in range(ns)}
+            ent_start = pos + seg_len
+            scan = (tabs, ent_start)
+            break
+        pos += seg_len
+    if scan is None or not width or ri == 0:
+        return None
+    tabs, ent_start = scan
+    # entropy range: forward scan to the first non-RST, non-stuffing marker
+    b = np.frombuffer(data, np.uint8)
+    cand = np.where(b[ent_start:-1] == 0xFF)[0] + ent_start
+    nxt = b[cand + 1]
+    stop = cand[(nxt != 0) & (nxt != 0xFF) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    ent_end = int(stop[0]) if len(stop) else len(data)
+    return {
+        "width": width, "height": height, "comps": comps, "quant": quant,
+        "dht": dht, "tabs": tabs, "restart_interval": ri,
+        "entropy": data[ent_start:ent_end],
+    }
+
+
+def unstuff_segments(entropy: bytes, n_expected: int | None = None):
+    """Entropy-coded bytes of one scan (RSTn-delimited) -> list of
+    un-stuffed per-segment byte arrays."""
+    b = np.frombuffer(entropy, np.uint8)
+    if len(b) < 2:
+        return [b]
+    is_ff = b[:-1] == 0xFF
+    nxt = b[1:]
+    rst = np.where(is_ff & (nxt >= 0xD0) & (nxt <= 0xD7))[0]
+    starts = np.concatenate([[0], rst + 2])
+    ends = np.concatenate([rst, [len(b)]])
+    segs = []
+    for s, e in zip(starts, ends):
+        seg = b[s:e]
+        stuffed = np.where((seg[:-1] == 0xFF) & (seg[1:] == 0x00))[0]
+        segs.append(np.delete(seg, stuffed + 1) if len(stuffed) else seg)
+    if n_expected is not None and len(segs) != n_expected:
+        raise ValueError(
+            f"expected {n_expected} segments, found {len(segs)}")
+    return segs
+
+
+def pack_streams(segs: list[np.ndarray]):
+    """Per-segment raw bytes -> ([Sp, max_words] int32 big-endian words,
+    active [1, Sp] int32, max_words)."""
+    S = len(segs)
+    Sp = -(-S // _LG) * _LG
+    max_bytes = max(len(s) for s in segs)
+    # 128-padded so the refill's chunked gather sees whole vregs
+    max_words = -(-max(-(-max_bytes // 4) + 2, _WNDW + 2) // 128) * 128
+    buf = np.zeros((Sp, max_words * 4), np.uint8)
+    for i, s in enumerate(segs):
+        buf[i, :len(s)] = s
+    words = buf.view(">u4").astype(np.int64).astype(np.uint32)
+    active = np.zeros((1, Sp), np.int32)
+    active[0, :S] = 1
+    return words.view(np.int32), active, max_words
+
+
+def lane_tables(tables_per_seg):
+    """Per-segment table specs -> stacked per-lane canonical arrays.
+
+    ``tables_per_seg``: one entry per segment, each a 4-tuple of
+    (bits [17], huffval) in table-row order (luma_dc, luma_ac,
+    chroma_dc, chroma_ac); entries may repeat objects for shared
+    tables.  Returns (maxc [64, Sp] i32, delt [64, Sp] i32,
+    hvp [Sp, 256] i32 byte-packed HUFFVAL).
+    """
+    S = len(tables_per_seg)
+    Sp = -(-S // _LG) * _LG
+    maxc = np.full((64, Sp), -1, np.int64)
+    delt = np.zeros((64, Sp), np.int64)
+    hvb = np.zeros((Sp, 1024), np.int64)
+    cache: dict = {}
+    for s, quad in enumerate(tables_per_seg):
+        for t, (bits, huffval) in enumerate(quad):
+            key = (bytes(np.asarray(bits, np.int64).astype(np.uint8)),
+                   bytes(np.asarray(huffval, np.int64).astype(np.uint8)))
+            if key not in cache:
+                cache[key] = canonical_tables(np.asarray(bits),
+                                              np.asarray(huffval))
+            mc, dl, hvv = cache[key]
+            maxc[16 * t:16 * (t + 1), s] = mc
+            delt[16 * t:16 * (t + 1), s] = dl
+            hvb[s, 256 * t:256 * (t + 1)] = hvv
+    # byte-pack: word w of table t = hv[4w] | hv[4w+1]<<8 | ...
+    hvp = (hvb.reshape(Sp, 256, 4)
+           * (1 << (8 * np.arange(4, dtype=np.int64)))).sum(-1)
+    return (maxc.astype(np.int32), delt.astype(np.int32),
+            hvp.astype(np.uint32).view(np.int32).copy())

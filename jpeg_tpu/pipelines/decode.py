@@ -80,6 +80,53 @@ def reconstruct(y_zz, cb_zz, cr_zz, luma_q, chroma_q,
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
+def _plane_b(zz, q, ph: int, pw: int):
+    """Batched ``_plane``: zz [B, nblk, 64], q [B, 64] (raster order)."""
+    m = jnp.asarray(T.dct_flat_basis()[0], jnp.float32)
+    qz = q[:, jnp.asarray(T.SCAN_ORDER)].astype(jnp.float32)
+    deq = zz.astype(jnp.float32) * qz[:, None, :]
+    x = jnp.matmul(deq.reshape(-1, 64), m,
+                   preferred_element_type=jnp.float32) + 128.0
+    blocks = x.reshape(zz.shape[0], ph // 8, pw // 8, 8, 8)
+    return blocks.transpose(0, 1, 3, 2, 4).reshape(zz.shape[0], ph, pw)
+
+
+def _up2h_b(p):
+    """``_up2h`` on the LAST axis of a [..., H, W] stack."""
+    left = jnp.concatenate([p[..., :1], p[..., :-1]], axis=-1)
+    right = jnp.concatenate([p[..., 1:], p[..., -1:]], axis=-1)
+    a = 0.75 * p + 0.25 * left
+    b = 0.75 * p + 0.25 * right
+    return jnp.stack([a, b], axis=-1).reshape(*p.shape[:-1],
+                                              p.shape[-1] * 2)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "samp"))
+def reconstruct_batch(y_zz, cb_zz, cr_zz, luma_q, chroma_q,
+                      height: int, width: int, samp: str = "420"):
+    """Batched ``reconstruct``: coefficient stacks [B, nblk, 64] with
+    PER-IMAGE quantizers [B, 64] -> [B, H, W, 3] uint8 RGB.  Same
+    numerics as ``reconstruct`` (same op sequence, batched shapes)."""
+    ch_h = height // 2 if samp == "420" else height
+    ch_w = width // 2 if samp in ("420", "422") else width
+    y = jnp.clip(jnp.round(_plane_b(y_zz, luma_q, height, width)), 0, 255)
+    cb = jnp.clip(jnp.round(_plane_b(cb_zz, chroma_q, ch_h, ch_w)), 0, 255)
+    cr = jnp.clip(jnp.round(_plane_b(cr_zz, chroma_q, ch_h, ch_w)), 0, 255)
+    if samp == "420":
+        up = lambda p: _up2h_b(_up2h_b(p.swapaxes(-1, -2)).swapaxes(-1, -2))
+    elif samp == "422":
+        up = _up2h_b
+    else:
+        up = lambda p: p
+    cb = up(cb) - 128.0
+    cr = up(cr) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 # Backwards-compatible alias (round-1 public name).
 @functools.partial(jax.jit, static_argnames=("height", "width"))
 def reconstruct_420(y_zz, cb_zz, cr_zz, luma_q, chroma_q,
@@ -94,7 +141,105 @@ def reconstruct_gray(y_zz, luma_q, height: int, width: int):
     return y.astype(jnp.uint8)
 
 
-def decode_jpeg(data: bytes):
+def _parse_device_eligible(data: bytes):
+    """Marker parse + eligibility check for the device entropy kernel.
+
+    Eligible: baseline interleaved 3-component scan with restart
+    markers (a short final segment is fine), Cb/Cr sharing Huffman and
+    quant tables (``kernels.huffdec``).  Returns None for ineligible
+    streams, else a dict with the per-segment bytes, the Huffman table
+    quad, per-segment block counts, and the geometry.
+    """
+    from ..kernels import huffdec as hd
+    st = hd.parse_scan_structure(data)
+    if st is None:
+        return None
+    comps = st["comps"]
+    samplings = tuple((h, v) for _, h, v, _ in comps)
+    samp = {((2, 2), (1, 1), (1, 1)): "420",
+            ((2, 1), (1, 1), (1, 1)): "422",
+            ((1, 1), (1, 1), (1, 1)): "444"}.get(samplings)
+    if samp is None:
+        return None
+    (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
+    if qid1 != qid2 or st["tabs"][cid1] != st["tabs"][cid2]:
+        return None
+    mcu_h = 16 if samp == "420" else 8
+    mcu_w = 8 if samp == "444" else 16
+    width, height = st["width"], st["height"]
+    mx, my = -(-width // mcu_w), -(-height // mcu_h)
+    mcus = mx * my
+    ri = st["restart_interval"]
+    S = -(-mcus // ri)
+    try:  # final segment may be short (foreign streams; ours keep ri|mcus)
+        segs = hd.unstuff_segments(st["entropy"], n_expected=S)
+    except ValueError:
+        return None
+    dht = st["dht"]
+    dc0, ac0 = st["tabs"][cid0]
+    dc1, ac1 = st["tabs"][cid1]
+    try:
+        quad = (dht[(0, dc0)], dht[(1, ac0)], dht[(0, dc1)],
+                dht[(1, ac1)])
+    except KeyError:
+        return None
+    period = len(hd._PATTERN[samp])
+    nblk = [ri * period] * (S - 1) + [(mcus - (S - 1) * ri) * period]
+    return dict(samp=samp, segs=segs, quad=quad, nblk=nblk, ri=ri,
+                mx=mx, my=my, mcus=mcus, period=period,
+                ql=st["quant"][qid0], qc=st["quant"][qid1],
+                dims=(my * mcu_h, mx * mcu_w), true_dims=(height, width))
+
+
+def _em_to_planes(em, samp: str, mx: int, my: int):
+    """Emission-order blocks [mcus, period, 64] -> per-plane raster
+    block arrays (pure reshape/transpose, the inverse of
+    ``pipelines.fast.mcu_reorder``)."""
+    mcus = mx * my
+    if samp == "420":
+        y = em[:, :4].reshape(my, mx, 2, 2, 64).transpose(0, 2, 1, 3, 4)
+        y = y.reshape(4 * mcus, 64)
+        cb, cr = em[:, 4], em[:, 5]
+    elif samp == "422":
+        y = em[:, :2].reshape(2 * mcus, 64)
+        cb, cr = em[:, 2], em[:, 3]
+    else:
+        y, cb, cr = em[:, 0], em[:, 1], em[:, 2]
+    return y, cb, cr
+
+
+def device_entropy_zz(data: bytes, interpret: bool = False):
+    """Full device entropy decode of an eligible restart stream.
+
+    See ``_parse_device_eligible`` for eligibility.  Returns
+    (y_zz, cb_zz, cr_zz device arrays in raster block order, luma_q,
+    chroma_q, padded dims, true dims, samp) or None when the stream
+    should take the host path instead.
+    """
+    from ..kernels import huffdec as hd
+    info = _parse_device_eligible(data)
+    if info is None:
+        return None
+    segs, samp, ri = info["segs"], info["samp"], info["ri"]
+    S = len(segs)
+    maxc, delt, hvp = hd.lane_tables([info["quad"]] * S)
+    streams, active, max_words = hd.pack_streams(segs)
+    nblk_seg = ri * info["period"]
+    nblk_lane = np.zeros_like(active)
+    nblk_lane[0, :S] = info["nblk"]
+    out = hd.decode_segments(
+        jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+        jnp.asarray(hvp), jnp.asarray(nblk_lane), samp, nblk_seg,
+        max_words, interpret=interpret)
+    em = out[:S, :nblk_seg].reshape(S * ri, info["period"], 64)
+    y, cb, cr = _em_to_planes(em[:info["mcus"]], samp, info["mx"],
+                              info["my"])
+    return (y, cb, cr, jnp.asarray(info["ql"]), jnp.asarray(info["qc"]),
+            info["dims"], info["true_dims"], samp)
+
+
+def decode_jpeg(data: bytes, entropy_engine: str = "auto",
+                interpret: bool = False):
     """Baseline JFIF bytes -> [H, W, 3] uint8 RGB (or [H, W] grayscale),
     with the numeric reconstruction on device.
 
@@ -102,7 +247,31 @@ def decode_jpeg(data: bytes):
     4:2:0/4:2:2/4:4:4 or single-component, interleaved or 3-scan, with or
     without restarts.  Non-MCU-padded foreign streams and uncommon
     sampling factors fall back to the host reconstruction.
+
+    ``entropy_engine``: "auto" runs the Huffman bit-walk on DEVICE
+    (``kernels.huffdec``: 128 restart segments decode in lockstep on the
+    VPU lanes) for eligible restart streams and falls back to the native
+    host decoder otherwise; "host" forces the host bit-walk; "device"
+    raises if the stream is ineligible.
     """
+    if entropy_engine not in ("auto", "host", "device"):
+        raise ValueError(f"unknown entropy_engine {entropy_engine!r}")
+    if entropy_engine == "auto" and not interpret \
+            and jax.default_backend() != "tpu":
+        # the Mosaic kernel needs a real TPU (or interpret mode); the
+        # threaded native bit-walk is the right host-platform engine
+        entropy_engine = "host"
+    if entropy_engine != "host":
+        dev = device_entropy_zz(data, interpret=interpret)
+        if dev is not None:
+            y, cb, cr, ql, qc, (ph, pw), (height, width), samp = dev
+            out = np.asarray(reconstruct(y, cb, cr, ql, qc, ph, pw,
+                                         samp=samp))
+            return out[:height, :width]
+        if entropy_engine == "device":
+            raise ValueError("stream not eligible for device entropy "
+                             "decode (needs a baseline interleaved "
+                             "3-component scan with restart markers)")
     comps, coeffs, quant, width, height = parse_coefficients(data)
 
     def host():
@@ -144,3 +313,77 @@ def decode_jpeg(data: bytes):
         jnp.asarray(quant[cb.quant_id]),
         ph, pw, samp=samp))
     return out[:height, :width]
+
+
+def decode_jpeg_batch(datas, entropy_engine: str = "auto",
+                      interpret: bool = False):
+    """Decode a batch of JPEGs with shared device kernel launches.
+
+    The throughput shape for the device entropy decoder
+    (``kernels.huffdec``): restart segments from EVERY image in the
+    batch fill the 128 VPU lanes together (each lane carries its own
+    Huffman tables and block count), so one ``decode_segments`` launch
+    per sampling mode replaces per-image launches, and images sharing a
+    geometry reconstruct in one batched MXU call (``reconstruct_batch``).
+    Ineligible streams (no restarts, grayscale, progressive, ...) fall
+    back to per-image host-entropy decode.  Returns a list of [H, W, 3]
+    uint8 arrays in input order.
+    """
+    if entropy_engine not in ("auto", "host", "device"):
+        raise ValueError(f"unknown entropy_engine {entropy_engine!r}")
+    datas = list(datas)
+    results: list = [None] * len(datas)
+    use_dev = entropy_engine != "host" and (
+        interpret or jax.default_backend() == "tpu")
+    groups: dict = {}
+    for i, d in enumerate(datas):
+        info = _parse_device_eligible(d) if use_dev else None
+        if info is None:
+            if entropy_engine == "device":
+                raise ValueError(f"stream {i} not eligible for device "
+                                 "entropy decode")
+            results[i] = decode_jpeg(d, entropy_engine="host")
+        else:
+            groups.setdefault(info["samp"], []).append((i, info))
+
+    from ..kernels import huffdec as hd
+    for samp, items in groups.items():
+        # one kernel launch: all images' segments side by side on lanes
+        nblk_seg = max(inf["ri"] * inf["period"] for _, inf in items)
+        segs, quads, nblks = [], [], []
+        for _, inf in items:
+            segs.extend(inf["segs"])
+            quads.extend([inf["quad"]] * len(inf["segs"]))
+            nblks.extend(inf["nblk"])
+        streams, active, max_words = hd.pack_streams(segs)
+        maxc, delt, hvp = hd.lane_tables(quads)
+        nblk_lane = np.zeros_like(active)
+        nblk_lane[0, :len(nblks)] = nblks
+        out = hd.decode_segments(
+            jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+            jnp.asarray(hvp), jnp.asarray(nblk_lane), samp, nblk_seg,
+            max_words, interpret=interpret)
+
+        # split lanes back per image; batch same-geometry reconstructions
+        geo: dict = {}
+        off = 0
+        for i, inf in items:
+            S = len(inf["segs"])
+            em = out[off:off + S, :inf["ri"] * inf["period"]]
+            em = em.reshape(S * inf["ri"], inf["period"], 64)
+            off += S
+            y, cb, cr = _em_to_planes(em[:inf["mcus"]], samp,
+                                      inf["mx"], inf["my"])
+            geo.setdefault(inf["dims"], []).append((i, inf, y, cb, cr))
+        for (ph, pw), entries in geo.items():
+            ys = jnp.stack([e[2] for e in entries])
+            cbs = jnp.stack([e[3] for e in entries])
+            crs = jnp.stack([e[4] for e in entries])
+            qls = jnp.stack([jnp.asarray(e[1]["ql"]) for e in entries])
+            qcs = jnp.stack([jnp.asarray(e[1]["qc"]) for e in entries])
+            imgs = np.asarray(reconstruct_batch(ys, cbs, crs, qls, qcs,
+                                                ph, pw, samp=samp))
+            for img, (i, inf, *_rest) in zip(imgs, entries):
+                h, w = inf["true_dims"]
+                results[i] = img[:h, :w]
+    return results

@@ -1,0 +1,186 @@
+"""Device-parallel Huffman decode (kernels.huffdec) vs the host decoders.
+
+The kernel's zigzag coefficient output must equal the golden decoder's
+parse exactly (integer-exact oracle); decode_jpeg's device-entropy path
+must reconstruct within the usual device/host reconstruction tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeg_tpu.core.types import EncodeConfig
+from jpeg_tpu.golden.decoder import parse_coefficients
+from jpeg_tpu.kernels import huffdec as hd
+from jpeg_tpu.pipelines.decode import decode_jpeg, device_entropy_zz
+from jpeg_tpu.pipelines.encode import JpegEncoder
+
+
+def _img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[:, :w // 2, 0] = ((yy * 2 + xx) % 256).astype(np.uint8)[:, :w // 2]
+    return img
+
+
+def _emission_oracle(data, samp):
+    """Golden-decoder coefficients, re-interleaved to emission order."""
+    comps, coeffs, quant, w, h = parse_coefficients(bytes(data))
+    mcu_w = 8 if samp == "444" else 16
+    mcu_h = 16 if samp == "420" else 8
+    mx, my = -(-w // mcu_w), -(-h // mcu_h)
+    mcus = mx * my
+    period = len(hd._PATTERN[samp])
+    oracle = np.zeros((mcus * period, 64), np.int32)
+    off = 0
+    for comp in comps:
+        hv = comp.h_samp * comp.v_samp
+        sel = (np.arange(mcus)[:, None] * period
+               + off + np.arange(hv)).reshape(-1)
+        r = np.arange(my)[:, None, None, None]
+        c = np.arange(mx)[None, :, None, None]
+        dv = np.arange(comp.v_samp)[None, None, :, None]
+        dh = np.arange(comp.h_samp)[None, None, None, :]
+        bi = ((comp.v_samp * r + dv) * comp.bw
+              + comp.h_samp * c + dh).reshape(-1)
+        oracle[sel] = coeffs[comp.comp_id][bi]
+        off += hv
+    return oracle, mcus
+
+
+@pytest.mark.parametrize("samp,h,w,ri,huff", [
+    ("420", 128, 128, 2, "fixed"),
+    ("420", 128, 128, 1, "dynamic"),
+    ("422", 64, 96, 2, "fixed"),
+    ("444", 64, 64, 4, "dynamic"),
+    ("420", 160, 96, 5, "fixed"),   # non-mod-128 geometry, 2 segments
+])
+def test_kernel_matches_golden_coefficients(samp, h, w, ri, huff):
+    img = _img(h, w, seed=h + w)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman=huff,
+                       restart_interval_mcu_rows=ri, engine="xla",
+                       subsampling=samp)
+    data = bytes(JpegEncoder(cfg).encode(img))
+    st = hd.parse_scan_structure(data)
+    assert st is not None
+    oracle, mcus = _emission_oracle(data, samp)
+    ri_mcus = st["restart_interval"]
+    S = mcus // ri_mcus
+    segs = hd.unstuff_segments(st["entropy"], n_expected=S)
+    streams, active, max_words = hd.pack_streams(segs)
+    dht = st["tabs"]
+    c0, c1 = st["comps"][0][0], st["comps"][1][0]
+    quad = (st["dht"][(0, dht[c0][0])], st["dht"][(1, dht[c0][1])],
+            st["dht"][(0, dht[c1][0])], st["dht"][(1, dht[c1][1])])
+    maxc, delt, hvp = hd.lane_tables([quad] * S)
+    period = len(hd._PATTERN[samp])
+    nblk_seg = ri_mcus * period
+    out = hd.decode_segments(
+        jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+        jnp.asarray(hvp), jnp.asarray(active * nblk_seg), samp, nblk_seg,
+        max_words, interpret=True)
+    emission = np.asarray(out)[:S, :nblk_seg].reshape(-1, 64)
+    assert np.array_equal(emission, oracle)
+
+
+@pytest.mark.parametrize("samp", ["420", "422", "444"])
+def test_decode_jpeg_device_entropy_roundtrip(samp):
+    img = _img(96, 96, seed=11)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2, engine="xla",
+                       subsampling=samp)
+    data = bytes(JpegEncoder(cfg).encode(img))
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert got.shape == ref.shape == img.shape
+    # both run the same device reconstruction from identical coefficients
+    assert np.array_equal(got, ref)
+
+
+def test_decode_jpeg_device_rejects_ineligible():
+    img = _img(64, 64, seed=3)
+    data = bytes(JpegEncoder(EncodeConfig()).encode(img))  # 3-scan layout
+    with pytest.raises(ValueError, match="not eligible"):
+        decode_jpeg(data, entropy_engine="device", interpret=True)
+    # auto falls back silently
+    out = decode_jpeg(data, entropy_engine="auto", interpret=True)
+    assert out.shape == img.shape
+
+
+def test_device_entropy_foreign_partial_segment():
+    """A Pillow/libjpeg stream whose restart interval does not divide the
+    MCU count (short final segment) must decode on device, matching both
+    our host decoder and Pillow's own pixels exactly."""
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (80, 96, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    # 96x80 at 4:2:0 -> 6x5 = 30 MCUs; 2 MCU rows per restart -> ri=12:
+    # segments of 12, 12, 6 blocks' worth of MCUs
+    Image.fromarray(img, "RGB").save(
+        buf, "JPEG", quality=90, subsampling=2, restart_marker_rows=2)
+    data = buf.getvalue()
+    st = hd.parse_scan_structure(data)
+    assert st is not None and st["restart_interval"] == 12
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert np.array_equal(got, ref)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    # same bitstream, independent IDCT implementations: near-identical
+    assert np.mean(np.abs(got.astype(int) - pil.astype(int))) < 1.5
+
+
+def test_device_entropy_many_segments():
+    """More segments than one lane group (Sp > 128) spills into a second
+    grid row; cumulative DC chains must reset per segment."""
+    img = _img(2064, 32, seed=7)  # 129 MCU rows x 2 -> 129 segments
+    h, w = img.shape[:2]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=1, engine="xla")
+    data = bytes(JpegEncoder(cfg).encode(img))
+    st = hd.parse_scan_structure(data)
+    mcus = (h // 16) * (w // 16)
+    S = mcus // st["restart_interval"]
+    assert S > 128
+    oracle, _ = _emission_oracle(data, "420")
+    dev = device_entropy_zz(data, interpret=True)
+    assert dev is not None
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert np.array_equal(got, ref)
+
+
+def test_decode_jpeg_batch_mixed():
+    """Mixed sizes, samplings, table modes, a foreign Pillow stream, and
+    an ineligible 3-scan stream in one batch: per-image host-engine
+    results must be reproduced exactly."""
+    import io
+    from PIL import Image
+    from jpeg_tpu.pipelines.decode import decode_jpeg_batch
+
+    datas = []
+    for samp, hw, ri, huff in [("420", (96, 96), 2, "fixed"),
+                               ("420", (96, 96), 3, "dynamic"),
+                               ("422", (64, 96), 2, "fixed"),
+                               ("444", (64, 64), 4, "dynamic"),
+                               ("420", (128, 64), 1, "fixed")]:
+        cfg = EncodeConfig(scan_layout="interleaved", huffman=huff,
+                           restart_interval_mcu_rows=ri, engine="xla",
+                           subsampling=samp)
+        datas.append(bytes(JpegEncoder(cfg).encode(
+            _img(*hw, seed=sum(hw)))))
+    buf = io.BytesIO()
+    Image.fromarray(_img(80, 96, seed=5), "RGB").save(
+        buf, "JPEG", quality=85, subsampling=2, restart_marker_rows=2)
+    datas.append(buf.getvalue())
+    datas.append(bytes(JpegEncoder(EncodeConfig()).encode(
+        _img(64, 64, seed=9))))  # 3-scan: host fallback inside the batch
+
+    got = decode_jpeg_batch(datas, interpret=True)
+    for g, d in zip(got, datas):
+        assert np.array_equal(g, decode_jpeg(d, entropy_engine="host"))
+
+    with pytest.raises(ValueError, match="stream 6"):
+        decode_jpeg_batch(datas, entropy_engine="device", interpret=True)
