@@ -461,11 +461,19 @@ def _pad_slab(xt, sc: int, sc_p: int):
 
 def _place_slab(kf, xt, g, sc, sc_p, cbp, nblk_real, sampling, m, bias128,
                 ql128, qc128, lut, out_ref, tot_ref, lw_ref, carry_ref,
-                prev_ref):
+                prev_ref, stop_after: str = "full"):
     """Symbolize + attach + place one slab's xt, in cbp-wide chunks.
 
     ``sc`` is the slab's real block count; ``sc_p`` the 128-aligned
-    padded count (phantom tail blocks emit no bits)."""
+    padded count (phantom tail blocks emit no bits).  ``stop_after`` is
+    profiling-only (see ``fused._place_body``)."""
+    def _consume(x):
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :] + jnp.full(
+                (1, 128),
+                jnp.sum(x.astype(jnp.float32)).astype(jnp.int32),
+                jnp.int32))
+
     bias_t = _tile_lanes(bias128, cbp)
     ql_t = _tile_lanes(ql128, cbp)
     qc_t = _tile_lanes(qc128, cbp)
@@ -480,13 +488,20 @@ def _place_slab(kf, xt, g, sc, sc_p, cbp, nblk_real, sampling, m, bias128,
             base_blk=g * sc + lo, real_nblk=nblk_real,
             period=PERIOD[sampling], ypm=YPM[sampling],
             pad_from=pad_from if pad_from < cbp else None)
+        if stop_after == "sym":
+            _consume(idx + extra + extra_n)
+            continue
         value, nbits = kf._attach_chunk(lut, idx, extra, extra_n)
-        kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+        if stop_after == "attach":
+            _consume(value + nbits)
+            continue
+        kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref,
+                       stop_after=stop_after)
 
 
 def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
                        nblk_real: int, sc: int, sc_p: int, cbp: int,
-                       nconst: int, sps: int):
+                       nconst: int, sps: int, stop_after: str = "full"):
     """ONE kernel from raw u8 pixels to packed segment bitstreams.
 
     Grid (image, 128-row slab): the front relayout (deinterleave + color
@@ -513,9 +528,17 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
     xt = _front_slab(strip_cs, in_ref, sampling, bf16)   # [64, sc]
+    if stop_after == "front":
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :] + jnp.full(
+                (1, 128),
+                jnp.sum(xt.astype(jnp.float32)).astype(jnp.int32),
+                jnp.int32))
+        return
     _place_slab(kf, xt, gs, sc, sc_p, cbp, nblk_real, sampling, m_ref[:],
                 bias_ref[:], ql_ref[:], qc_ref[:], lut_ref[0], out_ref,
-                tot_ref, lw_ref, carry_ref, prev_ref)
+                tot_ref, lw_ref, carry_ref, prev_ref,
+                stop_after=stop_after)
 
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
@@ -566,10 +589,12 @@ def _bcast128(v):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "seg_rows",
-                                    "interpret", "real_height", "n_segs"))
+                                    "interpret", "real_height", "n_segs",
+                                    "stop_after"))
 def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, seg_rows: int, interpret: bool = False,
-                real_height: int | None = None, n_segs: int = 1):
+                real_height: int | None = None, n_segs: int = 1,
+                stop_after: str = "full"):
     """Fused u8 batch -> (words [B*n_segs, seg_rows*128] u32,
     total_bits [B*n_segs]).
 
@@ -595,7 +620,7 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     kernel = functools.partial(
         _mega_place_kernel, meta, sampling=sampling,
         bf16=not interpret, nblk_real=nblk_real, sc=sc, sc_p=sc_p,
-        cbp=cbp, nconst=len(consts), sps=sps)
+        cbp=cbp, nconst=len(consts), sps=sps, stop_after=stop_after)
     S = B * n_segs
     out, tot = pl.pallas_call(
         kernel,

@@ -314,7 +314,7 @@ def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
 def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
                       out_ref, tot_ref, lw_ref, carry_ref, prev_ref,
                       *, real_nblk: int, period: int, ypm: int,
-                      chunk: int):
+                      chunk: int, stop_after: str = "full"):
     """The whole fixed-table encode numeric+entropy path as ONE kernel.
 
     Grid (S, chunks_per_seg): each step runs MXU DCT + quantize + zigzag
@@ -340,8 +340,21 @@ def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
         m_ref, bias_ref, ql_ref, qc_ref, xt_ref, prev_ref,
         first=c == 0, base_blk=c * (chunk * _TB),
         real_nblk=real_nblk, period=period, ypm=ypm)
+    if stop_after == "sym":
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :] + jnp.full(
+                (1, 128), jnp.sum(idx + extra + extra_n, dtype=jnp.int32),
+                jnp.int32))
+        return
     value, nbits = _attach_chunk(lut_ref[0], idx, extra, extra_n)
-    _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+    if stop_after == "attach":
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :] + jnp.full(
+                (1, 128), jnp.sum(value + nbits, dtype=jnp.int32),
+                jnp.int32))
+        return
+    _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref,
+                stop_after=stop_after)
 
 
 def _dct_attach_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
@@ -430,16 +443,17 @@ def _pick_chunk(nblk_seg: int) -> int:
 
 def _place_from_xt(luts, segs_per_group: int, m, bias, ql, qc, xt, S: int,
                    period: int, ypm: int, seg_rows: int, real_nblk: int,
-                   cb: int, interpret: bool):
+                   cb: int, interpret: bool, stop_after: str = "full"):
     """One-kernel DCT->place launch from a pre-relayouted [64, nblk] xt
-    (the Pallas front's output, or ``_dct_front``'s)."""
+    (the Pallas front's output, or ``_dct_front``'s).  ``stop_after``
+    is profiling-only (see ``_place_body``)."""
     seg_rows_p = (seg_rows + 7) & ~7
     nblk = xt.shape[1]
     chunks_per_seg = (nblk // S) // cb
     cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
     kernel = functools.partial(
         _dct_place_kernel, real_nblk=real_nblk, period=period,
-        ypm=ypm, chunk=cb // _TB)
+        ypm=ypm, chunk=cb // _TB, stop_after=stop_after)
     out, tot = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
@@ -815,7 +829,8 @@ def _cumsum_lanes(x):
     return x
 
 
-def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
+def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref,
+                stop_after: str = "full"):
     """Place a chunk's attached fields into the resident segment buffer.
 
     Block bit offsets are derived in-kernel — a cross-lane cumsum of
@@ -825,7 +840,18 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
     accumulation straight into ``out_ref`` (the whole segment's words
     buffer, VMEM-resident across the inner grid dimension).  No XLA
     prefix-sum barrier, no scatter.
+
+    ``stop_after`` is a PROFILING-ONLY knob (bench/place_profile.py):
+    "pack" / "shift" / "rotate" / "mask" truncate the body right after
+    that phase, consuming the phase's output into ``out_ref`` row 0 so
+    Mosaic cannot dead-code it.  Output is garbage for any value but
+    "full" — never set it in production paths.
     """
+    def _consume(x):
+        # fold the intermediate into out row 0 (anti-DCE)
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :]
+            + jnp.full((1, 128), jnp.sum(x, dtype=jnp.int32), jnp.int32))
     shr = jax.lax.shift_right_logical
     tb = v.shape[1]
 
@@ -857,18 +883,24 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
 
     jax.lax.fori_loop(0, jnp.max(w) + 2, wbody, 0)  # hi -> w, lo -> w + 1
     lw = lw_ref[:]
+    if stop_after == "pack":
+        return _consume(lw)
 
     sub = _sub_iota((128, tb))
     s = goff & 31
     prev = pltpu.roll(lw, 1, axis=0)
     prev = jnp.where(sub == 0, 0, prev)
     shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+    if stop_after == "shift":
+        return _consume(shifted)
 
     l = shr(goff, jnp.int32(5)) & 127
     x = shifted
     for k in range(7):
         rolled = pltpu.roll(x, 1 << k, axis=0)
         x = jnp.where((shr(l, jnp.int32(k)) & 1) == 1, rolled, x)
+    if stop_after == "rotate":
+        return _consume(x)
 
     # one [128, TB] transpose, then mask in the transposed space (the
     # two-transpose form costs a second full-array XLU pass)
@@ -877,6 +909,8 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref):
     lane = _lane_iota(xt2.shape)
     r0t = jnp.where(lane >= lt, xt2, 0)       # [TB, 128] this-row window
     r1t = jnp.where(lane < lt, xt2, 0)        # next-row straddle
+    if stop_after == "mask":
+        return _consume(r0t + r1t)
     rows = shr(goff, jnp.int32(12))           # [1, TB] absolute segment row
     t = rows.T                                # [TB, 1]
 
