@@ -51,15 +51,18 @@ _WNDW = 64  # sliding window words per lane (> worst-case block: 57)
 # is static) whose x64 out-lane count is 128-aligned; kept at one or two
 # MCUs because each block unrolls a full decode body in the kernel
 # (larger chunks balloon Mosaic compile time)
-_CHUNK = {6: 6, 4: 4, 3: 6}
+_CHUNK = {6: 6, 4: 4, 3: 6, 1: 4}
 
 # MCU pattern per sampling: (dc_table_row, ac_table_row, component) per
 # block position; table rows index the stacked [4 x 16] canonical tables
-# (0 = luma DC, 1 = luma AC, 2 = chroma DC, 3 = chroma AC).
+# (0 = luma DC, 1 = luma AC, 2 = chroma DC, 3 = chroma AC).  "gray" is a
+# single-component scan: the MCU is one 8x8 block (T.81 A.2, scans with
+# one component are never interleaved).
 _PATTERN = {
     "420": [(0, 1, 0)] * 4 + [(2, 3, 1), (2, 3, 2)],
     "422": [(0, 1, 0)] * 2 + [(2, 3, 1), (2, 3, 2)],
     "444": [(0, 1, 0), (2, 3, 1), (2, 3, 2)],
+    "gray": [(0, 1, 0)],
 }
 
 
@@ -324,12 +327,12 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
 def parse_scan_structure(data: bytes):
     """Light marker walk (no entropy decode) for device-decode routing.
 
-    Returns None unless the stream is a single-scan BASELINE INTERLEAVED
-    3-component image with a restart interval and Cb/Cr sharing Huffman
-    and quant tables (this framework's standard output; anything else
-    takes the native host decoder).  Otherwise returns a dict with the
-    geometry, per-table DHT specs, quantizers (raster order), and the
-    entropy byte range.
+    Returns None unless the stream is a single-scan BASELINE image with
+    a restart interval — either 3-component interleaved (Cb/Cr must
+    share Huffman and quant tables) or single-component grayscale (this
+    framework's standard output; anything else takes the native host
+    decoder).  Otherwise returns a dict with the geometry, per-table
+    DHT specs, quantizers (raster order), and the entropy byte range.
     """
     from ..core import tables as T
     if data[:2] != b"\xff\xd8":
@@ -386,7 +389,7 @@ def parse_scan_structure(data: bytes):
             ri = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:
             ns = seg[0]
-            if ns != 3 or len(comps) != 3:
+            if ns != len(comps) or ns not in (1, 3):
                 return None
             tabs = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4,
                                      seg[2 + 2 * c] & 15)

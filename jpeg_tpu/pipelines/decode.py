@@ -141,6 +141,13 @@ def reconstruct_gray(y_zz, luma_q, height: int, width: int):
     return y.astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def reconstruct_gray_batch(y_zz, luma_q, height: int, width: int):
+    """Batched ``reconstruct_gray``: [B, nblk, 64] + [B, 64] quants."""
+    y = jnp.clip(jnp.round(_plane_b(y_zz, luma_q, height, width)), 0, 255)
+    return y.astype(jnp.uint8)
+
+
 def _parse_device_eligible(data: bytes):
     """Marker parse + eligibility check for the device entropy kernel.
 
@@ -155,17 +162,24 @@ def _parse_device_eligible(data: bytes):
     if st is None:
         return None
     comps = st["comps"]
-    samplings = tuple((h, v) for _, h, v, _ in comps)
-    samp = {((2, 2), (1, 1), (1, 1)): "420",
-            ((2, 1), (1, 1), (1, 1)): "422",
-            ((1, 1), (1, 1), (1, 1)): "444"}.get(samplings)
-    if samp is None:
-        return None
-    (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
-    if qid1 != qid2 or st["tabs"][cid1] != st["tabs"][cid2]:
-        return None
-    mcu_h = 16 if samp == "420" else 8
-    mcu_w = 8 if samp == "444" else 16
+    if len(comps) == 1:
+        # single-component scan: data units are bare 8x8 blocks
+        (cid0, _, _, qid0), qid1 = comps[0], comps[0][3]
+        cid1 = cid0
+        samp = "gray"
+        mcu_h = mcu_w = 8
+    else:
+        samplings = tuple((h, v) for _, h, v, _ in comps)
+        samp = {((2, 2), (1, 1), (1, 1)): "420",
+                ((2, 1), (1, 1), (1, 1)): "422",
+                ((1, 1), (1, 1), (1, 1)): "444"}.get(samplings)
+        if samp is None:
+            return None
+        (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
+        if qid1 != qid2 or st["tabs"][cid1] != st["tabs"][cid2]:
+            return None
+        mcu_h = 16 if samp == "420" else 8
+        mcu_w = 8 if samp == "444" else 16
     width, height = st["width"], st["height"]
     mx, my = -(-width // mcu_w), -(-height // mcu_h)
     mcus = mx * my
@@ -203,6 +217,8 @@ def _em_to_planes(em, samp: str, mx: int, my: int):
     elif samp == "422":
         y = em[:, :2].reshape(2 * mcus, 64)
         cb, cr = em[:, 2], em[:, 3]
+    elif samp == "gray":
+        return em[:, 0], None, None
     else:
         y, cb, cr = em[:, 0], em[:, 1], em[:, 2]
     return y, cb, cr
@@ -265,13 +281,17 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
         dev = device_entropy_zz(data, interpret=interpret)
         if dev is not None:
             y, cb, cr, ql, qc, (ph, pw), (height, width), samp = dev
-            out = np.asarray(reconstruct(y, cb, cr, ql, qc, ph, pw,
-                                         samp=samp))
+            if samp == "gray":
+                out = np.asarray(reconstruct_gray(y, ql, ph, pw))
+            else:
+                out = np.asarray(reconstruct(y, cb, cr, ql, qc, ph, pw,
+                                             samp=samp))
             return out[:height, :width]
         if entropy_engine == "device":
             raise ValueError("stream not eligible for device entropy "
                              "decode (needs a baseline interleaved "
-                             "3-component scan with restart markers)")
+                             "3-component or grayscale scan with "
+                             "restart markers)")
     comps, coeffs, quant, width, height = parse_coefficients(data)
 
     def host():
@@ -377,12 +397,17 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
             geo.setdefault(inf["dims"], []).append((i, inf, y, cb, cr))
         for (ph, pw), entries in geo.items():
             ys = jnp.stack([e[2] for e in entries])
-            cbs = jnp.stack([e[3] for e in entries])
-            crs = jnp.stack([e[4] for e in entries])
             qls = jnp.stack([jnp.asarray(e[1]["ql"]) for e in entries])
-            qcs = jnp.stack([jnp.asarray(e[1]["qc"]) for e in entries])
-            imgs = np.asarray(reconstruct_batch(ys, cbs, crs, qls, qcs,
-                                                ph, pw, samp=samp))
+            if samp == "gray":
+                imgs = np.asarray(reconstruct_gray_batch(ys, qls, ph, pw))
+            else:
+                cbs = jnp.stack([e[3] for e in entries])
+                crs = jnp.stack([e[4] for e in entries])
+                qcs = jnp.stack([jnp.asarray(e[1]["qc"])
+                                 for e in entries])
+                imgs = np.asarray(reconstruct_batch(ys, cbs, crs, qls,
+                                                    qcs, ph, pw,
+                                                    samp=samp))
             for img, (i, inf, *_rest) in zip(imgs, entries):
                 h, w = inf["true_dims"]
                 results[i] = img[:h, :w]

@@ -184,3 +184,31 @@ def test_decode_jpeg_batch_mixed():
 
     with pytest.raises(ValueError, match="stream 6"):
         decode_jpeg_batch(datas, entropy_engine="device", interpret=True)
+
+
+def test_device_entropy_grayscale():
+    """Single-component (grayscale) restart streams decode on device —
+    the scan's data units are bare blocks (T.81 A.2, non-interleaved)."""
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (72, 88), dtype=np.uint8)
+    img[:36] = (np.arange(88) * 2 % 256).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "L").save(buf, "JPEG", quality=92,
+                                   restart_marker_rows=3)
+    data = buf.getvalue()
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert got.shape == ref.shape == img.shape
+    assert np.array_equal(got, ref)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("L"))
+    assert np.mean(np.abs(got.astype(int) - pil.astype(int))) < 1.5
+    # and through the batch API alongside a color stream
+    from jpeg_tpu.pipelines.decode import decode_jpeg_batch
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2, engine="xla")
+    color = bytes(JpegEncoder(cfg).encode(_img(96, 96, seed=2)))
+    outs = decode_jpeg_batch([data, color], interpret=True)
+    assert np.array_equal(outs[0], ref)
+    assert np.array_equal(outs[1], decode_jpeg(color, entropy_engine="host"))
