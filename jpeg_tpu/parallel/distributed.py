@@ -11,6 +11,7 @@ no-op when JAX is already initialized or when only one process exists.
 from __future__ import annotations
 
 import os
+import time
 
 import jax
 
@@ -19,7 +20,8 @@ from .mesh import make_mesh
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None,
+               retries: int = 0, backoff_s: float = 2.0) -> None:
     """Bring up jax.distributed from args or the standard env variables.
 
     On TPU pods, ``jax.distributed.initialize()`` discovers everything
@@ -30,26 +32,43 @@ def initialize(coordinator_address: str | None = None,
     initializes the XLA backend and makes distributed init fail, so this
     function probes nothing and instead treats "already initialized" as
     success.
+
+    ``retries`` > 0 re-attempts transient bring-up failures (coordinator
+    not yet listening, DNS blips — the failure-detection mandate of
+    SURVEY §5) with exponential backoff starting at ``backoff_s``.
+    "Already initialized" is never retried (it's success), and a
+    single-process run (no cluster detected) is never an error.
     """
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if addr is None and num_processes is None:
+    auto = addr is None and num_processes is None
+    last: Exception | None = None
+    for attempt in range(retries + 1):
         try:
-            jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            # RuntimeError: already initialized (idempotent re-call).
-            # ValueError: no cluster environment auto-detected ("coordinator
-            # _address should be defined") — a single-process run.
+            if auto:
+                try:
+                    jax.distributed.initialize()
+                except ValueError:
+                    # no cluster environment auto-detected ("coordinator
+                    # _address should be defined") — a single-process run
+                    return
+            else:
+                jax.distributed.initialize(coordinator_address=addr,
+                                           num_processes=num_processes,
+                                           process_id=process_id)
             return
+        except RuntimeError as e:
+            msg = str(e).lower()
+            if "already" in msg and ("initialize" in msg or "called" in msg):
+                return  # idempotent
+            last = e
+            if attempt < retries:
+                time.sleep(backoff_s * (2 ** attempt))
+    if auto:
+        # single-process semantics: a backend that's already up (e.g. a
+        # prior jax call in-process) is not an error in auto mode
         return
-    try:
-        jax.distributed.initialize(coordinator_address=addr,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError as e:
-        msg = str(e).lower()
-        if "already" in msg and "initialize" in msg:
-            return  # idempotent
-        raise
+    assert last is not None
+    raise last
 
 
 def global_mesh(space_per_host: int | None = None):
