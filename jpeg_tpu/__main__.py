@@ -72,9 +72,10 @@ def cmd_decode(args):
         data = f.read()
     if args.host:
         from .golden.decoder import decode as dec
+        out = dec(data)
     else:
-        from .pipelines.decode import decode_jpeg as dec
-    out = dec(data)
+        from .pipelines.decode import decode_jpeg
+        out = decode_jpeg(data, entropy_engine=args.entropy)
     if out.ndim == 2:  # grayscale -> replicate into RGB for PPM P6
         import numpy as np
         out = np.stack([out] * 3, axis=-1)
@@ -153,6 +154,10 @@ def main(argv=None) -> int:
     d.add_argument("input"); d.add_argument("output")
     d.add_argument("--host", action="store_true",
                    help="use the f64 host decoder instead of the device path")
+    d.add_argument("--entropy", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="Huffman bit-walk engine: device = lane-parallel "
+                        "TPU kernel (restart streams)")
     d.set_defaults(fn=cmd_decode)
 
     r = sub.add_parser("resize")

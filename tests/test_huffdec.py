@@ -212,3 +212,28 @@ def test_device_entropy_grayscale():
     outs = decode_jpeg_batch([data, color], interpret=True)
     assert np.array_equal(outs[0], ref)
     assert np.array_equal(outs[1], decode_jpeg(color, entropy_engine="host"))
+
+
+@pytest.mark.parametrize("pil_samp,h,w,q", [
+    (0, 56, 72, 95),    # 4:4:4, odd block grid
+    (1, 100, 60, 80),   # 4:2:2, non-mod-16 height
+    (2, 120, 104, 70),  # 4:2:0, non-mod-16 width
+])
+def test_device_entropy_pillow_sweep(pil_samp, h, w, q):
+    """libjpeg streams across subsamplings, odd geometries, and quality
+    (scaled tables) through the device engine, vs Pillow's own pixels."""
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(h * w)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, "JPEG", quality=q,
+                                     subsampling=pil_samp,
+                                     restart_marker_rows=1)
+    data = buf.getvalue()
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert np.array_equal(got, ref)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert got.shape == pil.shape
+    assert np.mean(np.abs(got.astype(int) - pil.astype(int))) < 2.0
