@@ -322,6 +322,44 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     return out.reshape(Sp, nblk_p, 64)
 
 
+def decode_segments_sharded(mesh, streams, maxc, delt, hvp, nblk_lane,
+                            sampling: str, nblk_seg: int, max_words: int,
+                            interpret: bool = False, axis: str = "space"):
+    """``decode_segments`` spread over a device mesh.
+
+    Restart segments are independent (the whole premise of this kernel),
+    so the lane axis shards embarrassingly across ``mesh.shape[axis]``
+    devices — the decode-side dual of ``parallel.sharded.ShardedEncoder``
+    slab sharding, with no collectives.  Inputs are zero-padded so every
+    device gets whole 128-lane groups; padding lanes decode nothing
+    (``nblk_lane`` 0).
+    """
+    from jax.sharding import PartitionSpec as P
+    ndev = mesh.shape[axis]
+    Sp = streams.shape[0]
+    mult = _LG * ndev
+    spp = -(-Sp // mult) * mult
+    if spp != Sp:
+        pad = spp - Sp
+        streams = jnp.pad(streams, ((0, pad), (0, 0)))
+        hvp = jnp.pad(hvp, ((0, pad), (0, 0)))
+        maxc = jnp.pad(maxc, ((0, 0), (0, pad)), constant_values=-1)
+        delt = jnp.pad(delt, ((0, 0), (0, pad)))
+        nblk_lane = jnp.pad(nblk_lane, ((0, 0), (0, pad)))
+    fn = jax.shard_map(
+        functools.partial(decode_segments, sampling=sampling,
+                          nblk_seg=nblk_seg, max_words=max_words,
+                          interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, axis), P(None, axis),
+                  P(axis, None), P(None, axis)),
+        out_specs=P(axis, None, None),
+        check_vma=False)  # pallas_call out_shape carries no vma info
+    return fn(jnp.asarray(streams, jnp.int32), jnp.asarray(maxc),
+              jnp.asarray(delt), jnp.asarray(hvp),
+              jnp.asarray(nblk_lane))
+
+
 # -- host-side preparation -------------------------------------------------
 
 def parse_scan_structure(data: bytes):

@@ -336,7 +336,8 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
 
 
 def decode_jpeg_batch(datas, entropy_engine: str = "auto",
-                      interpret: bool = False):
+                      interpret: bool = False, mesh=None,
+                      mesh_axis: str = "space"):
     """Decode a batch of JPEGs with shared device kernel launches.
 
     The throughput shape for the device entropy decoder
@@ -345,9 +346,13 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
     Huffman tables and block count), so one ``decode_segments`` launch
     per sampling mode replaces per-image launches, and images sharing a
     geometry reconstruct in one batched MXU call (``reconstruct_batch``).
-    Ineligible streams (no restarts, grayscale, progressive, ...) fall
-    back to per-image host-entropy decode.  Returns a list of [H, W, 3]
-    uint8 arrays in input order.
+    Ineligible streams (no restarts, progressive, ...) fall back to
+    per-image host-entropy decode.  Returns a list of [H, W, 3] (or
+    [H, W] grayscale) uint8 arrays in input order.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to spread the segment lanes over
+    ``mesh.shape[mesh_axis]`` devices (independent segments, no
+    collectives — the decode dual of ShardedEncoder's slab sharding).
     """
     if entropy_engine not in ("auto", "host", "device"):
         raise ValueError(f"unknown entropy_engine {entropy_engine!r}")
@@ -379,10 +384,17 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
         maxc, delt, hvp = hd.lane_tables(quads)
         nblk_lane = np.zeros_like(active)
         nblk_lane[0, :len(nblks)] = nblks
-        out = hd.decode_segments(
-            jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
-            jnp.asarray(hvp), jnp.asarray(nblk_lane), samp, nblk_seg,
-            max_words, interpret=interpret)
+        if mesh is not None:
+            out = hd.decode_segments_sharded(
+                mesh, jnp.asarray(streams), jnp.asarray(maxc),
+                jnp.asarray(delt), jnp.asarray(hvp),
+                jnp.asarray(nblk_lane), samp, nblk_seg, max_words,
+                interpret=interpret, axis=mesh_axis)
+        else:
+            out = hd.decode_segments(
+                jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+                jnp.asarray(hvp), jnp.asarray(nblk_lane), samp, nblk_seg,
+                max_words, interpret=interpret)
 
         # split lanes back per image; batch same-geometry reconstructions
         geo: dict = {}

@@ -237,3 +237,20 @@ def test_device_entropy_pillow_sweep(pil_samp, h, w, q):
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert got.shape == pil.shape
     assert np.mean(np.abs(got.astype(int) - pil.astype(int))) < 2.0
+
+
+def test_decode_segments_sharded_matches_single():
+    """Segments sharded over an 8-device CPU mesh decode to the same
+    pixels as the single-device kernel (no collectives, pure split)."""
+    from jpeg_tpu.parallel.mesh import make_mesh
+    from jpeg_tpu.pipelines.decode import decode_jpeg_batch
+    mesh = make_mesh(data=1, space=8)
+    datas = []
+    for seed, (h, w) in enumerate([(96, 96), (128, 64), (96, 96)]):
+        cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                           restart_interval_mcu_rows=1, engine="xla")
+        datas.append(bytes(JpegEncoder(cfg).encode(_img(h, w, seed=seed))))
+    single = decode_jpeg_batch(datas, interpret=True)
+    sharded = decode_jpeg_batch(datas, interpret=True, mesh=mesh)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)
