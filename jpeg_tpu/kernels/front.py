@@ -461,7 +461,7 @@ def _pad_slab(xt, sc: int, sc_p: int):
 
 def _place_slab(kf, xt, g, sc, sc_p, cbp, nblk_real, sampling, m, bias128,
                 ql128, qc128, lut, out_ref, tot_ref, lw_ref, carry_ref,
-                prev_ref, stop_after: str = "full"):
+                prev_ref, stop_after: str = "full", impl: str = "full"):
     """Symbolize + attach + place one slab's xt, in cbp-wide chunks.
 
     ``sc`` is the slab's real block count; ``sc_p`` the 128-aligned
@@ -496,12 +496,13 @@ def _place_slab(kf, xt, g, sc, sc_p, cbp, nblk_real, sampling, m, bias128,
             _consume(value + nbits)
             continue
         kf._place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref,
-                       stop_after=stop_after)
+                       stop_after=stop_after, impl=impl)
 
 
 def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
                        nblk_real: int, sc: int, sc_p: int, cbp: int,
-                       nconst: int, sps: int, stop_after: str = "full"):
+                       nconst: int, sps: int, stop_after: str = "full",
+                       impl: str = "full"):
     """ONE kernel from raw u8 pixels to packed segment bitstreams.
 
     Grid (image, 128-row slab): the front relayout (deinterleave + color
@@ -538,7 +539,7 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
     _place_slab(kf, xt, gs, sc, sc_p, cbp, nblk_real, sampling, m_ref[:],
                 bias_ref[:], ql_ref[:], qc_ref[:], lut_ref[0], out_ref,
                 tot_ref, lw_ref, carry_ref, prev_ref,
-                stop_after=stop_after)
+                stop_after=stop_after, impl=impl)
 
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
@@ -590,11 +591,11 @@ def _bcast128(v):
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "seg_rows",
                                     "interpret", "real_height", "n_segs",
-                                    "stop_after"))
+                                    "stop_after", "place_impl"))
 def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, seg_rows: int, interpret: bool = False,
                 real_height: int | None = None, n_segs: int = 1,
-                stop_after: str = "full"):
+                stop_after: str = "full", place_impl: str = "full"):
     """Fused u8 batch -> (words [B*n_segs, seg_rows*128] u32,
     total_bits [B*n_segs]).
 
@@ -620,7 +621,8 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
     kernel = functools.partial(
         _mega_place_kernel, meta, sampling=sampling,
         bf16=not interpret, nblk_real=nblk_real, sc=sc, sc_p=sc_p,
-        cbp=cbp, nconst=len(consts), sps=sps, stop_after=stop_after)
+        cbp=cbp, nconst=len(consts), sps=sps, stop_after=stop_after,
+        impl=place_impl)
     S = B * n_segs
     out, tot = pl.pallas_call(
         kernel,

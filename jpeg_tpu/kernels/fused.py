@@ -314,7 +314,8 @@ def _dct_symbolize_chunk_v(m, bias, ql_b, qc_b, xt, prev_ref, first,
 def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
                       out_ref, tot_ref, lw_ref, carry_ref, prev_ref,
                       *, real_nblk: int, period: int, ypm: int,
-                      chunk: int, stop_after: str = "full"):
+                      chunk: int, stop_after: str = "full",
+                      impl: str = "full"):
     """The whole fixed-table encode numeric+entropy path as ONE kernel.
 
     Grid (S, chunks_per_seg): each step runs MXU DCT + quantize + zigzag
@@ -354,7 +355,7 @@ def _dct_place_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
                 jnp.int32))
         return
     _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref,
-                stop_after=stop_after)
+                stop_after=stop_after, impl=impl)
 
 
 def _dct_attach_kernel(lut_ref, m_ref, bias_ref, ql_ref, qc_ref, xt_ref,
@@ -443,7 +444,8 @@ def _pick_chunk(nblk_seg: int) -> int:
 
 def _place_from_xt(luts, segs_per_group: int, m, bias, ql, qc, xt, S: int,
                    period: int, ypm: int, seg_rows: int, real_nblk: int,
-                   cb: int, interpret: bool, stop_after: str = "full"):
+                   cb: int, interpret: bool, stop_after: str = "full",
+                   impl: str = "full"):
     """One-kernel DCT->place launch from a pre-relayouted [64, nblk] xt
     (the Pallas front's output, or ``_dct_front``'s).  ``stop_after``
     is profiling-only (see ``_place_body``)."""
@@ -453,7 +455,7 @@ def _place_from_xt(luts, segs_per_group: int, m, bias, ql, qc, xt, S: int,
     cspecs, cargs = _dct_consts(m, bias, ql, qc, width=cb)
     kernel = functools.partial(
         _dct_place_kernel, real_nblk=real_nblk, period=period,
-        ypm=ypm, chunk=cb // _TB, stop_after=stop_after)
+        ypm=ypm, chunk=cb // _TB, stop_after=stop_after, impl=impl)
     out, tot = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128),
@@ -830,7 +832,7 @@ def _cumsum_lanes(x):
 
 
 def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref,
-                stop_after: str = "full"):
+                stop_after: str = "full", impl: str = "full"):
     """Place a chunk's attached fields into the resident segment buffer.
 
     Block bit offsets are derived in-kernel — a cross-lane cumsum of
@@ -846,12 +848,13 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref,
     that phase, consuming the phase's output into ``out_ref`` row 0 so
     Mosaic cannot dead-code it.  Output is garbage for any value but
     "full" — never set it in production paths.
+
+    ``impl`` = "w16" uses the 16-row local pack window (4 rotate rounds
+    on [16, TB] instead of 7 on [128, TB]); chunks with any block over
+    480 bits take the full path via an in-kernel cond (identical bytes
+    either way).  Production default stays "full" until the w16 variant
+    is measured faster on real hardware.
     """
-    def _consume(x):
-        # fold the intermediate into out row 0 (anti-DCE)
-        out_ref[pl.dslice(0, 1), :] = (
-            out_ref[pl.dslice(0, 1), :]
-            + jnp.full((1, 128), jnp.sum(x, dtype=jnp.int32), jnp.int32))
     shr = jax.lax.shift_right_logical
     tb = v.shape[1]
 
@@ -870,6 +873,33 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref,
     hi = jnp.where(ein <= 32, v << jnp.clip(32 - ein, 0, 31),
                    shr(v, jnp.clip(ein - 32, 0, 31)))
     lo = jnp.where(ein > 32, v << jnp.clip(64 - ein, 0, 31), 0)
+
+    if impl == "w16" and stop_after == "full":
+        fits = jnp.max(blockbits) <= 32 * 15  # hi<=row14, lo<=row15
+        jax.lax.cond(
+            fits,
+            lambda: _place_tail_w16(hi, lo, w, goff, out_ref, lw_ref),
+            lambda: _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
+                                     "full", None))
+        return
+    _place_tail_full(hi, lo, w, goff, out_ref, lw_ref, stop_after,
+                     _mk_consume(out_ref))
+
+
+def _mk_consume(out_ref):
+    def _consume(x):
+        # fold the intermediate into out row 0 (anti-DCE; profiling only)
+        out_ref[pl.dslice(0, 1), :] = (
+            out_ref[pl.dslice(0, 1), :]
+            + jnp.full((1, 128), jnp.sum(x, dtype=jnp.int32), jnp.int32))
+    return _consume
+
+
+def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
+                     stop_after: str, _consume):
+    """128-row local pack + 7-round rotate + row accumulation."""
+    shr = jax.lax.shift_right_logical
+    tb = hi.shape[1]
 
     lw_ref[:, :] = jnp.zeros((128, tb), jnp.int32)
 
@@ -934,6 +964,77 @@ def _place_body(v, nb, out_ref, tot_ref, lw_ref, carry_ref,
             return 0
 
         jax.lax.fori_loop(jnp.min(tw), jnp.max(tw) + 2, rbody, 0)
+
+
+def _place_tail_w16(hi, lo, w, goff, out_ref, lw_ref):
+    """16-row local pack window: 4 rotate rounds on 1/8th of the data.
+
+    Valid only when every block in the chunk fits 16 local words
+    (<= 480 bits — ``_place_body`` cond-guards; real-image chunks
+    essentially always do).  The word-group position within the
+    4096-bit row ((goff >> 9) & 7) moves out of the rotate and into the
+    row-accumulation masks, which assemble each output row's [1, 128]
+    update from eight 16-lane group reductions — the same reduced
+    element count as the full path's two [*, 128] reductions, so the
+    rotate/shift savings are pure.
+    """
+    shr = jax.lax.shift_right_logical
+    tb = hi.shape[1]
+
+    lw_ref[0:16, :] = jnp.zeros((16, tb), jnp.int32)
+
+    def wbody(j, _):
+        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
+                     dtype=jnp.int32)
+        cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                          keepdims=True, dtype=jnp.int32)
+        lw_ref[pl.dslice(j, 1), :] = cj
+        return 0
+
+    jax.lax.fori_loop(0, jnp.max(w) + 2, wbody, 0)
+    lw = lw_ref[0:16, :]
+
+    sub = _sub_iota((16, tb))
+    s = goff & 31
+    prev = pltpu.roll(lw, 1, axis=0)
+    prev = jnp.where(sub == 0, 0, prev)
+    shifted = jnp.where(s == 0, lw, shr(lw, s) | (prev << ((32 - s) & 31)))
+
+    l4 = shr(goff, jnp.int32(5)) & 15
+    x = shifted
+    for k in range(4):
+        rolled = pltpu.roll(x, 1 << k, axis=0)
+        x = jnp.where((shr(l4, jnp.int32(k)) & 1) == 1, rolled, x)
+
+    xt2 = x.T                                 # [TB, 16]
+    lt = l4.T                                 # [TB, 1]
+    lane = _lane_iota(xt2.shape)
+    r0t = jnp.where(lane >= lt, xt2, 0)       # own 512-bit group
+    r1t = jnp.where(lane < lt, xt2, 0)        # next-group straddle
+    g0 = shr(goff, jnp.int32(9)).T            # [TB, 1] absolute group
+
+    for w0 in range(0, tb, 128):
+        r0w = r0t[w0:w0 + 128]
+        r1w = r1t[w0:w0 + 128]
+        gw = g0[w0:w0 + 128]
+        # rows touched by this window: groups g (piece0) and g+1 (piece1)
+        lo_r = shr(jnp.min(gw), jnp.int32(3))
+        hi_r = shr(jnp.max(gw) + 1, jnp.int32(3)) + 1
+
+        def rbody(r, _, gw=gw, r0w=r0w, r1w=r1w):
+            base = r * 8
+            pieces = []
+            for g in range(8):
+                p = jnp.sum(jnp.where(gw == base + g, r0w, 0), axis=0,
+                            keepdims=True, dtype=jnp.int32)
+                p = p + jnp.sum(jnp.where(gw == base + g - 1, r1w, 0),
+                                axis=0, keepdims=True, dtype=jnp.int32)
+                pieces.append(p)
+            add = jnp.concatenate(pieces, axis=1)
+            out_ref[pl.dslice(r, 1), :] = out_ref[pl.dslice(r, 1), :] + add
+            return 0
+
+        jax.lax.fori_loop(lo_r, hi_r, rbody, 0)
 
 
 def _place_resident_kernel(value_ref, nbits_ref, out_ref, tot_ref,
