@@ -175,25 +175,33 @@ def test_front_multisegment(huff, img128):
     assert bytes(got[0]) == bytes(ref)
 
 
-@pytest.mark.parametrize("quality", [None, 100])
-def test_place_impl_w16_byte_identical(quality):
+@pytest.mark.parametrize("samp,quality,n_segs", [
+    ("420", None, 1),
+    ("420", 100, 1),   # >480-bit blocks: in-kernel worst-case fallback
+    ("422", None, 1),
+    ("444", None, 1),
+    ("420", None, 2),  # multi-segment: carry resets per segment
+])
+def test_place_impl_w16_byte_identical(samp, quality, n_segs):
     """The 16-row local-pack place variant (place_impl='w16') emits the
-    same bytes as the full path — including quality=100 chunks whose
-    >480-bit blocks take the in-kernel worst-case fallback cond."""
+    same bytes as the full path across samplings, quality extremes
+    (fallback cond), and multi-segment streams."""
     import jax.numpy as jnp
     from jpeg_tpu.core.types import EncodeConfig
     from jpeg_tpu.kernels import front as kfront
     from jpeg_tpu.pipelines.fast import FastBatchEncoder
-    H = W = 128
+    H, W = 256, 128
     enc = FastBatchEncoder(
         H, W, config=EncodeConfig(scan_layout="interleaved",
-                                  huffman="fixed", quality=quality),
-        segs_per_image=1, interpret=True)
+                                  huffman="fixed", quality=quality,
+                                  subsampling=samp),
+        segs_per_image=n_segs, interpret=True)
     rng = np.random.default_rng(7)
     b = jnp.asarray(rng.integers(0, 256, (2, H, W * 3), dtype=np.uint8))
     args = (b, enc._fixed_lut, enc._dct_m, enc._dct_bias, enc._ql_zz,
-            enc._qc_zz, W // 16, H // 16, "420", enc.seg_rows)
-    a1, t1 = kfront.front_place(*args, interpret=True)
-    a2, t2 = kfront.front_place(*args, interpret=True, place_impl="w16")
+            enc._qc_zz, W // 16, H // 16, samp, enc.seg_rows)
+    a1, t1 = kfront.front_place(*args, interpret=True, n_segs=n_segs)
+    a2, t2 = kfront.front_place(*args, interpret=True, n_segs=n_segs,
+                                place_impl="w16")
     assert np.array_equal(np.asarray(a1), np.asarray(a2))
     assert np.array_equal(np.asarray(t1), np.asarray(t2))
