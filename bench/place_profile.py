@@ -47,7 +47,7 @@ def main():
     jax.block_until_ready(deltas)
     di = [0]
 
-    def slope(stop, n1=4, n2=16, reps=2):
+    def slope(stop, n1=4, n2=16, reps=2, impl="full"):
         def make(n):
             @jax.jit
             def run(b, d):
@@ -56,7 +56,8 @@ def main():
                     o, tot = kfront.front_place(
                         b ^ (seed + d), enc._fixed_lut, enc._dct_m,
                         enc._dct_bias, enc._ql_zz, enc._qc_zz, mx, my,
-                        "420", enc.seg_rows, stop_after=stop)
+                        "420", enc.seg_rows, stop_after=stop,
+                        place_impl=impl)
                     s = jnp.sum(o, dtype=jnp.uint32)
                     if stop == "full":  # totals defined only here
                         s = s + jnp.sum(tot).astype(jnp.uint32)
@@ -86,6 +87,14 @@ def main():
         print(f"{ph:<10}{ms:9.3f} ms  (+{ms - prev:7.3f})", flush=True)
         prev = ms
     print(f"full-phase throughput = {mp / (prev / 1000):.0f} MP/s")
+
+    # A/B: the 16-row local-pack place variant (kernels/fused.py
+    # _place_tail_w16) vs the shipped full path
+    w16 = slope("full", impl="w16")
+    print(f"place_impl=w16 {w16:9.3f} ms ({mp / (w16 / 1000):.0f} MP/s) "
+          f"vs full {prev:.3f} ms — "
+          f"{'WIN' if w16 < prev else 'no win'} "
+          f"{abs(prev - w16) / prev * 100:.1f}%", flush=True)
 
 
 if __name__ == "__main__":
