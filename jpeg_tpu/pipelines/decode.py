@@ -224,16 +224,22 @@ def _em_to_planes(em, samp: str, mx: int, my: int):
     return y, cb, cr
 
 
-def device_entropy_zz(data: bytes, interpret: bool = False):
+# minimum restart-segment count for "auto" to pick the device engine on
+# a SINGLE image (decode_jpeg_batch fills lanes across images instead)
+_MIN_AUTO_SEGMENTS = 32
+
+
+def device_entropy_zz(data: bytes, interpret: bool = False, info=None):
     """Full device entropy decode of an eligible restart stream.
 
-    See ``_parse_device_eligible`` for eligibility.  Returns
-    (y_zz, cb_zz, cr_zz device arrays in raster block order, luma_q,
-    chroma_q, padded dims, true dims, samp) or None when the stream
-    should take the host path instead.
+    See ``_parse_device_eligible`` for eligibility (``info`` forwards an
+    already-parsed result).  Returns (y_zz, cb_zz, cr_zz device arrays
+    in raster block order, luma_q, chroma_q, padded dims, true dims,
+    samp) or None when the stream should take the host path instead.
     """
     from ..kernels import huffdec as hd
-    info = _parse_device_eligible(data)
+    if info is None:
+        info = _parse_device_eligible(data)
     if info is None:
         return None
     segs, samp, ri = info["segs"], info["samp"], info["ri"]
@@ -278,7 +284,16 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
         # threaded native bit-walk is the right host-platform engine
         entropy_engine = "host"
     if entropy_engine != "host":
-        dev = device_entropy_zz(data, interpret=interpret)
+        if entropy_engine == "auto":
+            info = _parse_device_eligible(data)
+            # few segments = idle lanes; the threaded native bit-walk is
+            # the better engine below ~1/4 lane occupancy (placeholder
+            # threshold pending real-chip calibration)
+            dev = (device_entropy_zz(data, interpret=interpret, info=info)
+                   if info is not None and len(info["segs"])
+                   >= _MIN_AUTO_SEGMENTS else None)
+        else:
+            dev = device_entropy_zz(data, interpret=interpret)
         if dev is not None:
             y, cb, cr, ql, qc, (ph, pw), (height, width), samp = dev
             if samp == "gray":
