@@ -102,3 +102,15 @@ def test_initialize_retries_transient(monkeypatch):
         D.initialize("127.0.0.1:9999", num_processes=1, process_id=0,
                      retries=1, backoff_s=0.01)
     assert calls["n"] == 2
+
+
+def test_passthrough_with_real_encoder():
+    """No failure -> the wrapped encoder's exact bytes, no events."""
+    from jpeg_tpu.pipelines.fast import FastBatchEncoder
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed")
+    inner = FastBatchEncoder(32, 32, config=cfg, interpret=True)
+    enc = ResilientEncoder(inner, config=cfg, retries=1,
+                           probe_timeout_s=60.0)
+    batch = np.stack([_img(seed=7), _img(seed=8)])
+    assert enc.encode_batch(batch) == inner.encode_batch(batch)
+    assert enc.events == []
