@@ -163,30 +163,16 @@ def _take_bits(peek32, off, n):
     return jnp.where(n == 0, 0, v)
 
 
-def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref, out_ref,
-               st_ref, wnd_ref, *, sampling: str, nblk_real: int,
-               chunk: int, max_words: int):
-    # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
-    # (bits, 32-aligned; -32*_WNDW forces the first refill)
-    period = len(_PATTERN[sampling])
-    c = pl.program_id(1)
+def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int):
+    """Window-refill closure shared by the decode kernels.
 
-    maxc = maxc_ref[:]
-    delt = delt_ref[:]
-    hvp = hvp_ref[:]
-    nblk_l = nblk_ref[:]       # [1, 128] per-lane real block count
-
-    @pl.when(c == 0)
-    def _():
-        st_ref[:, :] = jnp.zeros_like(st_ref)
-        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
-
+    Refills every lane's window at its own word position when any lane
+    is within one symbol (32 bits + the 2-word fetch) of its window
+    edge.  One full-row gather refills all lanes at once; typical
+    refill cadence is ~60 consumed words (hundreds of symbols), so the
+    wide gather amortizes to noise.
+    """
     def ensure_window(bp):
-        """Refill every lane's window at its own word position when any
-        lane is within one symbol (32 bits + the 2-word fetch) of its
-        window edge.  One full-row gather refills all lanes at once;
-        typical refill cadence is ~60 consumed words (hundreds of
-        symbols), so the wide gather amortizes to noise."""
         def refill():
             # Mosaic's dynamic_gather is single-vreg (source <= 128
             # lanes): walk the stream in 128-word chunks, gathering the
@@ -205,6 +191,30 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref, out_ref,
 
         need = jnp.max(bp - st_ref[4:5, :]) > 32 * (_WNDW - 3)
         jax.lax.cond(need, refill, lambda: None)
+    return ensure_window
+
+
+def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
+               entry_ref, out_ref, st_ref, wnd_ref, *, sampling: str,
+               nblk_real: int, chunk: int, max_words: int):
+    # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
+    # (bits, 32-aligned; -32*_WNDW forces the first refill)
+    period = len(_PATTERN[sampling])
+    c = pl.program_id(1)
+
+    maxc = maxc_ref[:]
+    delt = delt_ref[:]
+    hvp = hvp_ref[:]
+    nblk_l = nblk_ref[:]       # [1, 128] per-lane real block count
+
+    @pl.when(c == 0)
+    def _():
+        st_ref[:, :] = jnp.zeros_like(st_ref)
+        st_ref[0:1, :] = entry_ref[:]  # per-lane start bit (0 = row start)
+        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
+
+    ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
+                                      max_words)
 
     for j in range(chunk):
         dct, act_t, comp = _PATTERN[sampling][j % period]
@@ -273,12 +283,142 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref, out_ref,
         out_ref[:, j * 64:(j + 1) * 64] = acc64.T
 
 
+def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
+                 limit_ref, out_ref, pos_ref, st_ref, wnd_ref, *,
+                 chunk: int, max_words: int):
+    """Positions-only speculative decode of single-component scans.
+
+    Each lane walks blocks (DC table row 0, AC row 1 — period-1
+    patterns only: grayscale images and the scans of a 3-scan stream)
+    from its ``entry`` bit until its bit position reaches ``limit`` or a
+    non-decodable code marks the lane bad.  No coefficients are emitted
+    — only the exit bit position, the decoded block count, and the bad
+    flag (``pos_ref`` rows 0..2), which drive the host's entry-point
+    fixpoint (self-synchronizing Huffman, after "Accelerating JPEG
+    Decompression on GPUs", arxiv 2111.09219).
+
+    st rows: 0 bitpos, 1 dc pred (unused for positions, kept for
+    layout), 3 block count, 4 window base, 5 sticky bad.
+    """
+    c = pl.program_id(1)
+    maxc = maxc_ref[:]
+    delt = delt_ref[:]
+    hvp = hvp_ref[:]
+    limit_l = limit_ref[:]
+
+    @pl.when(c == 0)
+    def _():
+        st_ref[:, :] = jnp.zeros_like(st_ref)
+        st_ref[0:1, :] = entry_ref[:]
+        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
+                                      max_words)
+
+    for j in range(chunk):
+        bitpos0 = st_ref[0:1, :]
+        live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
+        ensure_window(bitpos0)
+        peek = _fetch32(wnd_ref, st_ref[4:5, :], bitpos0)
+        sym, ln = _decode_symbol(peek, maxc, delt, hvp, 0)
+        size = sym & 15
+        ok = live_l & (ln < 17)
+        badf = live_l & (ln >= 17)
+        bitpos = bitpos0 + jnp.where(ok, ln + size, 0)
+
+        def cond(carry):
+            done, _, _, _ = carry
+            return jnp.logical_not(jnp.all(done))
+
+        def body(carry):
+            done, slot, bp, badacc = carry
+            ensure_window(bp)
+            peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
+            sym, ln = _decode_symbol(peek, maxc, delt, hvp, 1)
+            run = _shr(sym, jnp.int32(4))
+            size = sym & 15
+            bad = ln >= 17
+            eob = (sym == 0) & ~bad
+            zrl = (sym == 0xF0) & ~bad
+            live = ~done & ~bad
+            badacc = badacc | (~done & bad)
+            bp = bp + jnp.where(live, ln + size, 0)
+            pos = slot + run
+            slot = jnp.where(live,
+                             jnp.where(zrl, slot + 16, pos + 1), slot)
+            done = done | ~live | eob | (slot > 63)
+            return done, slot, bp, badacc
+
+        carry = (~ok, jnp.ones((1, _LG), jnp.int32), bitpos, badf)
+        _, _, bitpos, badf = jax.lax.while_loop(cond, body, carry)
+        st_ref[0:1, :] = jnp.where(ok & ~badf, bitpos, bitpos0)
+        st_ref[3:4, :] = st_ref[3:4, :] + (ok & ~badf).astype(jnp.int32)
+        st_ref[5:6, :] = st_ref[5:6, :] | badf.astype(jnp.int32)
+
+    pos_ref[0:1, :] = st_ref[0:1, :]
+    pos_ref[1:2, :] = st_ref[3:4, :]
+    pos_ref[2:3, :] = st_ref[5:6, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap_blocks", "max_words", "interpret"))
+def scan_positions(streams, maxc, delt, hvp, entry, limit,
+                   cap_blocks: int, max_words: int,
+                   interpret: bool = False):
+    """Speculative positions pass -> (exit_bits, counts, bad), each [Sp].
+
+    ``entry``/``limit`` are [1, Sp] bit offsets within each lane's row.
+    ``cap_blocks`` bounds the grid; a lane that hasn't reached its limit
+    after cap_blocks keeps bitpos < limit, which the caller must treat
+    as non-converged (fall back to the host decoder).
+    """
+    Sp = streams.shape[0]
+    chunk = 8
+    cap_p = -(-cap_blocks // chunk) * chunk
+    kernel = functools.partial(_scan_kernel, chunk=chunk,
+                               max_words=max_words)
+    _, pos = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((Sp, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((Sp // _LG * 8, _LG), jnp.int32)],
+        grid=(Sp // _LG, cap_p // chunk),
+        in_specs=[
+            pl.BlockSpec((_LG, max_words), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LG, 256), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((_LG, 128), lambda g, c: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, _LG), lambda g, c: (g, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
+                        pltpu.VMEM((_LG, _WNDW), jnp.int32)],
+        interpret=interpret,
+    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp,
+      jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32))
+    pos = pos.reshape(Sp // _LG, 8, _LG)
+    exits = pos[:, 0, :].reshape(Sp)
+    counts = pos[:, 1, :].reshape(Sp)
+    bad = pos[:, 2, :].reshape(Sp)
+    return exits, counts, bad
+
+
 @functools.partial(jax.jit,
                    static_argnames=("sampling", "nblk_seg", "max_words",
                                     "interpret"))
 def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                     nblk_seg: int, max_words: int,
-                    interpret: bool = False):
+                    interpret: bool = False, entry=None):
     """[Sp, max_words] u32 segment streams -> zz [Sp, nblk_p, 64] int32.
 
     Sp must be a multiple of 128; ``nblk_lane`` [1, Sp] int32 holds each
@@ -286,14 +426,18 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     a stream's final partial segment) — blocks past it emit zeros and
     consume no bits.  ``nblk_seg`` is the static maximum (the uniform
     segment length).  Block order is the interleaved MCU emission order;
-    DC terms are the cumulative (un-diffed) values; slots are in zigzag
-    order — exactly what ``pipelines.decode.reconstruct`` consumes after
-    the MCU-order inverse.
+    DC terms are the cumulative (un-diffed) values, accumulated from 0
+    at each lane's start; slots are in zigzag order — exactly what
+    ``pipelines.decode.reconstruct`` consumes after the MCU-order
+    inverse.  ``entry`` [1, Sp] sets each lane's starting bit within its
+    row (speculative non-restart decode; default 0 = restart segments).
     """
     Sp = streams.shape[0]
     period = len(_PATTERN[sampling])
     chunk = _CHUNK[period]
     nblk_p = -(-nblk_seg // chunk) * chunk
+    if entry is None:
+        entry = jnp.zeros((1, Sp), jnp.int32)
     kernel = functools.partial(
         _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
         max_words=max_words)
@@ -312,13 +456,16 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LG), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_LG, chunk * 64), lambda g, c: (g, c),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane)
+    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane,
+      jnp.asarray(entry, jnp.int32))
     return out.reshape(Sp, nblk_p, 64)
 
 
@@ -450,6 +597,105 @@ def parse_scan_structure(data: bytes):
         "dht": dht, "tabs": tabs, "restart_interval": ri,
         "entropy": data[ent_start:ent_end],
     }
+
+
+def _entropy_end(data: bytes, start: int) -> int:
+    """First non-stuffing, non-RSTn, non-fill marker at/after ``start``."""
+    b = np.frombuffer(data, np.uint8)
+    cand = np.where(b[start:-1] == 0xFF)[0] + start
+    nxt = b[cand + 1]
+    stop = cand[(nxt != 0) & (nxt != 0xFF) & ((nxt < 0xD0) | (nxt > 0xD7))]
+    return int(stop[0]) if len(stop) else len(data)
+
+
+def parse_noninterleaved_scans(data: bytes):
+    """Marker walk for baseline streams whose EVERY scan is a single
+    component — grayscale images and the reference-parity 3-scan layout.
+
+    These scans have no MCU phase (data units are bare 8x8 blocks
+    through one DC/AC table pair), which makes them speculatively
+    decodable without restart markers (``pipelines.speculative``).
+    Returns None for interleaved/progressive/restart streams; else a
+    dict with the geometry, quantizers, and per-scan
+    (cid, dc_spec, ac_spec, entropy bytes) — table specs snapshotted at
+    each SOS (DHT may be redefined between scans).
+    """
+    from ..core import tables as T
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    dht: dict = {}
+    comps: list[tuple[int, int, int, int]] = []
+    width = height = 0
+    scans = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0xFF:
+            pos -= 1
+            continue
+        seg_len = (data[pos] << 8) | data[pos + 1]
+        seg = data[pos + 2:pos + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4:
+                    return None
+                zzq = np.frombuffer(seg[p + 1:p + 65],
+                                    np.uint8).astype(np.int32)
+                q = np.zeros(64, np.int32)
+                q[T.SCAN_ORDER] = zzq
+                quant[seg[p] & 15] = q
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = np.zeros(17, np.int32)
+                bits[1:] = np.frombuffer(seg[p + 1:p + 17], np.uint8)
+                n = int(bits.sum())
+                vals = np.frombuffer(seg[p + 17:p + 17 + n], np.uint8)
+                dht[(tc, th)] = (bits, vals.astype(np.int32))
+                p += 17 + n
+        elif marker == 0xC0:
+            height = (seg[1] << 8) | seg[2]
+            width = (seg[3] << 8) | seg[4]
+            comps = [(seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                      seg[7 + 3 * c] & 15, seg[8 + 3 * c])
+                     for c in range(seg[5])]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            return None
+        elif marker == 0xDD:
+            if (seg[0] << 8) | seg[1]:
+                return None  # restart streams: the segment path is better
+        elif marker == 0xDA:
+            if seg[0] != 1:
+                return None  # interleaved scan
+            cid = seg[1]
+            tdc, tac = seg[2] >> 4, seg[2] & 15
+            ent_start = pos + seg_len
+            ent_end = _entropy_end(data, ent_start)
+            try:
+                scans.append(dict(cid=cid, dc_spec=dht[(0, tdc)],
+                                  ac_spec=dht[(1, tac)],
+                                  entropy=data[ent_start:ent_end]))
+            except KeyError:
+                return None
+            pos = ent_end
+            continue
+        pos += seg_len
+    if not scans or not width or not comps:
+        return None
+    if {s["cid"] for s in scans} != {c[0] for c in comps} \
+            or len(scans) != len(comps):
+        return None
+    return dict(width=width, height=height, comps=comps, quant=quant,
+                scans=scans)
 
 
 def unstuff_segments(entropy: bytes, n_expected: int | None = None):

@@ -302,11 +302,20 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
                 out = np.asarray(reconstruct(y, cb, cr, ql, qc, ph, pw,
                                              samp=samp))
             return out[:height, :width]
+        # no restart markers: non-interleaved scans (grayscale / the
+        # default 3-scan layout) can still decode on device via the
+        # speculative self-synchronizing path
+        from .speculative import speculative_decode
+        out = speculative_decode(data, interpret=interpret)
+        if out is not None:
+            return out
         if entropy_engine == "device":
             raise ValueError("stream not eligible for device entropy "
                              "decode (needs a baseline interleaved "
                              "3-component or grayscale scan with "
-                             "restart markers)")
+                             "restart markers, or a non-interleaved "
+                             "stream large enough for the speculative "
+                             "path)")
     comps, coeffs, quant, width, height = parse_coefficients(data)
 
     def host():

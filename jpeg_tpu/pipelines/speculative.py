@@ -1,0 +1,251 @@
+"""Speculative device entropy decode of NON-restart baseline scans.
+
+Single-component scans — grayscale images and every scan of the
+reference-parity 3-scan layout (``main/encoder.c:605-635``'s own output
+format) — have no MCU phase: data units are bare 8x8 blocks through one
+(DC, AC) table pair.  That makes a scan speculatively parallelizable on
+the VPU lanes even with no restart markers, via Huffman
+self-synchronization (cf. "Accelerating JPEG Decompression on GPUs",
+arxiv 2111.09219):
+
+1. every scan's unstuffed bytes split into ~equal chunks; ALL scans'
+   chunks together fill the lanes of ONE kernel launch (each lane
+   carries its own Huffman tables), so even a stream of small scans
+   reaches useful occupancy;
+2. a positions-only pass (``kernels.huffdec.scan_positions``) decodes
+   blocks from each lane's guessed byte-aligned entry until the lane
+   crosses its chunk end, recording (exit bit, block count, bad flag);
+3. the host iterates the entry fixpoint per scan chain: lane k's true
+   entry is lane k-1's exit; each chain's head entry is exact from the
+   start.  A lane whose guessed decode self-synchronized onto the true
+   symbol stream already has the true exit, so chains usually close in
+   2-3 rounds; desynced lanes propose out-of-window entries, which are
+   clamped and repaired on later rounds;
+4. one payload pass (``decode_segments`` with per-lane entry bits and
+   block counts) emits coefficients; per-lane DC chains (each
+   accumulated from 0) get exclusive-scan base corrections, and lanes
+   concatenate into each scan's raster block order (non-interleaved
+   scans ARE raster order — no MCU de-interleave).
+
+Every inconsistency — no fixpoint within the round budget, an
+undersized block cap, count mismatch, bad codes at the fixpoint —
+returns None and the caller falls back to the host decoder: the
+speculation is an optimization, never a correctness dependence.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+_SLACK = 384          # bytes past the chunk end each lane can read (one
+#                       worst-case block is ~213 bytes)
+_MIN_LANES = 8        # below this total, the threaded host decoder wins
+_TARGET_LANE_BYTES = 2048
+_MAX_ROUNDS = 8
+
+
+def _spec_scans(scan_list, interpret: bool = False,
+                target_lane_bytes: int = _TARGET_LANE_BYTES,
+                min_lanes: int = _MIN_LANES):
+    """Decode a list of (entropy, dc_spec, ac_spec, nblk) scans in one
+    combined speculative launch -> list of zz [nblk, 64] arrays, or
+    None (caller falls back to the host decoder)."""
+    from ..kernels import huffdec as hd
+
+    rows, quads, chain = [], [], []     # chain[k] = scan index of lane k
+    starts_l, limits_l, need = [], [], []
+    for entropy, dc_spec, ac_spec, nblk in scan_list:
+        segs = hd.unstuff_segments(entropy)
+        if len(segs) != 1:
+            return None  # RSTn inside: the restart path is better
+        b = segs[0]
+        nbytes = len(b)
+        s_i = int(min(max(nbytes // target_lane_bytes, 1), 256))
+        o = np.linspace(0, nbytes, s_i + 1).round().astype(np.int64)
+        for s, e in zip(o[:-1], o[1:]):
+            rows.append(b[s:min(e + _SLACK, nbytes)])
+            quads.append((dc_spec, ac_spec, dc_spec, ac_spec))
+            chain.append(len(need))
+            starts_l.append(int(s))
+            limits_l.append(8 * int(e - s))
+        need.append(int(nblk))
+    S = len(rows)
+    if S < min_lanes:
+        return None
+    chain = np.asarray(chain)
+    starts = np.asarray(starts_l, np.int64)
+    head = np.ones(S, bool)
+    head[1:] = chain[1:] != chain[:-1]
+    tail = np.ones(S, bool)
+    tail[:-1] = chain[:-1] != chain[1:]
+
+    streams, active, max_words = hd.pack_streams(rows)
+    Sp = streams.shape[0]
+    maxc, delt, hvp = hd.lane_tables(quads)
+    limits = np.zeros((1, Sp), np.int32)
+    limits[0, :S] = limits_l
+    d_streams = jnp.asarray(streams)
+    d_maxc, d_delt, d_hvp = map(jnp.asarray, (maxc, delt, hvp))
+    d_limits = jnp.asarray(limits)
+
+    avg = max(1, sum(need) // S)
+    cap = max(64, 6 * avg)
+    entries = 8 * starts.copy()          # absolute bit guesses
+    for _attempt in range(2):
+        converged = False
+        for _r in range(_MAX_ROUNDS):
+            earr = np.zeros((1, Sp), np.int32)
+            earr[0, :S] = entries - 8 * starts
+            exits, counts, bad = hd.scan_positions(
+                d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(earr),
+                d_limits, cap_blocks=cap, max_words=max_words,
+                interpret=interpret)
+            exits = np.asarray(exits)[:S].astype(np.int64)
+            counts = np.asarray(counts)[:S].astype(np.int64)
+            bad = np.asarray(bad)[:S].astype(bool)
+            capped = (~bad) & (exits < limits[0, :S]) & (counts >= cap)
+            if capped.any():
+                break  # cap too small: retry larger
+            # propose entry_k = exit_{k-1} within each scan's chain; a
+            # desynced predecessor (bad code or early stall) proposes
+            # garbage outside lane k's row window — clamp those to the
+            # chunk start and keep iterating (the chain repairs lane by
+            # lane at worst); accept only an all-in-window fixpoint
+            prop = exits[:-1] + 8 * starts[:-1]
+            lo = 8 * starts[1:]
+            in_range = (prop >= lo) & (prop <= lo + 8 * _SLACK)
+            new = entries.copy()
+            upd = ~head[1:]
+            new[1:][upd] = np.where(in_range, prop, lo)[upd]
+            fix = (new == entries).all()
+            if fix and in_range[upd].all() and not bad[~tail].any():
+                converged = True
+                break
+            if fix:
+                return None  # stuck on a broken chain: corrupt stream
+            entries = new
+        if converged:
+            break
+        if not capped.any():
+            return None  # no fixpoint within the round budget
+        cap *= 4
+    else:
+        return None
+
+    # chain tails decode the byte-pad tail too; clamp to the truth
+    for i, nblk in enumerate(need):
+        sel = chain == i
+        t = np.flatnonzero(sel)[-1]
+        lastn = nblk - int(counts[sel].sum() - counts[t])
+        if not 0 <= lastn <= int(counts[t]):
+            return None
+        counts[t] = lastn
+
+    nblk_seg = max(16, -(-int(counts.max()) // 16) * 16)
+    nlarr = np.zeros((1, Sp), np.int32)
+    nlarr[0, :S] = counts
+    earr = np.zeros((1, Sp), np.int32)
+    earr[0, :S] = entries - 8 * starts
+    out = np.asarray(hd.decode_segments(
+        d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr), "gray",
+        nblk_seg, max_words, interpret=interpret,
+        entry=jnp.asarray(earr)))[:S]
+
+    # stitch lanes per scan; per-lane DC chains start at 0 ->
+    # exclusive-scan base corrections along each chain
+    results = []
+    for i, nblk in enumerate(need):
+        parts, base = [], 0
+        for k in np.flatnonzero(chain == i):
+            nk = int(counts[k])
+            if not nk:
+                continue
+            blk = out[k, :nk].copy()
+            blk[:, 0] += base
+            base = int(blk[-1, 0])
+            parts.append(blk)
+        zz = (np.concatenate(parts) if parts
+              else np.zeros((0, 64), np.int32))
+        if len(zz) != nblk:
+            return None
+        results.append(zz)
+    return results
+
+
+def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
+                        interpret: bool = False,
+                        target_lane_bytes: int = _TARGET_LANE_BYTES):
+    """One single-component scan -> zig-zagged [nblk, 64] int32, or None.
+
+    ``dc_spec``/``ac_spec`` are (bits [17], huffval) DHT arrays;
+    ``nblk`` the scan's true data-unit count (bw * bh).
+    """
+    got = _spec_scans([(entropy, dc_spec, ac_spec, nblk)],
+                      interpret=interpret,
+                      target_lane_bytes=target_lane_bytes)
+    return None if got is None else got[0]
+
+
+def speculative_decode(data: bytes, interpret: bool = False,
+                       target_lane_bytes: int = _TARGET_LANE_BYTES):
+    """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
+
+    Covers grayscale and 3-scan color (the reference's own layout) with
+    MCU-padded component grids; all scans share one combined
+    speculative launch, the reconstruction rides the standard device
+    path.
+    """
+    from ..kernels import huffdec as hd
+    from .decode import reconstruct, reconstruct_gray
+    info = hd.parse_noninterleaved_scans(data)
+    if info is None:
+        return None
+    comps = info["comps"]
+    width, height = info["width"], info["height"]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    grids = {}
+    for cid, h_s, v_s, _qid in comps:
+        cw = -(-width * h_s // hmax)
+        ch = -(-height * v_s // vmax)
+        grids[cid] = (-(-cw // 8), -(-ch // 8))  # (bw, bh)
+    scan_list = [(s["entropy"], s["dc_spec"], s["ac_spec"],
+                  grids[s["cid"]][0] * grids[s["cid"]][1])
+                 for s in info["scans"]]
+    got = _spec_scans(scan_list, interpret=interpret,
+                      target_lane_bytes=target_lane_bytes)
+    if got is None:
+        return None
+    zz_by_cid = {s["cid"]: zz for s, zz in zip(info["scans"], got)}
+
+    if len(comps) == 1:
+        cid, _, _, qid = comps[0]
+        bw, bh = grids[cid]
+        out = np.asarray(reconstruct_gray(
+            jnp.asarray(zz_by_cid[cid]), jnp.asarray(info["quant"][qid]),
+            bh * 8, bw * 8))
+        return out[:height, :width]
+
+    if len(comps) != 3:
+        return None
+    samp = {((2, 2), (1, 1), (1, 1)): "420",
+            ((2, 1), (1, 1), (1, 1)): "422",
+            ((1, 1), (1, 1), (1, 1)): "444"}.get(
+        tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
+    (cy, _, _, qy), (cb, _, _, qb), (cr, _, _, qr) = comps
+    if samp is None or qb != qr:
+        return None
+    mcu_h = 16 if samp == "420" else 8
+    mcu_w = 8 if samp == "444" else 16
+    ph, pw = -(-height // mcu_h) * mcu_h, -(-width // mcu_w) * mcu_w
+    ch_h = ph // 2 if samp == "420" else ph
+    ch_w = pw // 2 if samp in ("420", "422") else pw
+    if grids[cy] != (pw // 8, ph // 8) or \
+            grids[cb] != (ch_w // 8, ch_h // 8) or grids[cb] != grids[cr]:
+        return None  # non-MCU-padded foreign grid: host path
+    out = np.asarray(reconstruct(
+        jnp.asarray(zz_by_cid[cy]), jnp.asarray(zz_by_cid[cb]),
+        jnp.asarray(zz_by_cid[cr]), jnp.asarray(info["quant"][qy]),
+        jnp.asarray(info["quant"][qb]), ph, pw, samp=samp))
+    return out[:height, :width]
