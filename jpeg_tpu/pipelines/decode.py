@@ -388,10 +388,17 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
     for i, d in enumerate(datas):
         info = _parse_device_eligible(d) if use_dev else None
         if info is None:
-            if entropy_engine == "device":
+            out = None
+            if use_dev:  # non-restart 3-scan/grayscale: speculative path
+                from .speculative import speculative_decode
+                out = speculative_decode(d, interpret=interpret)
+            if out is not None:
+                results[i] = out
+            elif entropy_engine == "device":
                 raise ValueError(f"stream {i} not eligible for device "
                                  "entropy decode")
-            results[i] = decode_jpeg(d, entropy_engine="host")
+            else:
+                results[i] = decode_jpeg(d, entropy_engine="host")
         else:
             groups.setdefault(info["samp"], []).append((i, info))
 
