@@ -726,8 +726,11 @@ def pack_streams(segs: list[np.ndarray]):
     S = len(segs)
     Sp = -(-S // _LG) * _LG
     max_bytes = max(len(s) for s in segs)
-    # 128-padded so the refill's chunked gather sees whole vregs
+    # 128-padded so the refill's chunked gather sees whole vregs, then
+    # pow2-bucketed so same-ballpark streams share a compiled kernel
+    # (every distinct max_words is a fresh ~30 s Mosaic compile)
     max_words = -(-max(-(-max_bytes // 4) + 2, _WNDW + 2) // 128) * 128
+    max_words = 128 << int(np.ceil(np.log2(max_words / 128)))
     buf = np.zeros((Sp, max_words * 4), np.uint8)
     for i, s in enumerate(segs):
         buf[i, :len(s)] = s

@@ -90,7 +90,10 @@ def _spec_scans(scan_list, interpret: bool = False,
     d_limits = jnp.asarray(limits)
 
     avg = max(1, sum(need) // S)
-    cap = max(64, 6 * avg)
+    # pow2 bucket: every distinct (cap, max_words, nblk_seg) triple is a
+    # fresh Mosaic compile (~30 s on the tunneled chip) — quantize so
+    # same-ballpark streams share executables
+    cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
     entries = 8 * starts.copy()          # absolute bit guesses
     for _attempt in range(2):
         converged = False
@@ -142,7 +145,7 @@ def _spec_scans(scan_list, interpret: bool = False,
             return None
         counts[t] = lastn
 
-    nblk_seg = max(16, -(-int(counts.max()) // 16) * 16)
+    nblk_seg = 1 << int(np.ceil(np.log2(max(16, int(counts.max())))))
     nlarr = np.zeros((1, Sp), np.int32)
     nlarr[0, :S] = counts
     earr = np.zeros((1, Sp), np.int32)
