@@ -385,22 +385,28 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
     use_dev = entropy_engine != "host" and (
         interpret or jax.default_backend() == "tpu")
     groups: dict = {}
+    spec_idx = []
     for i, d in enumerate(datas):
         info = _parse_device_eligible(d) if use_dev else None
         if info is None:
-            out = None
-            if use_dev:  # non-restart 3-scan/grayscale: speculative path
-                from .speculative import speculative_decode
-                out = speculative_decode(d, interpret=interpret)
+            spec_idx.append(i)
+        else:
+            groups.setdefault(info["samp"], []).append((i, info))
+    if spec_idx:
+        if use_dev:  # non-restart 3-scan/grayscale: one combined
+            from .speculative import speculative_decode_batch
+            outs = speculative_decode_batch([datas[i] for i in spec_idx],
+                                            interpret=interpret)
+        else:
+            outs = [None] * len(spec_idx)
+        for i, out in zip(spec_idx, outs):
             if out is not None:
                 results[i] = out
             elif entropy_engine == "device":
                 raise ValueError(f"stream {i} not eligible for device "
                                  "entropy decode")
             else:
-                results[i] = decode_jpeg(d, entropy_engine="host")
-        else:
-            groups.setdefault(info["samp"], []).append((i, info))
+                results[i] = decode_jpeg(datas[i], entropy_engine="host")
 
     from ..kernels import huffdec as hd
     for samp, items in groups.items():

@@ -190,17 +190,14 @@ def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
     return None if got is None else got[0]
 
 
-def speculative_decode(data: bytes, interpret: bool = False,
-                       target_lane_bytes: int = _TARGET_LANE_BYTES):
-    """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
+def _parse_spec(data: bytes):
+    """Parse + fully validate a stream for the speculative path.
 
-    Covers grayscale and 3-scan color (the reference's own layout) with
-    MCU-padded component grids; all scans share one combined
-    speculative launch, the reconstruction rides the standard device
-    path.
+    Returns None for anything ineligible (interleaved, progressive,
+    restarts, non-MCU-padded color grids, split chroma quantizers);
+    else (info, grids, scan_list) ready for ``_spec_scans``.
     """
     from ..kernels import huffdec as hd
-    from .decode import reconstruct, reconstruct_gray
     info = hd.parse_noninterleaved_scans(data)
     if info is None:
         return None
@@ -213,15 +210,39 @@ def speculative_decode(data: bytes, interpret: bool = False,
         cw = -(-width * h_s // hmax)
         ch = -(-height * v_s // vmax)
         grids[cid] = (-(-cw // 8), -(-ch // 8))  # (bw, bh)
+    if len(comps) == 3:
+        samp = {((2, 2), (1, 1), (1, 1)): "420",
+                ((2, 1), (1, 1), (1, 1)): "422",
+                ((1, 1), (1, 1), (1, 1)): "444"}.get(
+            tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
+        (cy, _, _, _qy), (cb, _, _, qb), (cr, _, _, qr) = comps
+        if samp is None or qb != qr:
+            return None
+        mcu_h = 16 if samp == "420" else 8
+        mcu_w = 8 if samp == "444" else 16
+        ph = -(-height // mcu_h) * mcu_h
+        pw = -(-width // mcu_w) * mcu_w
+        ch_h = ph // 2 if samp == "420" else ph
+        ch_w = pw // 2 if samp in ("420", "422") else pw
+        if grids[cy] != (pw // 8, ph // 8) or \
+                grids[cb] != (ch_w // 8, ch_h // 8) \
+                or grids[cb] != grids[cr]:
+            return None  # non-MCU-padded foreign grid: host path
+        info["samp"], info["pdims"] = samp, (ph, pw)
+    elif len(comps) != 1:
+        return None
     scan_list = [(s["entropy"], s["dc_spec"], s["ac_spec"],
                   grids[s["cid"]][0] * grids[s["cid"]][1])
                  for s in info["scans"]]
-    got = _spec_scans(scan_list, interpret=interpret,
-                      target_lane_bytes=target_lane_bytes)
-    if got is None:
-        return None
-    zz_by_cid = {s["cid"]: zz for s, zz in zip(info["scans"], got)}
+    return info, grids, scan_list
 
+
+def _reconstruct_spec(info, grids, zzs):
+    """Per-scan coefficient arrays -> uint8 image (device IDCT path)."""
+    from .decode import reconstruct, reconstruct_gray
+    comps = info["comps"]
+    width, height = info["width"], info["height"]
+    zz_by_cid = {s["cid"]: zz for s, zz in zip(info["scans"], zzs)}
     if len(comps) == 1:
         cid, _, _, qid = comps[0]
         bw, bh = grids[cid]
@@ -229,26 +250,66 @@ def speculative_decode(data: bytes, interpret: bool = False,
             jnp.asarray(zz_by_cid[cid]), jnp.asarray(info["quant"][qid]),
             bh * 8, bw * 8))
         return out[:height, :width]
-
-    if len(comps) != 3:
-        return None
-    samp = {((2, 2), (1, 1), (1, 1)): "420",
-            ((2, 1), (1, 1), (1, 1)): "422",
-            ((1, 1), (1, 1), (1, 1)): "444"}.get(
-        tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
-    (cy, _, _, qy), (cb, _, _, qb), (cr, _, _, qr) = comps
-    if samp is None or qb != qr:
-        return None
-    mcu_h = 16 if samp == "420" else 8
-    mcu_w = 8 if samp == "444" else 16
-    ph, pw = -(-height // mcu_h) * mcu_h, -(-width // mcu_w) * mcu_w
-    ch_h = ph // 2 if samp == "420" else ph
-    ch_w = pw // 2 if samp in ("420", "422") else pw
-    if grids[cy] != (pw // 8, ph // 8) or \
-            grids[cb] != (ch_w // 8, ch_h // 8) or grids[cb] != grids[cr]:
-        return None  # non-MCU-padded foreign grid: host path
+    (cy, _, _, qy), (cb, _, _, qb), (cr, _, _, _qr) = comps
+    ph, pw = info["pdims"]
     out = np.asarray(reconstruct(
         jnp.asarray(zz_by_cid[cy]), jnp.asarray(zz_by_cid[cb]),
         jnp.asarray(zz_by_cid[cr]), jnp.asarray(info["quant"][qy]),
-        jnp.asarray(info["quant"][qb]), ph, pw, samp=samp))
+        jnp.asarray(info["quant"][qb]), ph, pw, samp=info["samp"]))
     return out[:height, :width]
+
+
+def speculative_decode(data: bytes, interpret: bool = False,
+                       target_lane_bytes: int = _TARGET_LANE_BYTES):
+    """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
+
+    Covers grayscale and 3-scan color (the reference's own layout) with
+    MCU-padded component grids; all scans share one combined
+    speculative launch, the reconstruction rides the standard device
+    path.
+    """
+    p = _parse_spec(data)
+    if p is None:
+        return None
+    info, grids, scan_list = p
+    got = _spec_scans(scan_list, interpret=interpret,
+                      target_lane_bytes=target_lane_bytes)
+    if got is None:
+        return None
+    return _reconstruct_spec(info, grids, got)
+
+
+def speculative_decode_batch(datas, interpret: bool = False,
+                             target_lane_bytes: int = _TARGET_LANE_BYTES):
+    """Batch variant -> list of (image or None), one entry per input.
+
+    ALL images' scans share one combined launch (chains are per scan
+    already), amortizing the fixpoint rounds' dispatch latency across
+    the batch; if the combined call fails (one corrupt stream), each
+    image is salvaged individually before giving up on it.
+    """
+    parsed = [_parse_spec(d) for d in datas]
+    results: list = [None] * len(datas)
+    idx = [i for i, p in enumerate(parsed) if p is not None]
+    if not idx:
+        return results
+    combined = []
+    for i in idx:
+        combined.extend(parsed[i][2])
+    got = _spec_scans(combined, interpret=interpret,
+                      target_lane_bytes=target_lane_bytes)
+    if got is not None:
+        off = 0
+        for i in idx:
+            info, grids, scan_list = parsed[i]
+            results[i] = _reconstruct_spec(
+                info, grids, got[off:off + len(scan_list)])
+            off += len(scan_list)
+        return results
+    for i in idx:  # combined failed: salvage per image
+        info, grids, scan_list = parsed[i]
+        got_i = _spec_scans(scan_list, interpret=interpret,
+                            target_lane_bytes=target_lane_bytes)
+        if got_i is not None:
+            results[i] = _reconstruct_spec(info, grids, got_i)
+    return results

@@ -101,3 +101,31 @@ def test_corrupt_stream_falls_back_not_wrong():
         # None (detected) is fine; if accepted, the count contract held
         if zz is not None:
             assert zz.shape == (400, 64)
+
+
+def test_speculative_batch_combined():
+    """Many images' scans in ONE combined launch; results equal the
+    per-image path and the host decoder."""
+    from jpeg_tpu.pipelines.decode import decode_jpeg_batch
+    from jpeg_tpu.pipelines.speculative import speculative_decode_batch
+    rng = np.random.default_rng(4)
+    datas = []
+    for k, (samp, hw) in enumerate([("420", (192, 192)),
+                                    ("444", (128, 192)),
+                                    ("420", (192, 128))]):
+        img = rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        datas.append(bytes(JpegEncoder(
+            EncodeConfig(subsampling=samp)).encode(img)))
+    outs = speculative_decode_batch(datas, interpret=True,
+                                    target_lane_bytes=512)
+    for d, out in zip(datas, outs):
+        assert out is not None
+        assert np.array_equal(out, decode_jpeg(d, entropy_engine="host"))
+    # and through the public batch API (mixed with a restart stream)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2, engine="xla")
+    rimg = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    datas.append(bytes(JpegEncoder(cfg).encode(rimg)))
+    got = decode_jpeg_batch(datas, interpret=True)
+    for d, out in zip(datas, got):
+        assert np.array_equal(out, decode_jpeg(d, entropy_engine="host"))
