@@ -149,6 +149,46 @@ def _decode_symbol(peek32, maxc, delt, hvp, tbl: int):
     return sym, lsel + 1
 
 
+def _decode_symbol_dyn(peek32, maxc, delt, hvp, tsel):
+    """``_decode_symbol`` with a PER-LANE table row (``tsel`` [1, 128]
+    in 0..3) — speculative interleaved decode, where each lane carries
+    its own MCU phase and so its own current component/table."""
+    maxc_s = jnp.zeros((16, _LG), jnp.int32)
+    delt_s = jnp.zeros((16, _LG), jnp.int32)
+    hvp_s = jnp.zeros((_LG, 64), jnp.int32)
+    for t in range(4):
+        m = tsel == t
+        maxc_s = jnp.where(m, maxc[16 * t:16 * (t + 1)], maxc_s)
+        delt_s = jnp.where(m, delt[16 * t:16 * (t + 1)], delt_s)
+        hvp_s = jnp.where(m.T, hvp[:, 64 * t:64 * (t + 1)], hvp_s)
+    peek16 = _shr(peek32, jnp.int32(16))
+    sub = _sub_iota((16, _LG))
+    sh = _shr(jnp.broadcast_to(peek16, (16, _LG)), 15 - sub)
+    fits = sh <= maxc_s
+    lsel = jnp.min(jnp.where(fits, sub, 99), axis=0, keepdims=True)
+    code = _select16(lsel, sh)
+    symidx = jnp.clip(code + _select16(lsel, delt_s), 0, 255)
+    widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
+    word = jnp.take_along_axis(hvp_s, widx, axis=1)[:, 0:1].T
+    sym = _shr(word, 8 * (symidx & 3)) & 0xFF
+    return sym, lsel + 1
+
+
+def _lane_pattern(sampling: str, pos):
+    """Per-lane (dc row, ac row, component) for MCU position ``pos``
+    ([1, 128] in 0..period-1), via static selects over the pattern."""
+    pat = _PATTERN[sampling]
+    dcs = jnp.zeros_like(pos)
+    acs = jnp.zeros_like(pos)
+    cmp = jnp.zeros_like(pos)
+    for q, (d, a, c) in enumerate(pat):
+        m = pos == q
+        dcs = jnp.where(m, d, dcs)
+        acs = jnp.where(m, a, acs)
+        cmp = jnp.where(m, c, cmp)
+    return dcs, acs, cmp
+
+
 def _extend(extra, size):
     """T.81 F.2.2.1 EXTEND: ``size``-bit magnitude -> signed value."""
     half = jnp.left_shift(1, jnp.clip(size - 1, 0, 31))
@@ -195,8 +235,9 @@ def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int):
 
 
 def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
-               entry_ref, out_ref, st_ref, wnd_ref, *, sampling: str,
-               nblk_real: int, chunk: int, max_words: int):
+               entry_ref, phase_ref, out_ref, st_ref, wnd_ref, *,
+               sampling: str, nblk_real: int, chunk: int, max_words: int,
+               phased: bool = False):
     # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
     # (bits, 32-aligned; -32*_WNDW forces the first refill)
     period = len(_PATTERN[sampling])
@@ -206,6 +247,7 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
     delt = delt_ref[:]
     hvp = hvp_ref[:]
     nblk_l = nblk_ref[:]       # [1, 128] per-lane real block count
+    phase_l = phase_ref[:]
 
     @pl.when(c == 0)
     def _():
@@ -227,13 +269,30 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
             base_bits = st_ref[4:5, :]
             # -- DC --
             peek = _fetch32(wnd_ref, base_bits, bitpos)
-            sym, ln = _decode_symbol(peek, maxc, delt, hvp, dct)
+            if phased:  # per-lane MCU phase: per-lane tables/component
+                pos = jax.lax.rem(phase_l + (c * chunk + j),
+                                  jnp.int32(period))
+                dcs, acs, cmps = _lane_pattern(sampling, pos)
+                sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, dcs)
+            else:
+                acs = cmps = None
+                sym, ln = _decode_symbol(peek, maxc, delt, hvp, dct)
             size = sym & 15
             ok = live_l & (ln < 17)
             diff = _extend(_take_bits(peek, ln, size), size)
-            pred = st_ref[1 + comp:2 + comp, :]
-            dc = pred + jnp.where(ok, diff, 0)
-            st_ref[1 + comp:2 + comp, :] = dc
+            if phased:
+                pred = jnp.zeros_like(diff)
+                for cc in range(3):
+                    pred = jnp.where(cmps == cc,
+                                     st_ref[1 + cc:2 + cc, :], pred)
+                dc = pred + jnp.where(ok, diff, 0)
+                for cc in range(3):
+                    st_ref[1 + cc:2 + cc, :] = jnp.where(
+                        ok & (cmps == cc), dc, st_ref[1 + cc:2 + cc, :])
+            else:
+                pred = st_ref[1 + comp:2 + comp, :]
+                dc = pred + jnp.where(ok, diff, 0)
+                st_ref[1 + comp:2 + comp, :] = dc
             bitpos = bitpos + jnp.where(ok, ln + size, 0)
 
             okb = jnp.broadcast_to(ok, (64, _LG))
@@ -245,11 +304,15 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 done, _, _, _ = carry
                 return jnp.logical_not(jnp.all(done))
 
-            def body(carry, act_t=act_t):
+            def body(carry, act_t=act_t, acs=acs):
                 done, slot, bp, acc = carry
                 ensure_window(bp)
                 peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-                sym, ln = _decode_symbol(peek, maxc, delt, hvp, act_t)
+                if phased:
+                    sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp,
+                                                 acs)
+                else:
+                    sym, ln = _decode_symbol(peek, maxc, delt, hvp, act_t)
                 run = _shr(sym, jnp.int32(4))
                 size = sym & 15
                 bad = ln >= 17
@@ -284,27 +347,33 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
 
 
 def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
-                 limit_ref, out_ref, pos_ref, st_ref, wnd_ref, *,
-                 chunk: int, max_words: int):
-    """Positions-only speculative decode of single-component scans.
+                 limit_ref, phase_ref, out_ref, pos_ref, st_ref, wnd_ref,
+                 *, sampling: str, chunk: int, max_words: int):
+    """Positions-only speculative decode pass.
 
-    Each lane walks blocks (DC table row 0, AC row 1 — period-1
-    patterns only: grayscale images and the scans of a 3-scan stream)
-    from its ``entry`` bit until its bit position reaches ``limit`` or a
-    non-decodable code marks the lane bad.  No coefficients are emitted
-    — only the exit bit position, the decoded block count, and the bad
-    flag (``pos_ref`` rows 0..2), which drive the host's entry-point
-    fixpoint (self-synchronizing Huffman, after "Accelerating JPEG
-    Decompression on GPUs", arxiv 2111.09219).
+    Each lane walks blocks from its ``entry`` bit until its bit position
+    reaches ``limit`` or a non-decodable code marks the lane bad.  No
+    coefficients are emitted — only the exit bit position, the decoded
+    block count, and the bad flag (``pos_ref`` rows 0..2), which drive
+    the host's entry-point fixpoint (self-synchronizing Huffman, after
+    "Accelerating JPEG Decompression on GPUs", arxiv 2111.09219).
+
+    Period-1 patterns ("gray": grayscale images and the scans of a
+    3-scan stream) use the static DC/AC table rows 0/1; interleaved
+    patterns additionally speculate each lane's MCU PHASE (``phase_ref``
+    — position of the lane's first block within the MCU period), which
+    picks per-lane table rows per block.
 
     st rows: 0 bitpos, 1 dc pred (unused for positions, kept for
     layout), 3 block count, 4 window base, 5 sticky bad.
     """
+    period = len(_PATTERN[sampling])
     c = pl.program_id(1)
     maxc = maxc_ref[:]
     delt = delt_ref[:]
     hvp = hvp_ref[:]
     limit_l = limit_ref[:]
+    phase_l = phase_ref[:]
 
     @pl.when(c == 0)
     def _():
@@ -317,11 +386,18 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
                                       max_words)
 
     for j in range(chunk):
+        acs = None
+        if period > 1:
+            pos = jax.lax.rem(phase_l + (c * chunk + j), jnp.int32(period))
+            dcs, acs, _cmp = _lane_pattern(sampling, pos)
         bitpos0 = st_ref[0:1, :]
         live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
         ensure_window(bitpos0)
         peek = _fetch32(wnd_ref, st_ref[4:5, :], bitpos0)
-        sym, ln = _decode_symbol(peek, maxc, delt, hvp, 0)
+        if period > 1:
+            sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, dcs)
+        else:
+            sym, ln = _decode_symbol(peek, maxc, delt, hvp, 0)
         size = sym & 15
         ok = live_l & (ln < 17)
         badf = live_l & (ln >= 17)
@@ -331,11 +407,14 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
             done, _, _, _ = carry
             return jnp.logical_not(jnp.all(done))
 
-        def body(carry):
+        def body(carry, acs=acs):
             done, slot, bp, badacc = carry
             ensure_window(bp)
             peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-            sym, ln = _decode_symbol(peek, maxc, delt, hvp, 1)
+            if period > 1:
+                sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, acs)
+            else:
+                sym, ln = _decode_symbol(peek, maxc, delt, hvp, 1)
             run = _shr(sym, jnp.int32(4))
             size = sym & 15
             bad = ln >= 17
@@ -362,13 +441,17 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cap_blocks", "max_words", "interpret"))
+                   static_argnames=("cap_blocks", "max_words", "sampling",
+                                    "interpret"))
 def scan_positions(streams, maxc, delt, hvp, entry, limit,
                    cap_blocks: int, max_words: int,
+                   sampling: str = "gray", phase=None,
                    interpret: bool = False):
     """Speculative positions pass -> (exit_bits, counts, bad), each [Sp].
 
-    ``entry``/``limit`` are [1, Sp] bit offsets within each lane's row.
+    ``entry``/``limit`` are [1, Sp] bit offsets within each lane's row;
+    ``phase`` [1, Sp] the guessed MCU position of each lane's first
+    block (interleaved patterns; ignored for period-1 ``sampling``).
     ``cap_blocks`` bounds the grid; a lane that hasn't reached its limit
     after cap_blocks keeps bitpos < limit, which the caller must treat
     as non-converged (fall back to the host decoder).
@@ -376,8 +459,10 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
     Sp = streams.shape[0]
     chunk = 8
     cap_p = -(-cap_blocks // chunk) * chunk
-    kernel = functools.partial(_scan_kernel, chunk=chunk,
-                               max_words=max_words)
+    if phase is None:
+        phase = jnp.zeros((1, Sp), jnp.int32)
+    kernel = functools.partial(_scan_kernel, sampling=sampling,
+                               chunk=chunk, max_words=max_words)
     _, pos = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((Sp, 128), jnp.int32),
@@ -396,6 +481,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LG), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((_LG, 128), lambda g, c: (g, 0),
                                 memory_space=pltpu.VMEM),
@@ -405,7 +492,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp,
-      jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32))
+      jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
+      jnp.asarray(phase, jnp.int32))
     pos = pos.reshape(Sp // _LG, 8, _LG)
     exits = pos[:, 0, :].reshape(Sp)
     counts = pos[:, 1, :].reshape(Sp)
@@ -415,10 +503,11 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
 
 @functools.partial(jax.jit,
                    static_argnames=("sampling", "nblk_seg", "max_words",
-                                    "interpret"))
+                                    "interpret", "phased"))
 def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                     nblk_seg: int, max_words: int,
-                    interpret: bool = False, entry=None):
+                    interpret: bool = False, entry=None, phase=None,
+                    phased: bool = False):
     """[Sp, max_words] u32 segment streams -> zz [Sp, nblk_p, 64] int32.
 
     Sp must be a multiple of 128; ``nblk_lane`` [1, Sp] int32 holds each
@@ -430,7 +519,10 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     at each lane's start; slots are in zigzag order — exactly what
     ``pipelines.decode.reconstruct`` consumes after the MCU-order
     inverse.  ``entry`` [1, Sp] sets each lane's starting bit within its
-    row (speculative non-restart decode; default 0 = restart segments).
+    row (speculative non-restart decode; default 0 = restart segments);
+    ``phased=True`` additionally takes each lane's MCU position of its
+    first block in ``phase`` [1, Sp] (speculative interleaved decode —
+    per-lane table/component selection).
     """
     Sp = streams.shape[0]
     period = len(_PATTERN[sampling])
@@ -438,9 +530,11 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     nblk_p = -(-nblk_seg // chunk) * chunk
     if entry is None:
         entry = jnp.zeros((1, Sp), jnp.int32)
+    if phase is None:
+        phase = jnp.zeros((1, Sp), jnp.int32)
     kernel = functools.partial(
         _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
-        max_words=max_words)
+        max_words=max_words, phased=phased)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, nblk_p * 64), jnp.int32),
@@ -458,6 +552,8 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LG), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_LG, chunk * 64), lambda g, c: (g, c),
                                memory_space=pltpu.VMEM),
@@ -465,7 +561,7 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane,
-      jnp.asarray(entry, jnp.int32))
+      jnp.asarray(entry, jnp.int32), jnp.asarray(phase, jnp.int32))
     return out.reshape(Sp, nblk_p, 64)
 
 
@@ -509,7 +605,7 @@ def decode_segments_sharded(mesh, streams, maxc, delt, hvp, nblk_lane,
 
 # -- host-side preparation -------------------------------------------------
 
-def parse_scan_structure(data: bytes):
+def parse_scan_structure(data: bytes, require_restarts: bool = True):
     """Light marker walk (no entropy decode) for device-decode routing.
 
     Returns None unless the stream is a single-scan BASELINE image with
@@ -518,6 +614,8 @@ def parse_scan_structure(data: bytes):
     framework's standard output; anything else takes the native host
     decoder).  Otherwise returns a dict with the geometry, per-table
     DHT specs, quantizers (raster order), and the entropy byte range.
+    ``require_restarts=False`` also returns DRI-less streams (the
+    speculative interleaved path, ``pipelines.speculative``).
     """
     from ..core import tables as T
     if data[:2] != b"\xff\xd8":
@@ -583,7 +681,7 @@ def parse_scan_structure(data: bytes):
             scan = (tabs, ent_start)
             break
         pos += seg_len
-    if scan is None or not width or ri == 0:
+    if scan is None or not width or (require_restarts and ri == 0):
         return None
     tabs, ent_start = scan
     # entropy range: forward scan to the first non-RST, non-stuffing marker

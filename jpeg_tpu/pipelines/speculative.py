@@ -43,19 +43,28 @@ _SLACK = 384          # bytes past the chunk end each lane can read (one
 _MIN_LANES = 8        # below this total, the threaded host decoder wins
 _TARGET_LANE_BYTES = 2048
 _MAX_ROUNDS = 8
+_MAX_ROUNDS_PHASED = 16   # interleaved chains may repair lane by lane
 
 
 def _spec_scans(scan_list, interpret: bool = False,
                 target_lane_bytes: int = _TARGET_LANE_BYTES,
-                min_lanes: int = _MIN_LANES):
-    """Decode a list of (entropy, dc_spec, ac_spec, nblk) scans in one
-    combined speculative launch -> list of zz [nblk, 64] arrays, or
-    None (caller falls back to the host decoder)."""
+                min_lanes: int = _MIN_LANES, sampling: str = "gray"):
+    """Decode a list of (entropy, table_quad, nblk) scans in one
+    combined speculative launch -> list of zz [nblk, 64] arrays (block
+    emission order), or None (caller falls back to the host decoder).
+
+    ``sampling`` selects the MCU pattern for EVERY chain: "gray" for
+    single-component scans (3-scan layout / grayscale; tables at quad
+    rows 0/1), or an interleaved mode ("420"/"422"/"444"), in which case
+    lanes additionally speculate the MCU PHASE of their first block —
+    initially guessed 0 and corrected through the same chain fixpoint
+    as the entry bits."""
     from ..kernels import huffdec as hd
+    period = len(hd._PATTERN[sampling])
 
     rows, quads, chain = [], [], []     # chain[k] = scan index of lane k
     starts_l, limits_l, need = [], [], []
-    for entropy, dc_spec, ac_spec, nblk in scan_list:
+    for entropy, quad, nblk in scan_list:
         segs = hd.unstuff_segments(entropy)
         if len(segs) != 1:
             return None  # RSTn inside: the restart path is better
@@ -65,7 +74,7 @@ def _spec_scans(scan_list, interpret: bool = False,
         o = np.linspace(0, nbytes, s_i + 1).round().astype(np.int64)
         for s, e in zip(o[:-1], o[1:]):
             rows.append(b[s:min(e + _SLACK, nbytes)])
-            quads.append((dc_spec, ac_spec, dc_spec, ac_spec))
+            quads.append(quad)
             chain.append(len(need))
             starts_l.append(int(s))
             limits_l.append(8 * int(e - s))
@@ -95,14 +104,19 @@ def _spec_scans(scan_list, interpret: bool = False,
     # same-ballpark streams share executables
     cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
     entries = 8 * starts.copy()          # absolute bit guesses
+    phases = np.zeros(S, np.int64)       # MCU phase guesses (heads: true)
+    rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
     for _attempt in range(2):
         converged = False
-        for _r in range(_MAX_ROUNDS):
+        for _r in range(rounds):
             earr = np.zeros((1, Sp), np.int32)
             earr[0, :S] = entries - 8 * starts
+            parr = np.zeros((1, Sp), np.int32)
+            parr[0, :S] = phases
             exits, counts, bad = hd.scan_positions(
                 d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(earr),
                 d_limits, cap_blocks=cap, max_words=max_words,
+                sampling=sampling, phase=jnp.asarray(parr),
                 interpret=interpret)
             exits = np.asarray(exits)[:S].astype(np.int64)
             counts = np.asarray(counts)[:S].astype(np.int64)
@@ -110,24 +124,28 @@ def _spec_scans(scan_list, interpret: bool = False,
             capped = (~bad) & (exits < limits[0, :S]) & (counts >= cap)
             if capped.any():
                 break  # cap too small: retry larger
-            # propose entry_k = exit_{k-1} within each scan's chain; a
-            # desynced predecessor (bad code or early stall) proposes
-            # garbage outside lane k's row window — clamp those to the
-            # chunk start and keep iterating (the chain repairs lane by
-            # lane at worst); accept only an all-in-window fixpoint
+            # propose (entry bit, phase)_k = exit state of lane k-1
+            # within each scan's chain; a desynced predecessor (bad code
+            # or early stall) proposes garbage outside lane k's row
+            # window — clamp those to the chunk start and keep iterating
+            # (the chain repairs lane by lane at worst); accept only an
+            # all-in-window fixpoint
             prop = exits[:-1] + 8 * starts[:-1]
             lo = 8 * starts[1:]
             in_range = (prop >= lo) & (prop <= lo + 8 * _SLACK)
             new = entries.copy()
             upd = ~head[1:]
             new[1:][upd] = np.where(in_range, prop, lo)[upd]
-            fix = (new == entries).all()
+            newp = phases.copy()
+            prop_p = (phases[:-1] + counts[:-1]) % period
+            newp[1:][upd] = np.where(in_range, prop_p, 0)[upd]
+            fix = (new == entries).all() and (newp == phases).all()
             if fix and in_range[upd].all() and not bad[~tail].any():
                 converged = True
                 break
             if fix:
                 return None  # stuck on a broken chain: corrupt stream
-            entries = new
+            entries, phases = new, newp
         if converged:
             break
         if not capped.any():
@@ -150,23 +168,35 @@ def _spec_scans(scan_list, interpret: bool = False,
     nlarr[0, :S] = counts
     earr = np.zeros((1, Sp), np.int32)
     earr[0, :S] = entries - 8 * starts
+    parr = np.zeros((1, Sp), np.int32)
+    parr[0, :S] = phases
     out = np.asarray(hd.decode_segments(
-        d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr), "gray",
+        d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr), sampling,
         nblk_seg, max_words, interpret=interpret,
-        entry=jnp.asarray(earr)))[:S]
+        entry=jnp.asarray(earr), phase=jnp.asarray(parr),
+        phased=period > 1))[:S]
 
-    # stitch lanes per scan; per-lane DC chains start at 0 ->
-    # exclusive-scan base corrections along each chain
+    # stitch lanes per scan; per-lane per-COMPONENT DC chains start at
+    # 0 -> exclusive-scan base corrections along each chain
+    comp_of = np.asarray([c for _, _, c in hd._PATTERN[sampling]])
     results = []
     for i, nblk in enumerate(need):
-        parts, base = [], 0
+        parts, base = [], np.zeros(3, np.int64)
         for k in np.flatnonzero(chain == i):
             nk = int(counts[k])
             if not nk:
                 continue
             blk = out[k, :nk].copy()
-            blk[:, 0] += base
-            base = int(blk[-1, 0])
+            if period == 1:
+                blk[:, 0] += base[0]
+                base[0] = blk[-1, 0]
+            else:
+                cseq = comp_of[(phases[k] + np.arange(nk)) % period]
+                for cc in range(3):
+                    idx = np.flatnonzero(cseq == cc)
+                    if idx.size:
+                        blk[idx, 0] += base[cc]
+                        base[cc] = blk[idx[-1], 0]
             parts.append(blk)
         zz = (np.concatenate(parts) if parts
               else np.zeros((0, 64), np.int32))
@@ -184,62 +214,123 @@ def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
     ``dc_spec``/``ac_spec`` are (bits [17], huffval) DHT arrays;
     ``nblk`` the scan's true data-unit count (bw * bh).
     """
-    got = _spec_scans([(entropy, dc_spec, ac_spec, nblk)],
-                      interpret=interpret,
+    got = _spec_scans([(entropy, (dc_spec, ac_spec, dc_spec, ac_spec),
+                        nblk)], interpret=interpret,
                       target_lane_bytes=target_lane_bytes)
     return None if got is None else got[0]
+
+
+def _color_geometry(comps, width, height, grids):
+    """-> (samp, (ph, pw)) for an MCU-padded 3-component stream with
+    shared chroma quantizers, else None."""
+    samp = {((2, 2), (1, 1), (1, 1)): "420",
+            ((2, 1), (1, 1), (1, 1)): "422",
+            ((1, 1), (1, 1), (1, 1)): "444"}.get(
+        tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
+    (cy, _, _, _qy), (cb, _, _, qb), (cr, _, _, qr) = comps
+    if samp is None or qb != qr:
+        return None
+    mcu_h = 16 if samp == "420" else 8
+    mcu_w = 8 if samp == "444" else 16
+    ph = -(-height // mcu_h) * mcu_h
+    pw = -(-width // mcu_w) * mcu_w
+    ch_h = ph // 2 if samp == "420" else ph
+    ch_w = pw // 2 if samp in ("420", "422") else pw
+    if grids[cy] != (pw // 8, ph // 8) or \
+            grids[cb] != (ch_w // 8, ch_h // 8) or grids[cb] != grids[cr]:
+        return None  # non-MCU-padded foreign grid: host path
+    return samp, (ph, pw)
 
 
 def _parse_spec(data: bytes):
     """Parse + fully validate a stream for the speculative path.
 
-    Returns None for anything ineligible (interleaved, progressive,
-    restarts, non-MCU-padded color grids, split chroma quantizers);
-    else (info, grids, scan_list) ready for ``_spec_scans``.
+    Covers non-interleaved streams (grayscale / the 3-scan layout) AND
+    single-scan interleaved streams WITHOUT restart markers (default
+    libjpeg/Pillow output — per-lane MCU-phase speculation).  Returns
+    None for anything ineligible (progressive, restarts, non-MCU-padded
+    color grids, split chroma quantizers); else a dict with
+    ``sampling``, ``scan_list`` (for ``_spec_scans``) and the
+    reconstruction metadata.
     """
     from ..kernels import huffdec as hd
     info = hd.parse_noninterleaved_scans(data)
-    if info is None:
-        return None
-    comps = info["comps"]
-    width, height = info["width"], info["height"]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    grids = {}
-    for cid, h_s, v_s, _qid in comps:
-        cw = -(-width * h_s // hmax)
-        ch = -(-height * v_s // vmax)
-        grids[cid] = (-(-cw // 8), -(-ch // 8))  # (bw, bh)
-    if len(comps) == 3:
-        samp = {((2, 2), (1, 1), (1, 1)): "420",
-                ((2, 1), (1, 1), (1, 1)): "422",
-                ((1, 1), (1, 1), (1, 1)): "444"}.get(
-            tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
-        (cy, _, _, _qy), (cb, _, _, qb), (cr, _, _, qr) = comps
-        if samp is None or qb != qr:
+    if info is not None:
+        comps = info["comps"]
+        width, height = info["width"], info["height"]
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        grids = {}
+        for cid, h_s, v_s, _qid in comps:
+            cw = -(-width * h_s // hmax)
+            ch = -(-height * v_s // vmax)
+            grids[cid] = (-(-cw // 8), -(-ch // 8))  # (bw, bh)
+        if len(comps) == 3:
+            geo = _color_geometry(comps, width, height, grids)
+            if geo is None:
+                return None
+            info["samp"], info["pdims"] = geo
+        elif len(comps) != 1:
             return None
-        mcu_h = 16 if samp == "420" else 8
-        mcu_w = 8 if samp == "444" else 16
-        ph = -(-height // mcu_h) * mcu_h
-        pw = -(-width // mcu_w) * mcu_w
-        ch_h = ph // 2 if samp == "420" else ph
-        ch_w = pw // 2 if samp in ("420", "422") else pw
-        if grids[cy] != (pw // 8, ph // 8) or \
-                grids[cb] != (ch_w // 8, ch_h // 8) \
-                or grids[cb] != grids[cr]:
-            return None  # non-MCU-padded foreign grid: host path
-        info["samp"], info["pdims"] = samp, (ph, pw)
-    elif len(comps) != 1:
+        scan_list = [
+            (s["entropy"],
+             (s["dc_spec"], s["ac_spec"], s["dc_spec"], s["ac_spec"]),
+             grids[s["cid"]][0] * grids[s["cid"]][1])
+            for s in info["scans"]]
+        return dict(kind="scans", sampling="gray", scan_list=scan_list,
+                    info=info, grids=grids)
+
+    # interleaved single scan, no DRI (default foreign output)
+    st = hd.parse_scan_structure(data, require_restarts=False)
+    if st is None or st["restart_interval"] or len(st["comps"]) != 3:
         return None
-    scan_list = [(s["entropy"], s["dc_spec"], s["ac_spec"],
-                  grids[s["cid"]][0] * grids[s["cid"]][1])
-                 for s in info["scans"]]
-    return info, grids, scan_list
+    comps = st["comps"]
+    width, height = st["width"], st["height"]
+    # interleaved block grids are MCU-padded by construction — only the
+    # sampling mode and shared chroma tables need checking
+    samp = {((2, 2), (1, 1), (1, 1)): "420",
+            ((2, 1), (1, 1), (1, 1)): "422",
+            ((1, 1), (1, 1), (1, 1)): "444"}.get(
+        tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
+    (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
+    if samp is None or qid1 != qid2 \
+            or st["tabs"][cid1] != st["tabs"][cid2]:
+        return None
+    mcu_h = 16 if samp == "420" else 8
+    mcu_w = 8 if samp == "444" else 16
+    mx, my = -(-width // mcu_w), -(-height // mcu_h)
+    dht = st["dht"]
+    dc0, ac0 = st["tabs"][cid0]
+    dc1, ac1 = st["tabs"][cid1]
+    try:
+        quad = (dht[(0, dc0)], dht[(1, ac0)], dht[(0, dc1)],
+                dht[(1, ac1)])
+    except KeyError:
+        return None
+    period = len(hd._PATTERN[samp])
+    scan_list = [(st["entropy"], quad, mx * my * period)]
+    return dict(kind="interleaved", sampling=samp, scan_list=scan_list,
+                st=st, mx=mx, my=my,
+                pdims=(my * mcu_h, mx * mcu_w),
+                ql=st["quant"][qid0], qc=st["quant"][qid1])
 
 
-def _reconstruct_spec(info, grids, zzs):
+def _reconstruct_spec(p, zzs):
     """Per-scan coefficient arrays -> uint8 image (device IDCT path)."""
-    from .decode import reconstruct, reconstruct_gray
+    from .decode import _em_to_planes, reconstruct, reconstruct_gray
+    if p["kind"] == "interleaved":
+        st, samp = p["st"], p["sampling"]
+        period = zzs[0].shape[0] // (p["mx"] * p["my"])
+        em = zzs[0].reshape(-1, period, 64)
+        y, cb, cr = _em_to_planes(em, samp, p["mx"], p["my"])
+        ph, pw = p["pdims"]
+        height, width = st["height"], st["width"]
+        out = np.asarray(reconstruct(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr),
+            jnp.asarray(p["ql"]), jnp.asarray(p["qc"]), ph, pw,
+            samp=samp))
+        return out[:height, :width]
+    info, grids = p["info"], p["grids"]
     comps = info["comps"]
     width, height = info["width"], info["height"]
     zz_by_cid = {s["cid"]: zz for s, zz in zip(info["scans"], zzs)}
@@ -263,7 +354,8 @@ def speculative_decode(data: bytes, interpret: bool = False,
                        target_lane_bytes: int = _TARGET_LANE_BYTES):
     """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
 
-    Covers grayscale and 3-scan color (the reference's own layout) with
+    Covers grayscale, 3-scan color (the reference's own layout), and
+    interleaved single-scan color (default libjpeg output) with
     MCU-padded component grids; all scans share one combined
     speculative launch, the reconstruction rides the standard device
     path.
@@ -271,45 +363,50 @@ def speculative_decode(data: bytes, interpret: bool = False,
     p = _parse_spec(data)
     if p is None:
         return None
-    info, grids, scan_list = p
-    got = _spec_scans(scan_list, interpret=interpret,
-                      target_lane_bytes=target_lane_bytes)
+    got = _spec_scans(p["scan_list"], interpret=interpret,
+                      target_lane_bytes=target_lane_bytes,
+                      sampling=p["sampling"])
     if got is None:
         return None
-    return _reconstruct_spec(info, grids, got)
+    return _reconstruct_spec(p, got)
 
 
 def speculative_decode_batch(datas, interpret: bool = False,
                              target_lane_bytes: int = _TARGET_LANE_BYTES):
     """Batch variant -> list of (image or None), one entry per input.
 
-    ALL images' scans share one combined launch (chains are per scan
-    already), amortizing the fixpoint rounds' dispatch latency across
-    the batch; if the combined call fails (one corrupt stream), each
-    image is salvaged individually before giving up on it.
+    Images' scans share combined launches (grouped by sampling mode —
+    the MCU pattern is a static kernel parameter), amortizing the
+    fixpoint rounds' dispatch latency across the batch; if a combined
+    call fails (one corrupt stream), its images are salvaged
+    individually before giving up on them.
     """
     parsed = [_parse_spec(d) for d in datas]
     results: list = [None] * len(datas)
-    idx = [i for i, p in enumerate(parsed) if p is not None]
-    if not idx:
-        return results
-    combined = []
-    for i in idx:
-        combined.extend(parsed[i][2])
-    got = _spec_scans(combined, interpret=interpret,
-                      target_lane_bytes=target_lane_bytes)
-    if got is not None:
-        off = 0
+    groups: dict = {}
+    for i, p in enumerate(parsed):
+        if p is not None:
+            groups.setdefault(p["sampling"], []).append(i)
+    for sampling, idx in groups.items():
+        combined = []
         for i in idx:
-            info, grids, scan_list = parsed[i]
-            results[i] = _reconstruct_spec(
-                info, grids, got[off:off + len(scan_list)])
-            off += len(scan_list)
-        return results
-    for i in idx:  # combined failed: salvage per image
-        info, grids, scan_list = parsed[i]
-        got_i = _spec_scans(scan_list, interpret=interpret,
-                            target_lane_bytes=target_lane_bytes)
-        if got_i is not None:
-            results[i] = _reconstruct_spec(info, grids, got_i)
+            combined.extend(parsed[i]["scan_list"])
+        got = _spec_scans(combined, interpret=interpret,
+                          target_lane_bytes=target_lane_bytes,
+                          sampling=sampling)
+        if got is not None:
+            off = 0
+            for i in idx:
+                n = len(parsed[i]["scan_list"])
+                results[i] = _reconstruct_spec(parsed[i],
+                                               got[off:off + n])
+                off += n
+            continue
+        for i in idx:  # combined failed: salvage per image
+            got_i = _spec_scans(parsed[i]["scan_list"],
+                                interpret=interpret,
+                                target_lane_bytes=target_lane_bytes,
+                                sampling=sampling)
+            if got_i is not None:
+                results[i] = _reconstruct_spec(parsed[i], got_i)
     return results

@@ -129,3 +129,39 @@ def test_speculative_batch_combined():
     got = decode_jpeg_batch(datas, interpret=True)
     for d, out in zip(datas, got):
         assert np.array_equal(out, decode_jpeg(d, entropy_engine="host"))
+
+
+@pytest.mark.parametrize("pil_samp,samp", [(2, "420"), (1, "422"),
+                                           (0, "444")])
+def test_interleaved_nonrestart_pillow(pil_samp, samp):
+    """Default libjpeg/Pillow output — interleaved single scan, NO
+    restart markers — decodes via per-lane MCU-phase speculation,
+    pixel-identical to the host decoder."""
+    from PIL import Image
+    rng = np.random.default_rng(pil_samp)
+    img = rng.integers(0, 256, (160, 160, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGB").save(buf, "JPEG", quality=90,
+                                     subsampling=pil_samp)
+    data = buf.getvalue()
+    out = speculative_decode(data, interpret=True,
+                             target_lane_bytes=1024)
+    assert out is not None
+    ref = decode_jpeg(data, entropy_engine="host")
+    assert np.array_equal(out, ref)
+    # and via the public single-image API
+    got = decode_jpeg(data, entropy_engine="device", interpret=True)
+    assert np.array_equal(got, ref)
+
+
+def test_interleaved_nonrestart_own_encoder():
+    """Our own interleaved output without restarts through the phased
+    speculative path (fixed tables)."""
+    img = np.random.default_rng(12).integers(
+        0, 256, (192, 192, 3), dtype=np.uint8)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       engine="xla")
+    data = bytes(JpegEncoder(cfg).encode(img))
+    out = speculative_decode(data, interpret=True, target_lane_bytes=512)
+    assert out is not None
+    assert np.array_equal(out, decode_jpeg(data, entropy_engine="host"))
