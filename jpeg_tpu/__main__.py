@@ -3,8 +3,10 @@
   python -m jpeg_tpu encode in.ppm out.jpg [--quality N] [--interleaved]
                                            [--fixed] [--restart N]
       U1 analog (``original <ppm> <quality>``, utils/original.c:1135-1141).
-  python -m jpeg_tpu decode in.jpg out.ppm [--host]
+  python -m jpeg_tpu decode in.jpg out.ppm [--host] [--entropy E]
       completes the stub decode path (utils/func_tester.c:1262).
+  python -m jpeg_tpu decode-batch in1.jpg in2.jpg ... --outdir DIR
+      batch decode: one device entropy launch for all inputs.
   python -m jpeg_tpu resize in.ppm out.ppm WxH
       U5 analog (``editimage``, crop/white-pad).
   python -m jpeg_tpu dump-stages in.ppm outdir [--quality N]
@@ -83,6 +85,27 @@ def cmd_decode(args):
     print(f"{args.output} written")
 
 
+def cmd_decode_batch(args):
+    import numpy as np
+
+    from .io.ppm import write_ppm
+    from .pipelines.decode import decode_jpeg_batch
+    datas = []
+    for path in args.inputs:
+        with open(path, "rb") as f:
+            datas.append(f.read())
+    outs = decode_jpeg_batch(datas, entropy_engine=args.entropy)
+    os.makedirs(args.outdir, exist_ok=True)
+    for path, out in zip(args.inputs, outs):
+        if out.ndim == 2:
+            out = np.stack([out] * 3, axis=-1)
+        dst = os.path.join(
+            args.outdir,
+            os.path.splitext(os.path.basename(path))[0] + ".ppm")
+        write_ppm(dst, out)
+        print(f"{dst} written")
+
+
 def cmd_resize(args):
     from .io.editimage import resize_pad
     from .io.ppm import read_ppm, write_ppm
@@ -159,6 +182,13 @@ def main(argv=None) -> int:
                    help="Huffman bit-walk engine: device = lane-parallel "
                         "TPU kernel (restart streams)")
     d.set_defaults(fn=cmd_decode)
+
+    db = sub.add_parser("decode-batch")
+    db.add_argument("inputs", nargs="+")
+    db.add_argument("--outdir", required=True)
+    db.add_argument("--entropy", choices=["auto", "host", "device"],
+                    default="auto")
+    db.set_defaults(fn=cmd_decode_batch)
 
     r = sub.add_parser("resize")
     r.add_argument("input"); r.add_argument("output"); r.add_argument("dims")

@@ -53,3 +53,25 @@ def test_cli_diff(tmp_path):
     assert main(["diff", a, b, outdir]) == 0
     files = os.listdir(outdir)
     assert files and all(f.startswith("jpg-") for f in files)
+
+
+def test_cli_decode_batch(tmp_path):
+    import numpy as np
+
+    from jpeg_tpu.__main__ import main
+    from jpeg_tpu.core.types import EncodeConfig
+    from jpeg_tpu.io.ppm import read_ppm
+    from jpeg_tpu.pipelines.encode import JpegEncoder
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for k in range(2):
+        img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        p = tmp_path / f"in{k}.jpg"
+        p.write_bytes(JpegEncoder(EncodeConfig()).encode(img))
+        paths.append(str(p))
+    out = tmp_path / "out"
+    assert main(["decode-batch", *paths, "--outdir", str(out)]) in (0, None)
+    for k in range(2):
+        got = read_ppm(str(out / f"in{k}.ppm"))
+        assert got.shape == (32, 32, 3)
