@@ -65,6 +65,14 @@ _PATTERN = {
     "gray": [(0, 1, 0)],
 }
 
+# SOF sampling factors (Y, Cb, Cr as (h, v)) -> sampling mode; the single
+# source of truth for every eligibility check in the decode paths
+SAMPLING_OF_FACTORS = {
+    ((2, 2), (1, 1), (1, 1)): "420",
+    ((2, 1), (1, 1), (1, 1)): "422",
+    ((1, 1), (1, 1), (1, 1)): "444",
+}
+
 
 def canonical_tables(bits: np.ndarray, huffval: np.ndarray):
     """DHT (BITS, HUFFVAL) -> (maxcode [16], delta [16], hv [256]).
@@ -125,34 +133,36 @@ def _fetch32(wnd_ref, base_bits, bitpos):
     return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
 
 
-def _decode_symbol(peek32, maxc, delt, hvp, tbl: int):
-    """One canonical Huffman decode step for every lane.
-
-    peek32 [1, 128]; maxc/delt [64, 128] stacked tables; hvp [128, 256]
-    byte-packed HUFFVAL (4 symbols/word, 64 words per table); ``tbl``
-    static table row.  Returns (sym, code length) [1, 128] each; lanes
-    whose bits match no code get length 100 (corrupt or padding —
-    callers mask on it).
-    """
+def _decode_symbol_core(peek32, maxc16, delt16, hvp64):
+    """One canonical Huffman decode step for every lane, against
+    PRE-SLICED per-table arrays: maxc16/delt16 [16, 128], hvp64
+    [128, 64] byte-packed HUFFVAL (4 symbols/word).  Returns
+    (sym, code length) [1, 128] each; lanes whose bits match no code
+    get length 100 (corrupt or padding — callers mask on it)."""
     peek16 = _shr(peek32, jnp.int32(16))
     sub = _sub_iota((16, _LG))
     sh = _shr(jnp.broadcast_to(peek16, (16, _LG)), 15 - sub)
-    fits = sh <= maxc[16 * tbl:16 * (tbl + 1)]
+    fits = sh <= maxc16
     lsel = jnp.min(jnp.where(fits, sub, 99), axis=0, keepdims=True)
     code = _select16(lsel, sh)
-    symidx = jnp.clip(
-        code + _select16(lsel, delt[16 * tbl:16 * (tbl + 1)]), 0, 255)
+    symidx = jnp.clip(code + _select16(lsel, delt16), 0, 255)
     widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
-    word = jnp.take_along_axis(hvp[:, 64 * tbl:64 * (tbl + 1)],
-                               widx, axis=1)[:, 0:1].T
+    word = jnp.take_along_axis(hvp64, widx, axis=1)[:, 0:1].T
     sym = _shr(word, 8 * (symidx & 3)) & 0xFF
     return sym, lsel + 1
 
 
-def _decode_symbol_dyn(peek32, maxc, delt, hvp, tsel):
-    """``_decode_symbol`` with a PER-LANE table row (``tsel`` [1, 128]
-    in 0..3) — speculative interleaved decode, where each lane carries
-    its own MCU phase and so its own current component/table."""
+def _tables_static(maxc, delt, hvp, tbl: int):
+    """Static table row ``tbl`` of the stacked [4 x 16] arrays."""
+    return (maxc[16 * tbl:16 * (tbl + 1)], delt[16 * tbl:16 * (tbl + 1)],
+            hvp[:, 64 * tbl:64 * (tbl + 1)])
+
+
+def _tables_dyn(maxc, delt, hvp, tsel):
+    """PER-LANE table row (``tsel`` [1, 128] in 0..3) — speculative
+    interleaved decode, where each lane carries its own MCU phase and
+    so its own current component/table.  Select ONCE per block; the
+    result feeds every symbol's ``_decode_symbol_core``."""
     maxc_s = jnp.zeros((16, _LG), jnp.int32)
     delt_s = jnp.zeros((16, _LG), jnp.int32)
     hvp_s = jnp.zeros((_LG, 64), jnp.int32)
@@ -161,17 +171,13 @@ def _decode_symbol_dyn(peek32, maxc, delt, hvp, tsel):
         maxc_s = jnp.where(m, maxc[16 * t:16 * (t + 1)], maxc_s)
         delt_s = jnp.where(m, delt[16 * t:16 * (t + 1)], delt_s)
         hvp_s = jnp.where(m.T, hvp[:, 64 * t:64 * (t + 1)], hvp_s)
-    peek16 = _shr(peek32, jnp.int32(16))
-    sub = _sub_iota((16, _LG))
-    sh = _shr(jnp.broadcast_to(peek16, (16, _LG)), 15 - sub)
-    fits = sh <= maxc_s
-    lsel = jnp.min(jnp.where(fits, sub, 99), axis=0, keepdims=True)
-    code = _select16(lsel, sh)
-    symidx = jnp.clip(code + _select16(lsel, delt_s), 0, 255)
-    widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
-    word = jnp.take_along_axis(hvp_s, widx, axis=1)[:, 0:1].T
-    sym = _shr(word, 8 * (symidx & 3)) & 0xFF
-    return sym, lsel + 1
+    return maxc_s, delt_s, hvp_s
+
+
+def _decode_symbol(peek32, maxc, delt, hvp, tbl: int):
+    """``_decode_symbol_core`` against static table row ``tbl``."""
+    return _decode_symbol_core(peek32, *_tables_static(maxc, delt, hvp,
+                                                       tbl))
 
 
 def _lane_pattern(sampling: str, pos):
@@ -273,10 +279,13 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 pos = jax.lax.rem(phase_l + (c * chunk + j),
                                   jnp.int32(period))
                 dcs, acs, cmps = _lane_pattern(sampling, pos)
-                sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, dcs)
+                dc_tabs = _tables_dyn(maxc, delt, hvp, dcs)
+                ac_tabs = _tables_dyn(maxc, delt, hvp, acs)
             else:
-                acs = cmps = None
-                sym, ln = _decode_symbol(peek, maxc, delt, hvp, dct)
+                cmps = None
+                dc_tabs = _tables_static(maxc, delt, hvp, dct)
+                ac_tabs = _tables_static(maxc, delt, hvp, act_t)
+            sym, ln = _decode_symbol_core(peek, *dc_tabs)
             size = sym & 15
             ok = live_l & (ln < 17)
             diff = _extend(_take_bits(peek, ln, size), size)
@@ -304,15 +313,11 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 done, _, _, _ = carry
                 return jnp.logical_not(jnp.all(done))
 
-            def body(carry, act_t=act_t, acs=acs):
+            def body(carry, ac_tabs=ac_tabs):
                 done, slot, bp, acc = carry
                 ensure_window(bp)
                 peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-                if phased:
-                    sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp,
-                                                 acs)
-                else:
-                    sym, ln = _decode_symbol(peek, maxc, delt, hvp, act_t)
+                sym, ln = _decode_symbol_core(peek, *ac_tabs)
                 run = _shr(sym, jnp.int32(4))
                 size = sym & 15
                 bad = ln >= 17
@@ -335,8 +340,9 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 return done, slot, bp, acc
 
             carry = (~ok, jnp.ones((1, _LG), jnp.int32), bitpos, acc0)
-            # refill inside the loop is not needed: ensure_window above
-            # guarantees a full block's worst case fits the window
+            # NOTE: the in-loop ensure_window IS load-bearing — the
+            # refill threshold leaves as little as 96 bits of headroom
+            # at block start, far less than a worst-case ~1700-bit block
             done, slot, bitpos, acc = jax.lax.while_loop(cond, body, carry)
             st_ref[0:1, :] = bitpos
             return acc
@@ -347,7 +353,7 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
 
 
 def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
-                 limit_ref, phase_ref, out_ref, pos_ref, st_ref, wnd_ref,
+                 limit_ref, phase_ref, pos_ref, st_ref, wnd_ref,
                  *, sampling: str, chunk: int, max_words: int):
     """Positions-only speculative decode pass.
 
@@ -380,24 +386,24 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         st_ref[:, :] = jnp.zeros_like(st_ref)
         st_ref[0:1, :] = entry_ref[:]
         st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
-        out_ref[:, :] = jnp.zeros_like(out_ref)
 
     ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
                                       max_words)
 
     for j in range(chunk):
-        acs = None
         if period > 1:
             pos = jax.lax.rem(phase_l + (c * chunk + j), jnp.int32(period))
             dcs, acs, _cmp = _lane_pattern(sampling, pos)
+            dc_tabs = _tables_dyn(maxc, delt, hvp, dcs)
+            ac_tabs = _tables_dyn(maxc, delt, hvp, acs)
+        else:
+            dc_tabs = _tables_static(maxc, delt, hvp, 0)
+            ac_tabs = _tables_static(maxc, delt, hvp, 1)
         bitpos0 = st_ref[0:1, :]
         live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
         ensure_window(bitpos0)
         peek = _fetch32(wnd_ref, st_ref[4:5, :], bitpos0)
-        if period > 1:
-            sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, dcs)
-        else:
-            sym, ln = _decode_symbol(peek, maxc, delt, hvp, 0)
+        sym, ln = _decode_symbol_core(peek, *dc_tabs)
         size = sym & 15
         ok = live_l & (ln < 17)
         badf = live_l & (ln >= 17)
@@ -407,14 +413,11 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
             done, _, _, _ = carry
             return jnp.logical_not(jnp.all(done))
 
-        def body(carry, acs=acs):
+        def body(carry, ac_tabs=ac_tabs):
             done, slot, bp, badacc = carry
             ensure_window(bp)
             peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-            if period > 1:
-                sym, ln = _decode_symbol_dyn(peek, maxc, delt, hvp, acs)
-            else:
-                sym, ln = _decode_symbol(peek, maxc, delt, hvp, 1)
+            sym, ln = _decode_symbol_core(peek, *ac_tabs)
             run = _shr(sym, jnp.int32(4))
             size = sym & 15
             bad = ln >= 17
@@ -463,10 +466,9 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
         phase = jnp.zeros((1, Sp), jnp.int32)
     kernel = functools.partial(_scan_kernel, sampling=sampling,
                                chunk=chunk, max_words=max_words)
-    _, pos = pl.pallas_call(
+    pos = pl.pallas_call(
         kernel,
-        out_shape=[jax.ShapeDtypeStruct((Sp, 128), jnp.int32),
-                   jax.ShapeDtypeStruct((Sp // _LG * 8, _LG), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Sp // _LG * 8, _LG), jnp.int32),
         grid=(Sp // _LG, cap_p // chunk),
         in_specs=[
             pl.BlockSpec((_LG, max_words), lambda g, c: (g, 0),
@@ -484,10 +486,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
             pl.BlockSpec((1, _LG), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((_LG, 128), lambda g, c: (g, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((8, _LG), lambda g, c: (g, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, _LG), lambda g, c: (g, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
@@ -684,12 +684,7 @@ def parse_scan_structure(data: bytes, require_restarts: bool = True):
     if scan is None or not width or (require_restarts and ri == 0):
         return None
     tabs, ent_start = scan
-    # entropy range: forward scan to the first non-RST, non-stuffing marker
-    b = np.frombuffer(data, np.uint8)
-    cand = np.where(b[ent_start:-1] == 0xFF)[0] + ent_start
-    nxt = b[cand + 1]
-    stop = cand[(nxt != 0) & (nxt != 0xFF) & ((nxt < 0xD0) | (nxt > 0xD7))]
-    ent_end = int(stop[0]) if len(stop) else len(data)
+    ent_end = _entropy_end(data, ent_start)
     return {
         "width": width, "height": height, "comps": comps, "quant": quant,
         "dht": dht, "tabs": tabs, "restart_interval": ri,

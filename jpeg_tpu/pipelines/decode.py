@@ -149,6 +149,15 @@ def reconstruct_gray_batch(y_zz, luma_q, height: int, width: int):
 
 
 def _parse_device_eligible(data: bytes):
+    """Exception-safe wrapper around ``_parse_device_eligible_inner``:
+    malformed streams mean "host path", never a raised KeyError."""
+    try:
+        return _parse_device_eligible_inner(data)
+    except (KeyError, IndexError, ValueError):
+        return None
+
+
+def _parse_device_eligible_inner(data: bytes):
     """Marker parse + eligibility check for the device entropy kernel.
 
     Eligible: baseline interleaved 3-component scan with restart
@@ -170,9 +179,7 @@ def _parse_device_eligible(data: bytes):
         mcu_h = mcu_w = 8
     else:
         samplings = tuple((h, v) for _, h, v, _ in comps)
-        samp = {((2, 2), (1, 1), (1, 1)): "420",
-                ((2, 1), (1, 1), (1, 1)): "422",
-                ((1, 1), (1, 1), (1, 1)): "444"}.get(samplings)
+        samp = hd.SAMPLING_OF_FACTORS.get(samplings)
         if samp is None:
             return None
         (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
@@ -332,10 +339,9 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
             jnp.asarray(quant[comp.quant_id]), ph, pw))
         return out[:height, :width]
 
+    from ..kernels import huffdec as hd
     samplings = [(c.h_samp, c.v_samp) for c in comps]
-    samp = {((2, 2), (1, 1), (1, 1)): "420",
-            ((2, 1), (1, 1), (1, 1)): "422",
-            ((1, 1), (1, 1), (1, 1)): "444"}.get(tuple(samplings))
+    samp = hd.SAMPLING_OF_FACTORS.get(tuple(samplings))
     if len(comps) != 3 or samp is None:
         return host()
     luma, cb, cr = comps

@@ -44,6 +44,11 @@ _MIN_LANES = 8        # below this total, the threaded host decoder wins
 _TARGET_LANE_BYTES = 2048
 _MAX_ROUNDS = 8
 _MAX_ROUNDS_PHASED = 16   # interleaved chains may repair lane by lane
+_MAX_WORDS = 4096         # per-lane row words (16 KB): the streams VMEM
+#                           block is [128, max_words] i32 — beyond this
+#                           (scans > ~4 MB at the 256-lane cap) the host
+#                           decoder takes over instead of risking a VMEM
+#                           lowering failure
 
 
 def _spec_scans(scan_list, interpret: bool = False,
@@ -90,6 +95,8 @@ def _spec_scans(scan_list, interpret: bool = False,
     tail[:-1] = chain[:-1] != chain[1:]
 
     streams, active, max_words = hd.pack_streams(rows)
+    if max_words > _MAX_WORDS:
+        return None  # giant scan: speculation must never crash, only skip
     Sp = streams.shape[0]
     maxc, delt, hvp = hd.lane_tables(quads)
     limits = np.zeros((1, Sp), np.int32)
@@ -223,9 +230,8 @@ def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
 def _color_geometry(comps, width, height, grids):
     """-> (samp, (ph, pw)) for an MCU-padded 3-component stream with
     shared chroma quantizers, else None."""
-    samp = {((2, 2), (1, 1), (1, 1)): "420",
-            ((2, 1), (1, 1), (1, 1)): "422",
-            ((1, 1), (1, 1), (1, 1)): "444"}.get(
+    from ..kernels.huffdec import SAMPLING_OF_FACTORS
+    samp = SAMPLING_OF_FACTORS.get(
         tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
     (cy, _, _, _qy), (cb, _, _, qb), (cr, _, _, qr) = comps
     if samp is None or qb != qr:
@@ -243,6 +249,16 @@ def _color_geometry(comps, width, height, grids):
 
 
 def _parse_spec(data: bytes):
+    """Exception-safe wrapper: malformed-but-parseable streams (bad
+    table ids, truncated segments) must mean "host path", not a raised
+    KeyError/IndexError that would abort a whole decode batch."""
+    try:
+        return _parse_spec_inner(data)
+    except (KeyError, IndexError, ValueError):
+        return None
+
+
+def _parse_spec_inner(data: bytes):
     """Parse + fully validate a stream for the speculative path.
 
     Covers non-interleaved streams (grayscale / the 3-scan layout) AND
@@ -288,9 +304,7 @@ def _parse_spec(data: bytes):
     width, height = st["width"], st["height"]
     # interleaved block grids are MCU-padded by construction — only the
     # sampling mode and shared chroma tables need checking
-    samp = {((2, 2), (1, 1), (1, 1)): "420",
-            ((2, 1), (1, 1), (1, 1)): "422",
-            ((1, 1), (1, 1), (1, 1)): "444"}.get(
+    samp = hd.SAMPLING_OF_FACTORS.get(
         tuple((h_s, v_s) for _, h_s, v_s, _ in comps))
     (cid0, _, _, qid0), (cid1, _, _, qid1), (cid2, _, _, qid2) = comps
     if samp is None or qid1 != qid2 \
