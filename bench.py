@@ -367,6 +367,26 @@ def main():
     rec_ms_mp = recon_ms / (h * w / 1e6)
     dev_dec_mps = 1000.0 / max(ent_ms_mp, rec_ms_mp)
 
+    # Speculative decode of a NON-restart 3-scan stream (the reference's
+    # own layout): wall time incl. the entry-fixpoint rounds' dispatch
+    # latency (tunnel-dominated here; real deployments pipeline it).
+    _t("speculative decode bench")
+    spec_ms = float("nan")
+    try:
+        from jpeg_tpu.pipelines.encode import JpegEncoder
+        from jpeg_tpu.pipelines.speculative import speculative_decode
+        d3 = bytes(JpegEncoder(EncodeConfig()).encode(batch_np[0]))
+        out = speculative_decode(d3)  # compile + correctness probe
+        if out is not None:
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = speculative_decode(d3)
+                best = min(best, time.perf_counter() - t0)
+            spec_ms = best * 1000.0
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"# speculative decode skipped: {e}", file=sys.stderr)
+
     _t("done")
     print(json.dumps({
         "metric": "device_encode_throughput",
@@ -378,7 +398,8 @@ def main():
           f"reconstruct {recon_ms:.1f}ms/img -> pipelined {dec_mps:.1f} MP/s;"
           f" device entropy (kernels.huffdec, {BATCH}-img batch) "
           f"{dev_entropy_ms:.1f}ms/batch -> all-device {dev_dec_mps:.1f} "
-          f"MP/s", file=sys.stderr)
+          f"MP/s; speculative 3-scan wall {spec_ms:.0f}ms/img "
+          f"(fixpoint dispatch-bound over this tunnel)", file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e={e2e:.2f}s ({e2e_mps:.1f} MP/s incl. "
           f"host assembly over the tunnel); dynamic-huffman device "
