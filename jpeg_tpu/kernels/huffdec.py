@@ -565,20 +565,9 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     return out.reshape(Sp, nblk_p, 64)
 
 
-def decode_segments_sharded(mesh, streams, maxc, delt, hvp, nblk_lane,
-                            sampling: str, nblk_seg: int, max_words: int,
-                            interpret: bool = False, axis: str = "space"):
-    """``decode_segments`` spread over a device mesh.
-
-    Restart segments are independent (the whole premise of this kernel),
-    so the lane axis shards embarrassingly across ``mesh.shape[axis]``
-    devices — the decode-side dual of ``parallel.sharded.ShardedEncoder``
-    slab sharding, with no collectives.  Inputs are zero-padded so every
-    device gets whole 128-lane groups; padding lanes decode nothing
-    (``nblk_lane`` 0).
-    """
-    from jax.sharding import PartitionSpec as P
-    ndev = mesh.shape[axis]
+def _pad_lanes(ndev, streams, maxc, delt, hvp, *rows):
+    """Zero-pad the lane axis to whole 128-lane groups per device.
+    ``rows`` are [1, Sp] arrays padded along lanes."""
     Sp = streams.shape[0]
     mult = _LG * ndev
     spp = -(-Sp // mult) * mult
@@ -588,19 +577,75 @@ def decode_segments_sharded(mesh, streams, maxc, delt, hvp, nblk_lane,
         hvp = jnp.pad(hvp, ((0, pad), (0, 0)))
         maxc = jnp.pad(maxc, ((0, 0), (0, pad)), constant_values=-1)
         delt = jnp.pad(delt, ((0, 0), (0, pad)))
-        nblk_lane = jnp.pad(nblk_lane, ((0, 0), (0, pad)))
+        rows = tuple(jnp.pad(r, ((0, 0), (0, pad))) for r in rows)
+    return (streams, maxc, delt, hvp) + rows
+
+
+def decode_segments_sharded(mesh, streams, maxc, delt, hvp, nblk_lane,
+                            sampling: str, nblk_seg: int, max_words: int,
+                            interpret: bool = False, axis: str = "space",
+                            entry=None, phase=None, phased: bool = False):
+    """``decode_segments`` spread over a device mesh.
+
+    Lanes (restart segments or speculative chunks) are independent — the
+    whole premise of this kernel — so the lane axis shards
+    embarrassingly across ``mesh.shape[axis]`` devices: the decode-side
+    dual of ``parallel.sharded.ShardedEncoder`` slab sharding, with no
+    collectives.  Inputs are zero-padded so every device gets whole
+    128-lane groups; padding lanes decode nothing (``nblk_lane`` 0).
+    """
+    from jax.sharding import PartitionSpec as P
+    ndev = mesh.shape[axis]
+    Sp = streams.shape[0]
+    if entry is None:
+        entry = jnp.zeros((1, Sp), jnp.int32)
+    if phase is None:
+        phase = jnp.zeros((1, Sp), jnp.int32)
+    streams, maxc, delt, hvp, nblk_lane, entry, phase = _pad_lanes(
+        ndev, jnp.asarray(streams, jnp.int32), jnp.asarray(maxc),
+        jnp.asarray(delt), jnp.asarray(hvp), jnp.asarray(nblk_lane),
+        jnp.asarray(entry, jnp.int32), jnp.asarray(phase, jnp.int32))
     fn = jax.shard_map(
-        functools.partial(decode_segments, sampling=sampling,
-                          nblk_seg=nblk_seg, max_words=max_words,
-                          interpret=interpret),
+        lambda s, mc, dl, hp, nb, e, ph: decode_segments(
+            s, mc, dl, hp, nb, sampling, nblk_seg, max_words,
+            interpret=interpret, entry=e, phase=ph, phased=phased),
         mesh=mesh,
         in_specs=(P(axis, None), P(None, axis), P(None, axis),
-                  P(axis, None), P(None, axis)),
+                  P(axis, None), P(None, axis), P(None, axis),
+                  P(None, axis)),
         out_specs=P(axis, None, None),
         check_vma=False)  # pallas_call out_shape carries no vma info
-    return fn(jnp.asarray(streams, jnp.int32), jnp.asarray(maxc),
-              jnp.asarray(delt), jnp.asarray(hvp),
-              jnp.asarray(nblk_lane))
+    return fn(streams, maxc, delt, hvp, nblk_lane, entry, phase)
+
+
+def scan_positions_sharded(mesh, streams, maxc, delt, hvp, entry, limit,
+                           cap_blocks: int, max_words: int,
+                           sampling: str = "gray", phase=None,
+                           interpret: bool = False, axis: str = "space"):
+    """``scan_positions`` spread over a device mesh (the speculative
+    fixpoint's positions pass; chains are host-side, so each round is
+    one collective-free sharded launch)."""
+    from jax.sharding import PartitionSpec as P
+    ndev = mesh.shape[axis]
+    Sp = streams.shape[0]
+    if phase is None:
+        phase = jnp.zeros((1, Sp), jnp.int32)
+    streams, maxc, delt, hvp, entry, limit, phase = _pad_lanes(
+        ndev, jnp.asarray(streams, jnp.int32), jnp.asarray(maxc),
+        jnp.asarray(delt), jnp.asarray(hvp),
+        jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
+        jnp.asarray(phase, jnp.int32))
+    fn = jax.shard_map(
+        lambda s, mc, dl, hp, e, li, ph: scan_positions(
+            s, mc, dl, hp, e, li, cap_blocks, max_words,
+            sampling=sampling, phase=ph, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, axis), P(None, axis),
+                  P(axis, None), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)
+    return fn(streams, maxc, delt, hvp, entry, limit, phase)
 
 
 # -- host-side preparation -------------------------------------------------

@@ -399,10 +399,12 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
         else:
             groups.setdefault(info["samp"], []).append((i, info))
     if spec_idx:
-        if use_dev:  # non-restart 3-scan/grayscale: one combined
+        if use_dev:  # non-restart streams: combined speculative path
             from .speculative import speculative_decode_batch
             outs = speculative_decode_batch([datas[i] for i in spec_idx],
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            mesh=mesh,
+                                            mesh_axis=mesh_axis)
         else:
             outs = [None] * len(spec_idx)
         for i, out in zip(spec_idx, outs):

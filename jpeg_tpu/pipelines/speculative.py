@@ -53,7 +53,8 @@ _MAX_WORDS = 4096         # per-lane row words (16 KB): the streams VMEM
 
 def _spec_scans(scan_list, interpret: bool = False,
                 target_lane_bytes: int = _TARGET_LANE_BYTES,
-                min_lanes: int = _MIN_LANES, sampling: str = "gray"):
+                min_lanes: int = _MIN_LANES, sampling: str = "gray",
+                mesh=None, mesh_axis: str = "space"):
     """Decode a list of (entropy, table_quad, nblk) scans in one
     combined speculative launch -> list of zz [nblk, 64] arrays (block
     emission order), or None (caller falls back to the host decoder).
@@ -120,11 +121,19 @@ def _spec_scans(scan_list, interpret: bool = False,
             earr[0, :S] = entries - 8 * starts
             parr = np.zeros((1, Sp), np.int32)
             parr[0, :S] = phases
-            exits, counts, bad = hd.scan_positions(
-                d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(earr),
-                d_limits, cap_blocks=cap, max_words=max_words,
-                sampling=sampling, phase=jnp.asarray(parr),
-                interpret=interpret)
+            if mesh is not None:
+                exits, counts, bad = hd.scan_positions_sharded(
+                    mesh, d_streams, d_maxc, d_delt, d_hvp,
+                    jnp.asarray(earr), d_limits, cap_blocks=cap,
+                    max_words=max_words, sampling=sampling,
+                    phase=jnp.asarray(parr), interpret=interpret,
+                    axis=mesh_axis)
+            else:
+                exits, counts, bad = hd.scan_positions(
+                    d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(earr),
+                    d_limits, cap_blocks=cap, max_words=max_words,
+                    sampling=sampling, phase=jnp.asarray(parr),
+                    interpret=interpret)
             exits = np.asarray(exits)[:S].astype(np.int64)
             counts = np.asarray(counts)[:S].astype(np.int64)
             bad = np.asarray(bad)[:S].astype(bool)
@@ -177,11 +186,18 @@ def _spec_scans(scan_list, interpret: bool = False,
     earr[0, :S] = entries - 8 * starts
     parr = np.zeros((1, Sp), np.int32)
     parr[0, :S] = phases
-    out = np.asarray(hd.decode_segments(
-        d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr), sampling,
-        nblk_seg, max_words, interpret=interpret,
-        entry=jnp.asarray(earr), phase=jnp.asarray(parr),
-        phased=period > 1))[:S]
+    if mesh is not None:
+        out = np.asarray(hd.decode_segments_sharded(
+            mesh, d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr),
+            sampling, nblk_seg, max_words, interpret=interpret,
+            axis=mesh_axis, entry=jnp.asarray(earr),
+            phase=jnp.asarray(parr), phased=period > 1))[:S]
+    else:
+        out = np.asarray(hd.decode_segments(
+            d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr),
+            sampling, nblk_seg, max_words, interpret=interpret,
+            entry=jnp.asarray(earr), phase=jnp.asarray(parr),
+            phased=period > 1))[:S]
 
     # stitch lanes per scan; per-lane per-COMPONENT DC chains start at
     # 0 -> exclusive-scan base corrections along each chain
@@ -365,7 +381,8 @@ def _reconstruct_spec(p, zzs):
 
 
 def speculative_decode(data: bytes, interpret: bool = False,
-                       target_lane_bytes: int = _TARGET_LANE_BYTES):
+                       target_lane_bytes: int = _TARGET_LANE_BYTES,
+                       mesh=None, mesh_axis: str = "space"):
     """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
 
     Covers grayscale, 3-scan color (the reference's own layout), and
@@ -379,14 +396,16 @@ def speculative_decode(data: bytes, interpret: bool = False,
         return None
     got = _spec_scans(p["scan_list"], interpret=interpret,
                       target_lane_bytes=target_lane_bytes,
-                      sampling=p["sampling"])
+                      sampling=p["sampling"], mesh=mesh,
+                      mesh_axis=mesh_axis)
     if got is None:
         return None
     return _reconstruct_spec(p, got)
 
 
 def speculative_decode_batch(datas, interpret: bool = False,
-                             target_lane_bytes: int = _TARGET_LANE_BYTES):
+                             target_lane_bytes: int = _TARGET_LANE_BYTES,
+                             mesh=None, mesh_axis: str = "space"):
     """Batch variant -> list of (image or None), one entry per input.
 
     Images' scans share combined launches (grouped by sampling mode —
@@ -407,7 +426,8 @@ def speculative_decode_batch(datas, interpret: bool = False,
             combined.extend(parsed[i]["scan_list"])
         got = _spec_scans(combined, interpret=interpret,
                           target_lane_bytes=target_lane_bytes,
-                          sampling=sampling)
+                          sampling=sampling, mesh=mesh,
+                          mesh_axis=mesh_axis)
         if got is not None:
             off = 0
             for i in idx:
@@ -420,7 +440,8 @@ def speculative_decode_batch(datas, interpret: bool = False,
             got_i = _spec_scans(parsed[i]["scan_list"],
                                 interpret=interpret,
                                 target_lane_bytes=target_lane_bytes,
-                                sampling=sampling)
+                                sampling=sampling, mesh=mesh,
+                                mesh_axis=mesh_axis)
             if got_i is not None:
                 results[i] = _reconstruct_spec(parsed[i], got_i)
     return results

@@ -165,3 +165,24 @@ def test_interleaved_nonrestart_own_encoder():
     out = speculative_decode(data, interpret=True, target_lane_bytes=512)
     assert out is not None
     assert np.array_equal(out, decode_jpeg(data, entropy_engine="host"))
+
+
+def test_speculative_sharded_matches_single():
+    """Speculative lanes sharded over the 8-device CPU mesh decode the
+    same pixels as the single-device launch (restart-free 3-scan and
+    interleaved streams)."""
+    from jpeg_tpu.parallel.mesh import make_mesh
+    from jpeg_tpu.pipelines.decode import decode_jpeg_batch
+    mesh = make_mesh(data=1, space=8)
+    rng = np.random.default_rng(6)
+    datas = [bytes(JpegEncoder(EncodeConfig()).encode(
+        rng.integers(0, 256, (192, 192, 3), dtype=np.uint8)))]
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 256, (160, 160, 3), dtype=np.uint8),
+                    "RGB").save(buf, "JPEG", quality=90, subsampling=2)
+    datas.append(buf.getvalue())
+    single = decode_jpeg_batch(datas, interpret=True)
+    sharded = decode_jpeg_batch(datas, interpret=True, mesh=mesh)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a, b)
