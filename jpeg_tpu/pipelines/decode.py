@@ -196,6 +196,8 @@ def _parse_device_eligible_inner(data: bytes):
         segs = hd.unstuff_segments(st["entropy"], n_expected=S)
     except ValueError:
         return None
+    if max(len(s) for s in segs) > _MAX_SEG_BYTES:
+        return None  # giant segment: host path, never a VMEM failure
     dht = st["dht"]
     dc0, ac0 = st["tabs"][cid0]
     dc1, ac1 = st["tabs"][cid1]
@@ -234,6 +236,11 @@ def _em_to_planes(em, samp: str, mx: int, my: int):
 # minimum restart-segment count for "auto" to pick the device engine on
 # a SINGLE image (decode_jpeg_batch fills lanes across images instead)
 _MIN_AUTO_SEGMENTS = 32
+
+# largest per-segment byte size the device kernel accepts: the stream
+# rows live in a [128, max_words] VMEM block, so a foreign stream with
+# one giant restart segment must take the host path, not fail lowering
+_MAX_SEG_BYTES = 16000
 
 
 def device_entropy_zz(data: bytes, interpret: bool = False, info=None):
