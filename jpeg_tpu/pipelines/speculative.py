@@ -1,10 +1,10 @@
-"""Speculative device entropy decode of NON-restart baseline scans.
+"""Speculative device entropy decode of NON-restart baseline streams.
 
-Single-component scans — grayscale images and every scan of the
-reference-parity 3-scan layout (``main/encoder.c:605-635``'s own output
-format) — have no MCU phase: data units are bare 8x8 blocks through one
-(DC, AC) table pair.  That makes a scan speculatively parallelizable on
-the VPU lanes even with no restart markers, via Huffman
+Covers every baseline layout the framework meets without restart
+markers: single-component scans (grayscale images and the scans of the
+reference-parity 3-scan layout, ``main/encoder.c:605-635``'s own output
+format) AND interleaved single-scan color (default libjpeg/Pillow
+output).  Parallelization across VPU lanes rides Huffman
 self-synchronization (cf. "Accelerating JPEG Decompression on GPUs",
 arxiv 2111.09219):
 
@@ -14,23 +14,28 @@ arxiv 2111.09219):
    reaches useful occupancy;
 2. a positions-only pass (``kernels.huffdec.scan_positions``) decodes
    blocks from each lane's guessed byte-aligned entry until the lane
-   crosses its chunk end, recording (exit bit, block count, bad flag);
-3. the host iterates the entry fixpoint per scan chain: lane k's true
-   entry is lane k-1's exit; each chain's head entry is exact from the
-   start.  A lane whose guessed decode self-synchronized onto the true
-   symbol stream already has the true exit, so chains usually close in
-   2-3 rounds; desynced lanes propose out-of-window entries, which are
-   clamped and repaired on later rounds;
-4. one payload pass (``decode_segments`` with per-lane entry bits and
-   block counts) emits coefficients; per-lane DC chains (each
-   accumulated from 0) get exclusive-scan base corrections, and lanes
-   concatenate into each scan's raster block order (non-interleaved
-   scans ARE raster order — no MCU de-interleave).
+   crosses its chunk end, recording (exit bit, block count, bad flag).
+   Interleaved scans additionally speculate each lane's MCU PHASE
+   (which block of the Y/Y/Y/Y/Cb/Cr period its first block is) —
+   wrong-phase decodes self-synchronize just like wrong-bit ones;
+3. the host iterates the (entry bit, phase) fixpoint per scan chain:
+   lane k's true entry state is lane k-1's exit state; each chain's
+   head is exact from the start.  A lane whose guessed decode
+   self-synchronized onto the true symbol stream already has the true
+   exit, so chains close in 2-3 rounds empirically; desynced lanes
+   propose out-of-window entries, which are clamped and repaired on
+   later rounds;
+4. one payload pass (``decode_segments`` with per-lane entry bits,
+   phases, and block counts) emits coefficients; per-lane
+   per-COMPONENT DC chains (each accumulated from 0) get
+   exclusive-scan base corrections, and lanes concatenate into each
+   scan's emission order.
 
 Every inconsistency — no fixpoint within the round budget, an
-undersized block cap, count mismatch, bad codes at the fixpoint —
-returns None and the caller falls back to the host decoder: the
-speculation is an optimization, never a correctness dependence.
+undersized block cap, count mismatch, bad codes at the fixpoint, a
+scan too small or too large to be worth lanes — returns None and the
+caller falls back to the host decoder: the speculation is an
+optimization, never a correctness dependence.
 """
 from __future__ import annotations
 
