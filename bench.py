@@ -61,6 +61,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
+    # The tunneled chip's failure mode is a HANG (see CLAUDE.md); fail
+    # fast with a diagnosable message instead of wedging the driver.
+    from jpeg_tpu.utils.resilience import probe_device
+    if not probe_device(timeout_s=float(os.environ.get(
+            "BENCH_PROBE_TIMEOUT", "300"))):
+        print("# device probe timed out: TPU backend unavailable",
+              file=sys.stderr)
+        sys.exit(1)
+
     from jpeg_tpu.core.types import EncodeConfig
     from jpeg_tpu.pipelines.fast import FastBatchEncoder
 
