@@ -63,9 +63,10 @@ class EncodeConfig:
       * "fixed"   — T.81 Annex K.3 typical tables; avoids the per-image
                     device->host histogram sync (batch fast path).
 
-    restart_interval_mcu_rows: if > 0 (interleaved only), emit DRI and an
-    RSTn marker every N MCU rows; each segment's DC prediction resets, which
-    is what makes spatial sharding across devices possible.
+    restart_interval_mcu_rows: if > 0, emit DRI and an RSTn marker every N
+    MCU rows (interleaved: 16px MCU rows; 3scan: 8px block rows per
+    component scan); each segment's DC prediction resets, which is what
+    makes spatial sharding across devices possible.
     """
 
     quality: int | None = None

@@ -166,11 +166,13 @@ def _tables_dyn(maxc, delt, hvp, tsel):
     maxc_s = jnp.zeros((16, _LG), jnp.int32)
     delt_s = jnp.zeros((16, _LG), jnp.int32)
     hvp_s = jnp.zeros((_LG, 64), jnp.int32)
+    tsel_t = tsel.T  # transpose the int32 selector, not the bool mask —
+    #                  Mosaic cannot legalize i1 vector transposes
     for t in range(4):
         m = tsel == t
         maxc_s = jnp.where(m, maxc[16 * t:16 * (t + 1)], maxc_s)
         delt_s = jnp.where(m, delt[16 * t:16 * (t + 1)], delt_s)
-        hvp_s = jnp.where(m.T, hvp[:, 64 * t:64 * (t + 1)], hvp_s)
+        hvp_s = jnp.where(tsel_t == t, hvp[:, 64 * t:64 * (t + 1)], hvp_s)
     return maxc_s, delt_s, hvp_s
 
 
@@ -309,9 +311,12 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                              jnp.broadcast_to(dc, (64, _LG)), 0)
 
             # -- AC: one symbol per iteration, all lanes in lockstep --
+            # NOTE: loop carries are int32 0/1 masks, never bool — Mosaic
+            # fails to legalize scf.yield with i1 vector carries (mixed
+            # (1,128)/(8,128) vpad layouts; hit on first hardware compile)
             def cond(carry):
                 done, _, _, _ = carry
-                return jnp.logical_not(jnp.all(done))
+                return jnp.any(done == 0)
 
             def body(carry, ac_tabs=ac_tabs):
                 done, slot, bp, acc = carry
@@ -324,7 +329,7 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 eob = (sym == 0) & ~bad
                 zrl = (sym == 0xF0) & ~bad
                 coef = _extend(_take_bits(peek, ln, size), size)
-                live = ~done & ~bad
+                live = (done == 0) & ~bad
                 bp = bp + jnp.where(live, ln + size, 0)
                 pos = slot + run
                 wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
@@ -336,10 +341,11 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                 slot = jnp.where(live,
                                  jnp.where(zrl, slot + 16, pos + 1),
                                  slot)
-                done = done | ~live | eob | (slot > 63)
+                done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
                 return done, slot, bp, acc
 
-            carry = (~ok, jnp.ones((1, _LG), jnp.int32), bitpos, acc0)
+            carry = ((~ok).astype(jnp.int32),
+                     jnp.ones((1, _LG), jnp.int32), bitpos, acc0)
             # NOTE: the in-loop ensure_window IS load-bearing — the
             # refill threshold leaves as little as 96 bits of headroom
             # at block start, far less than a worst-case ~1700-bit block
@@ -409,9 +415,11 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         badf = live_l & (ln >= 17)
         bitpos = bitpos0 + jnp.where(ok, ln + size, 0)
 
+        # int32 0/1 carries, never bool (see the _hd_kernel NOTE: Mosaic
+        # cannot legalize scf.yield with i1 vector loop carries)
         def cond(carry):
             done, _, _, _ = carry
-            return jnp.logical_not(jnp.all(done))
+            return jnp.any(done == 0)
 
         def body(carry, ac_tabs=ac_tabs):
             done, slot, bp, badacc = carry
@@ -423,20 +431,22 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
             bad = ln >= 17
             eob = (sym == 0) & ~bad
             zrl = (sym == 0xF0) & ~bad
-            live = ~done & ~bad
-            badacc = badacc | (~done & bad)
+            live = (done == 0) & ~bad
+            badacc = badacc | ((done == 0) & bad).astype(jnp.int32)
             bp = bp + jnp.where(live, ln + size, 0)
             pos = slot + run
             slot = jnp.where(live,
                              jnp.where(zrl, slot + 16, pos + 1), slot)
-            done = done | ~live | eob | (slot > 63)
+            done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
             return done, slot, bp, badacc
 
-        carry = (~ok, jnp.ones((1, _LG), jnp.int32), bitpos, badf)
-        _, _, bitpos, badf = jax.lax.while_loop(cond, body, carry)
+        carry = ((~ok).astype(jnp.int32), jnp.ones((1, _LG), jnp.int32),
+                 bitpos, badf.astype(jnp.int32))
+        _, _, bitpos, badi = jax.lax.while_loop(cond, body, carry)
+        badf = badi != 0
         st_ref[0:1, :] = jnp.where(ok & ~badf, bitpos, bitpos0)
         st_ref[3:4, :] = st_ref[3:4, :] + (ok & ~badf).astype(jnp.int32)
-        st_ref[5:6, :] = st_ref[5:6, :] | badf.astype(jnp.int32)
+        st_ref[5:6, :] = st_ref[5:6, :] | badi
 
     pos_ref[0:1, :] = st_ref[0:1, :]
     pos_ref[1:2, :] = st_ref[3:4, :]

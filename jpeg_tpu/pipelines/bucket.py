@@ -18,7 +18,8 @@ class BucketedEncoder:
     """Encode lists of same-or-mixed-resolution images efficiently."""
 
     def __init__(self, config: EncodeConfig | None = None,
-                 segs_per_image: int = 1, interpret: bool = False):
+                 segs_per_image: int | None = None,
+                 interpret: bool = False):
         self.config = config or EncodeConfig(scan_layout="interleaved",
                                              huffman="fixed")
         self.segs_per_image = segs_per_image
@@ -26,9 +27,15 @@ class BucketedEncoder:
         self._encoders: dict[tuple[int, int], FastBatchEncoder] = {}
 
     def _encoder(self, h: int, w: int) -> FastBatchEncoder:
+        from .fast import SAMPLING_GEOMETRY
         key = (h, w)
         if key not in self._encoders:
             segs = self.segs_per_image
+            if segs is None:
+                # derive from the config's requested restart structure
+                my = h // SAMPLING_GEOMETRY[self.config.subsampling][1]
+                rows = self.config.restart_interval_mcu_rows or my
+                segs = my // rows if my % rows == 0 else 1
             while (h // 16) % segs:
                 segs -= 1
             self._encoders[key] = FastBatchEncoder(

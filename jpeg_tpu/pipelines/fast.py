@@ -253,7 +253,8 @@ class FastBatchEncoder:
 
     def __init__(self, height: int, width: int,
                  config: EncodeConfig | None = None,
-                 segs_per_image: int = 1, interpret: bool = False):
+                 segs_per_image: int | None = None,
+                 interpret: bool = False):
         self.config = config or EncodeConfig(scan_layout="interleaved",
                                              huffman="fixed")
         if self.config.scan_layout != "interleaved":
@@ -266,6 +267,15 @@ class FastBatchEncoder:
         self.height, self.width = height, width
         self.mcus_x, self.mcus_y = width // mcu_w, height // mcu_h
         nm = self.mcus_x * self.mcus_y
+        if segs_per_image is None:
+            # derive the restart structure from the config (the encoder
+            # must never silently drop a requested DRI/RSTn layout)
+            rows = self.config.restart_interval_mcu_rows or self.mcus_y
+            if self.mcus_y % rows:
+                raise ValueError(
+                    f"restart_interval_mcu_rows={rows} must divide "
+                    f"MCU rows {self.mcus_y}")
+            segs_per_image = self.mcus_y // rows
         if nm % segs_per_image or (self.mcus_y % segs_per_image):
             raise ValueError(f"segs_per_image={segs_per_image} must divide "
                              f"MCU rows {self.mcus_y}")

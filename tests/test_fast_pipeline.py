@@ -86,6 +86,26 @@ def test_fast_pipeline_bytes_match_xla_engine(huff, img_synthetic_160):
     assert [bytes(g) for g in got] == exp
 
 
+def test_restart_config_without_explicit_segs(img_synthetic_160):
+    """A config-requested DRI/RSTn layout must be honored by default.
+
+    Regression: FastBatchEncoder(config=...restart_interval_mcu_rows=2)
+    without segs_per_image used to silently emit a single-segment stream
+    (no DRI, no RSTn) — found by bench/tpu_drive.py on real hardware."""
+    img = np.asarray(img_synthetic_160)[:64, :64]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2)
+    fast = FastBatchEncoder(64, 64, config=cfg, interpret=True)
+    assert fast.n_segs == 2
+    got = bytes(fast.encode_batch(img[None])[0])
+    assert got == bytes(JpegEncoder(cfg).encode(img))
+    assert b"\xff\xdd" in got and b"\xff\xd0" in got  # DRI + RST0
+    with pytest.raises(ValueError, match="must divide"):
+        FastBatchEncoder(64, 64, config=EncodeConfig(
+            scan_layout="interleaved", huffman="fixed",
+            restart_interval_mcu_rows=3))
+
+
 @pytest.mark.parametrize("huff", ["fixed", "dynamic"])
 def test_encode_stream_matches_encode_batch(huff, img_synthetic_160):
     """The pipelined multi-batch API must produce exactly encode_batch's
