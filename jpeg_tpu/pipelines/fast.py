@@ -308,6 +308,13 @@ class FastBatchEncoder:
         self._step = jax.jit(self._step_fn)
         self._pack_only = jax.jit(self._pack_only_fn)
         self._analyze_hist = jax.jit(self._analyze_hist_fn)
+        # device->host fetch machinery (see _fetch_assemble): cached
+        # per-caps slice executables + the caps prediction for the next
+        # batch (merges the totals and words fetches into ONE link round
+        # trip — the round trip, not bandwidth, dominates e2e on
+        # high-latency links).
+        self._slice_cache: dict[tuple[int, ...], object] = {}
+        self._pred_caps: tuple[int, ...] | None = None
 
     # -- jitted pieces ---------------------------------------------------
 
@@ -635,16 +642,83 @@ class FastBatchEncoder:
         while ready:
             yield self._fetch_assemble(*ready.popleft())
 
+    # words-fetch bucketing: caps quantize to _CAP_BUCKET words so slice
+    # executables are reused across batches (an unbucketed ``w[:, :, :cap]``
+    # triggers a fresh ~0.7 s XLA compile for EVERY new content size —
+    # the round-2 e2e regression).  One extra bucket of prediction
+    # headroom makes same-content streams hit the single-round-trip path.
+    _CAP_BUCKET = 2048
+    _SLICE_CACHE_MAX = 64
+
+    def _caps_of(self, totals_np, max_words: int, headroom: int = 0):
+        """Per-image word caps (bucketed) from the [B, S] bit totals."""
+        used = (totals_np.max(axis=1).astype(np.int64) + 31) // 32 + 1
+        b = self._CAP_BUCKET
+        return tuple(int(min(max_words, -(-int(u) // b) * b + headroom * b))
+                     for u in used)
+
+    def _flat_slice(self, words, caps):
+        """Jitted per-image used-prefix gather -> one flat u32 array.
+
+        Each image contributes its segments' first ``caps[b]`` words;
+        one contiguous transfer replaces B*S strided ones.  Executables
+        cache per caps tuple; the cache is bounded (content-stable
+        streams use 1-2 entries; wildly varying streams fall back to a
+        batch-uniform cap so the key space stays small).
+        """
+        if len(self._slice_cache) >= self._SLICE_CACHE_MAX:
+            caps = (max(caps),) * len(caps)
+        fn = self._slice_cache.get(caps)
+        if fn is None:
+            def f(w, caps=caps):
+                return jnp.concatenate(
+                    [w[b, :, :caps[b]].reshape(-1)
+                     for b in range(len(caps))])
+            fn = self._slice_cache.setdefault(caps, jax.jit(f))
+        return fn(words), caps
+
+    def _split_flat(self, flat_np, caps):
+        """Host split of the flat fetch back to [B, S, max(caps)] words."""
+        S = self.n_segs
+        out = np.zeros((len(caps), S, max(caps)), flat_np.dtype)
+        off = 0
+        for b, c in enumerate(caps):
+            out[b, :, :c] = flat_np[off:off + S * c].reshape(S, c)
+            off += S * c
+        return out
+
     def _fetch_assemble(self, words, totals, tables):
-        # Fetch totals first (tiny), then one sliced transfer of just the
-        # used word prefix — the padded buffer is worst-case sized (30
-        # bits/slot) while real streams are ~10x smaller, and device->host
-        # bandwidth is the e2e bottleneck.
-        totals_np = np.asarray(totals)
-        used = (int(totals_np.max()) + 31) // 32 + 1  # +1: tail-word read slack
-        cap = min(words.shape[-1], -(-used // 128) * 128)
-        words_np = np.asarray(words[:, :, :cap])
-        return self._assemble(words_np, totals_np, tables)
+        # Fetch just the used word prefixes — the padded device buffer is
+        # worst-case sized (30 bits/slot) while real streams are ~10x
+        # smaller.  The per-image caps come from the bit totals, which
+        # live on device too; fetching them first costs a full link round
+        # trip, so the caps are PREDICTED from the previous batch (plus
+        # one bucket of headroom) and totals + sliced words fetch in ONE
+        # device_get.  A misprediction (content grew past the headroom)
+        # salvages with a second exact fetch.
+        pred = self._pred_caps
+        if pred is not None and len(pred) == words.shape[0]:
+            flat, caps = self._flat_slice(words, pred)
+            totals_np, flat_np = jax.device_get((totals, flat))
+            need = self._caps_of(totals_np, words.shape[-1])
+            if any(n > c for n, c in zip(need, caps)):
+                flat, caps = self._flat_slice(words, need)
+                flat_np = np.asarray(flat)
+        else:
+            totals_np = np.asarray(totals)
+            need = self._caps_of(totals_np, words.shape[-1])
+            flat, caps = self._flat_slice(words, need)
+            flat_np = np.asarray(flat)
+        # Ratchet the prediction: grow to cover what this batch needed
+        # (plus headroom) but never shrink — shrinking would flap between
+        # slice executables (a fresh ~0.7 s compile each) on streams
+        # whose content size wobbles across a bucket edge.
+        new = self._caps_of(totals_np, words.shape[-1], headroom=1)
+        if pred is not None and len(pred) == len(new):
+            new = tuple(max(a, b) for a, b in zip(pred, new))
+        self._pred_caps = new
+        return self._assemble(self._split_flat(flat_np, caps), totals_np,
+                              tables)
 
     def _assemble(self, words, totals, tables):
         from .. import native
