@@ -44,8 +44,10 @@ def main():
     jax.block_until_ready(deltas)
     di = [0]
 
-    def slope(fn, n1=4, n2=16, reps=2):
+    def slope(fn, n1=4, n2=16, reps=2, on=None):
         """fn maps a perturbed batch to output(s); returns ms/iteration."""
+        data = batch if on is None else on
+
         def make(n):
             @jax.jit
             def run(b, d):
@@ -59,15 +61,15 @@ def main():
                                          (jnp.uint8(0), jnp.uint32(0)))[1]
             return run
         r1, r2 = make(n1), make(n2)
-        int(np.asarray(r1(batch, deltas[di[0]]))); di[0] += 1
-        int(np.asarray(r2(batch, deltas[di[0]]))); di[0] += 1
+        int(np.asarray(r1(data, deltas[di[0]]))); di[0] += 1
+        int(np.asarray(r2(data, deltas[di[0]]))); di[0] += 1
 
         def t(r):
             best = 1e9
             for _ in range(reps):
                 d = deltas[di[0]]; di[0] += 1
                 t0 = time.perf_counter()
-                int(np.asarray(r(batch, d)))
+                int(np.asarray(r(data, d)))
                 best = min(best, time.perf_counter() - t0)
             return best
         return (t(r2) - t(r1)) / (n2 - n1) * 1000.0
@@ -101,6 +103,44 @@ def main():
     s2 = slope(lambda b: kfront.front_place(
         b, luts_d, *pargs, mx, my, "420", enc.seg_rows))
     report("dynamic stage 2 (front_place, per-image LUTs)", s2)
+
+    # Progressive successive-approximation encode (host-side refinement
+    # coder by design — TODO.md "Capabilities"): one wall number so the
+    # by-design claim is evidence-backed.  This is a latency/feature
+    # path, not a throughput path; compare per-image against the C
+    # reference baseline (~21.6 ms for this fixture), not the device
+    # steps above.
+    from jpeg_tpu.pipelines.progressive import encode_progressive
+    img0 = batch_np[0]
+    encode_progressive(img0, EncodeConfig(), successive=True)  # warm
+    t0 = time.perf_counter()
+    reps_sa = 3
+    for _ in range(reps_sa):
+        encode_progressive(img0, EncodeConfig(), successive=True)
+    sa_ms = (time.perf_counter() - t0) / reps_sa * 1000.0
+    report("progressive SA encode (1 x 640x640, wall incl. host coder)",
+           sa_ms)
+    print(f"  -> {H * W / sa_ms / 1e3:.1f} MP/s/img "
+          f"(C reference baseline: 19.0 MP/s)")
+
+    # Non-128-multiple width: phantom-padded slab columns keep such
+    # geometries on the Pallas front (front_eligible allows any W%16==0
+    # up to 4096); this row proves the per-MP cost stays front-kernel
+    # class instead of falling back to the ~4 ms XLA front.
+    W2 = 1008  # 63 MCU columns: not a multiple of 128 (or even 64) px
+    img2 = np.concatenate([batch_np[0], batch_np[0]], axis=1)[:, :W2]
+    b2_np = np.stack([np.roll(img2, 16 * i, axis=0) for i in range(B)])
+    batch2 = jax.device_put(jnp.asarray(b2_np.reshape(B, H, W2 * 3)))
+    jax.block_until_ready(batch2)
+    enc2 = F.FastBatchEncoder(H, W2, config=EncodeConfig(
+        scan_layout="interleaved", huffman="fixed"))
+    assert enc2._front_ok, "W=1008 must ride the Pallas front"
+    mp2 = B * H * W2 / 1e6
+    step2_ms = slope(lambda b: enc2._step_fn(b, enc2._fixed_lut), on=batch2)
+    report(f"full fixed step, W={W2} (non-128-multiple, phantom pad)",
+           step2_ms)
+    print(f"  -> {mp2 / (step2_ms / 1000):.0f} MP/s on {mp2:.2f} MP "
+          f"(vs {mp / (step_ms / 1000):.0f} MP/s at W={W})")
 
     print(f"\nbatch = {B} x {W}x{H} = {mp:.2f} MP")
     print(f"fixed device throughput   = {mp / (step_ms / 1000):.0f} MP/s")

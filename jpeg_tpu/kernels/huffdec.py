@@ -47,6 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LG = 128   # lanes per segment group
 _WNDW = 64  # sliding window words per lane (> worst-case block: 57)
+_SYM_GROUP = 4  # AC symbols decoded per while-loop iteration.  The
+# while cond (vector->scalar ``any`` + branch) and the window-refill
+# ``cond`` (vector->scalar ``max`` + branch) are scalar-core syncs that
+# cost ~10x the loop body's vector work (measured 2026-08-19: ~1.2 us
+# per single-symbol iteration vs ~0.1 us of vector ops); decoding a
+# straight-line group of symbols per iteration amortizes both.  Lanes
+# that finish mid-group idle masked — the group size trades a little
+# wasted vector work for far fewer scalar syncs.
 # blocks per grid step: a multiple of the MCU period (so table choice
 # is static) whose x64 out-lane count is 128-aligned; kept at one or two
 # MCUs because each block unrolls a full decode body in the kernel

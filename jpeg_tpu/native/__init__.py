@@ -80,6 +80,10 @@ def _load():
                 ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64,
                 i32p, i32p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, i32p]
+            lib.jt_ac_refine_fields.restype = ctypes.c_int64
+            lib.jt_ac_refine_fields.argtypes = [
+                i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
             _lib = lib
         except Exception:
             _lib = None
@@ -109,6 +113,34 @@ def finish_scan(words: np.ndarray, total_bits: int) -> bytes | None:
         ctypes.c_int64(int(total_bits)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out[:n].tobytes()
+
+
+def ac_refine_fields(band: np.ndarray, al: int, max_run: int,
+                     max_buffer: int):
+    """Native successive-approximation AC refinement coder.
+
+    band: [n, w] int32 band coefficients (un-shifted).  Returns
+    (sym, extra, extra_n) int32 arrays, or None if the library is
+    unavailable (the Python loop in pipelines/progressive.py is the
+    reference implementation and fallback).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(band, dtype=np.int32)
+    n, w = b.shape
+    cap = n * (w + w // 16 + 2) + 8
+    sym = np.empty(cap, np.int32)
+    extra = np.empty(cap, np.int32)
+    extra_n = np.empty(cap, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    m = lib.jt_ac_refine_fields(
+        b.ctypes.data_as(i32p), ctypes.c_int64(n), ctypes.c_int64(w),
+        ctypes.c_int64(int(al)), ctypes.c_int64(int(max_run)),
+        ctypes.c_int64(int(max_buffer)),
+        sym.ctypes.data_as(i32p), extra.ctypes.data_as(i32p),
+        extra_n.ctypes.data_as(i32p))
+    return sym[:m], extra[:m], extra_n[:m]
 
 
 def build_huff_tables(freqs: np.ndarray):

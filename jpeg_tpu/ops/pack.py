@@ -71,6 +71,35 @@ def pack_fields(values, nbits, max_words: int | None = None):
     return words, total
 
 
+def pack_fields_np(values, nbits, max_words: int | None = None):
+    """Host NumPy ``pack_fields`` (identical layout and semantics).
+
+    Latency paths with host-resident fields (progressive scan scripts)
+    pack here: a device round trip per scan costs ~100 ms on high-latency
+    links for microseconds of compute.
+    """
+    v = np.asarray(values).reshape(-1).astype(np.int64) & 0xFFFFFFFF
+    n = np.asarray(nbits).reshape(-1).astype(np.int64)
+    if max_words is None:
+        max_words = max_words_for_slots(v.shape[0])
+    if v.size == 0:
+        return np.zeros(max_words, np.uint32), 0
+    ends = np.cumsum(n)
+    total = int(ends[-1])
+    offs = ends - n
+    w = offs >> 5
+    end_in = (offs & 31) + n
+    hi = np.where(end_in <= 32,
+                  v << np.clip(32 - end_in, 0, 31),
+                  v >> np.clip(end_in - 32, 0, 31)) & 0xFFFFFFFF
+    lo = np.where(end_in > 32,
+                  v << np.clip(64 - end_in, 0, 31), 0) & 0xFFFFFFFF
+    words = np.zeros(max_words, np.uint32)
+    np.add.at(words, w, hi.astype(np.uint32))          # disjoint bits:
+    np.add.at(words, w + 1, lo.astype(np.uint32))      # add == or
+    return words, total
+
+
 def finish_scans(words_2d: np.ndarray, totals) -> list[bytes]:
     """Batch finalization of S scans: words [S, stride] u32, totals [S].
 

@@ -23,13 +23,17 @@ verified against both ``golden.decoder`` (SOF2-capable) and PIL.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..bitstream import jfif
 from ..core import tables as T
 from ..core.types import EncodeConfig
+from .. import native as _native
 from ..golden.encoder import mcu_order_index
 from ..huffman.build import build_tables_from_histograms, fixed_tables
 from ..ops import pack as ops_pack
@@ -110,11 +114,14 @@ def _apply_eob_runs(slots) -> dict:
                 valid[m, eob_pos[m]] = False
             off += run
 
+    # numpy outputs: consumers are host coders (the script engine) or
+    # jnp ops that accept numpy operands; returning device arrays here
+    # cost one put + fetch round trip PER SCAN on remote transports
     out = dict(slots)
-    out["sym"] = jnp.asarray(np.where(valid, sym, 0))
-    out["extra"] = jnp.asarray(np.where(valid, extra, 0))
-    out["extra_n"] = jnp.asarray(np.where(valid, extra_n, 0))
-    out["valid"] = jnp.asarray(valid)
+    out["sym"] = np.where(valid, sym, 0)
+    out["extra"] = np.where(valid, extra, 0)
+    out["extra_n"] = np.where(valid, extra_n, 0)
+    out["valid"] = valid
     return out
 
 
@@ -191,13 +198,28 @@ class _Fields:
                 np.asarray(self.tid, np.int64))
 
 
+class _ArrayFields:
+    """Array-backed emission stream (same protocol as ``_Fields``) for
+    the vectorized/native builders — skips the Python-list round trip."""
+
+    def __init__(self, sym, extra, extra_n, tid=0):
+        self.sym = np.asarray(sym, np.int64).reshape(-1)
+        self.extra = np.asarray(extra, np.int64).reshape(-1)
+        self.extra_n = np.asarray(extra_n, np.int64).reshape(-1)
+        t = np.asarray(tid, np.int64)
+        self.tid = (np.broadcast_to(t, self.sym.shape).copy()
+                    if t.ndim == 0 else t.reshape(-1))
+
+    def arrays(self):
+        return self.sym, self.extra, self.extra_n, self.tid
+
+
 def _dc_scan_fields(dc_walks, counts, ah, al):
     """Interleaved DC scan fields (first scan or refinement).
 
     dc_walks: per-component quantized DC values in MCU walk order;
     counts: blocks per MCU per component (e.g. [4, 1, 1] for 4:2:0).
     """
-    f = _Fields()
     nmcu = len(dc_walks[0]) // counts[0]
     if ah == 0:
         diffs = []
@@ -212,15 +234,13 @@ def _dc_scan_fields(dc_walks, counts, ah, al):
             [np.full(c, 0 if i == 0 else 1, np.int64)
              for i, c in enumerate(counts)])
         tids = np.broadcast_to(tid_row, inter.shape)
-        f.extend_arrays(cls.reshape(-1), amp.reshape(-1), cls.reshape(-1),
-                        tids.reshape(-1))
-    else:
-        bits = [((dcw >> al) & 1).reshape(nmcu, -1) for dcw in dc_walks]
-        inter = np.concatenate(bits, axis=1)
-        ones = np.ones(inter.size, np.int64)
-        f.extend_arrays(np.full(inter.size, -1, np.int64),
+        return _ArrayFields(cls.reshape(-1), amp.reshape(-1),
+                            cls.reshape(-1), tids.reshape(-1).copy())
+    bits = [((dcw >> al) & 1).reshape(nmcu, -1) for dcw in dc_walks]
+    inter = np.concatenate(bits, axis=1)
+    ones = np.ones(inter.size, np.int64)
+    return _ArrayFields(np.full(inter.size, -1, np.int64),
                         inter.reshape(-1), ones, 0)
-    return f
 
 
 def _ac_first_fields(zz, ss, se, al, allow_eobn):
@@ -254,12 +274,10 @@ def _ac_first_fields(zz, ss, se, al, allow_eobn):
              "valid": valid}
     if allow_eobn:
         slots = {k: np.asarray(v) for k, v in _apply_eob_runs(slots).items()}
-    f = _Fields()
     mask = slots["valid"].reshape(-1)
-    f.extend_arrays(slots["sym"].reshape(-1)[mask],
-                    slots["extra"].reshape(-1)[mask],
-                    slots["extra_n"].reshape(-1)[mask], 0)
-    return f
+    return _ArrayFields(slots["sym"].reshape(-1)[mask],
+                        slots["extra"].reshape(-1)[mask],
+                        slots["extra_n"].reshape(-1)[mask], 0)
 
 
 def _ac_refine_fields(zz, ss, se, ah, al, allow_eobn):
@@ -268,6 +286,11 @@ def _ac_refine_fields(zz, ss, se, ah, al, allow_eobn):
     correction bits buffered across EOB runs (the libjpeg
     encode_mcu_AC_refine flow, which decoders reverse per Figure G.10)."""
     band = zz[:, ss:se + 1].astype(np.int64)
+    got = _native.ac_refine_fields(band, al,
+                                   0x7FFF if allow_eobn else 1,
+                                   _MAX_REFINE_BUFFER)
+    if got is not None:
+        return _ArrayFields(*got, tid=0)
     absv = np.abs(band) >> al
     positive = band > 0
     n, w = absv.shape
@@ -358,6 +381,25 @@ def _scan_histograms(fields, n_tids):
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _analyze_jit(sampling: str):
+    """Cached jitted f32 analyze (one device dispatch, all three planes;
+    a per-call ``jax.jit`` would retrace + recompile on EVERY encode)."""
+    from ..ops import color as ops_color
+    from ..ops import dct as ops_dct
+    convert = {"420": ops_color.rgb_to_ycbcr_420,
+               "422": ops_color.rgb_to_ycbcr_422,
+               "444": ops_color.rgb_to_ycbcr_444}[sampling]
+
+    @jax.jit
+    def analyze(im, lq, cq):
+        y, cb, cr = convert(im, dtype=jnp.float32)
+        return tuple(ops_dct.dct_quantize_zigzag(
+            ops_color.to_blocks(p), q, dtype=jnp.float32)
+            for p, q in ((y, lq), (cb, cq), (cr, cq)))
+    return analyze
+
+
 def encode_progressive_script(rgb, config: EncodeConfig | None = None,
                               scan_script=None) -> bytes:
     """Encode with an explicit progressive scan script (SA-capable).
@@ -367,7 +409,7 @@ def encode_progressive_script(rgb, config: EncodeConfig | None = None,
     Huffman tables per scan and emits them in per-scan DHT segments.
     """
     from ..huffman.build import build_tables_batch
-    from ..ops.pack import finish_scan, pack_fields
+    from ..ops.pack import finish_scan, pack_fields_np
 
     cfg = config or EncodeConfig()
     script = scan_script or SUCCESSIVE_SCRIPT
@@ -395,17 +437,24 @@ def encode_progressive_script(rgb, config: EncodeConfig | None = None,
     exact = cfg.dtype == "float64"
     dtype = jnp.float64 if exact else jnp.float32
 
-    # Per-component raster zig-zag coefficients (host numpy; progressive
-    # is the fidelity mode, not the throughput path).
+    # Per-component raster zig-zag coefficients: ONE device analyze, ONE
+    # combined fetch (three separate np.asarray calls cost three blocking
+    # link round trips on high-latency transports).  The field coders
+    # below are host code: progressive is the fidelity mode, not the
+    # throughput path.
     from ..ops import color as ops_color
     from ..ops import dct as ops_dct
     convert = {"420": ops_color.rgb_to_ycbcr_420,
                "422": ops_color.rgb_to_ycbcr_422,
                "444": ops_color.rgb_to_ycbcr_444}[cfg.subsampling]
-    y, cb, cr = convert(rgb, dtype=dtype)
-    zz = [np.asarray(ops_dct.dct_quantize_zigzag(
-        ops_color.to_blocks(p), q, dtype=dtype, exact=exact))
-        for p, q in ((y, lq), (cb, cq), (cr, cq))]
+    if exact:
+        y, cb, cr = convert(rgb, dtype=dtype)
+        zz = [np.asarray(ops_dct.dct_quantize_zigzag(
+            ops_color.to_blocks(p), q, dtype=dtype, exact=exact))
+            for p, q in ((y, lq), (cb, cq), (cr, cq))]
+    else:
+        zz = [np.asarray(a, np.int64) for a in jax.device_get(
+            _analyze_jit(cfg.subsampling)(rgb, lq, cq))]
     ypm = {"420": 4, "422": 2, "444": 1}[cfg.subsampling]
     counts = [ypm, 1, 1]
     if cfg.subsampling == "420":
@@ -466,17 +515,15 @@ def encode_progressive_script(rgb, config: EncodeConfig | None = None,
                                                  ah=ah, al=al)
         values, nbits = _resolve_fields(fields, tabs)
         mw = int(nbits.sum()) // 32 + 2
-        words, total = pack_fields(jnp.asarray(values, jnp.int32),
-                                   jnp.asarray(nbits, jnp.int32),
-                                   max_words=max(mw, 2))
+        words, total = pack_fields_np(values, nbits, max_words=max(mw, 2))
         out.append(sos)
-        out.append(finish_scan(np.asarray(words), int(total)))
+        out.append(finish_scan(words, int(total)))
     out.append(jfif.EOI)
     return b"".join(out)
 
 
 def _has_syms(fields) -> bool:
-    return any(s >= 0 for s in fields.sym)
+    return bool(np.any(np.asarray(fields.sym) >= 0))
 
 
 def encode_progressive(rgb, config: EncodeConfig | None = None,

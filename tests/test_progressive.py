@@ -194,3 +194,28 @@ def test_custom_band_script():
     pil = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
     ours = gdec.decode(data)
     assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 2
+
+
+def test_native_refine_coder_matches_python(monkeypatch):
+    """The C++ SA refinement coder must emit element-identical fields to
+    the Python reference loop (jt_ac_refine_fields parity)."""
+    from jpeg_tpu import native
+    from jpeg_tpu.pipelines import progressive as P
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    # mix of empty blocks, long zero runs, corrections and new ones
+    zz = rng.integers(-9, 10, size=(120, 64)).astype(np.int64)
+    zz[rng.random((120, 64)) < 0.85] = 0
+    zz[::7] = 0                      # whole-block EOB runs
+    zz[5, 1:] = 0; zz[5, 63] = 3     # long run to a correction
+    zz[9, 1:] = 0; zz[9, 62] = 1     # long run to a new one (ZRLs)
+    for ss, se, ah, al in ((1, 63, 1, 0), (1, 63, 2, 1), (6, 63, 1, 0)):
+        for allow_eobn in (True, False):
+            got = P._ac_refine_fields(zz, ss, se, ah, al, allow_eobn)
+            monkeypatch.setattr(native, "ac_refine_fields",
+                                lambda *a, **k: None)
+            want = P._ac_refine_fields(zz, ss, se, ah, al, allow_eobn)
+            monkeypatch.undo()
+            for g, w in zip(got.arrays(), want.arrays()):
+                assert np.array_equal(g, w), (ss, se, ah, al, allow_eobn)
