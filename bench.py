@@ -318,9 +318,12 @@ def main():
     # restart-delimited stream: RSTn segments decode thread-parallel in the
     # native bit-walk (jt_decode_scan_mt), the decode-side dual of the
     # encoder's segment-parallel packing
+    # 40 segs/img: the encoder-side restart layout that feeds the decode
+    # kernels best (640 lanes -> 5 interleaved groups; calibrated
+    # 2026-08-19) and also parallelizes the native host bit-walk
     enc8 = FastBatchEncoder(
         h, w, config=EncodeConfig(scan_layout="interleaved",
-                                  huffman="fixed"), segs_per_image=8)
+                                  huffman="fixed"), segs_per_image=40)
     one = enc8.encode_batch(batch[:1])[0]
     comps, coeffs, quant, w2, h2 = parse_coefficients(one)  # warm
     entropy_ms = 1e9

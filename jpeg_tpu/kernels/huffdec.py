@@ -4,10 +4,18 @@ Baseline entropy decode is bit-serial WITHIN a restart segment but
 embarrassingly parallel ACROSS segments (DC predictors reset at every
 RSTn, T.81 F.2.1.3.1).  The C++ host runtime exploits this with threads
 (``native/jpeg_tpu_host.cpp`` ``jt_decode_scan_mt``); this kernel is the
-TPU-native version: 128 segments decode in lockstep on the VPU lanes,
-one Huffman symbol per inner step, with the canonical-code length
-determination vectorized over all 16 code lengths on sublanes
-(T.81 F.2.2.3 DECODE, the dual of ``main/encoder.c:145-176``).
+TPU-native version: 128-lane groups of segments decode in lockstep on
+the VPU lanes — ``_SYM_GROUP`` symbols per loop iteration, several
+independent lane GROUPS interleaved per invocation (latency hiding),
+bits served from a once-per-group contiguous register-file fetch, and
+the canonical-code length found by a monotone-boundary count
+(T.81 F.2.2.3 DECODE reformulated; the dual of
+``main/encoder.c:145-176``).  The 2026-08-19 hardware attribution that
+shaped this: the [64, 128] coefficient placement costs ~nothing (VPU
+throughput is not the bound); per-symbol gathers/transposes and
+cross-sublane reductions (XLU) plus the serial bit-position chain are
+— so the design minimizes XLU touches per symbol and overlaps
+independent chains.
 
 Layout rules (all shaped around Mosaic's gather constraint —
 ``take_along_axis`` along lanes needs full-shape indices, so every
@@ -47,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LG = 128   # lanes per segment group
 _WNDW = 64  # sliding window words per lane (> worst-case block: 57)
-_SYM_GROUP = 4  # AC symbols decoded per while-loop iteration.  The
+_SYM_GROUP = 6  # AC symbols decoded per while-loop iteration.  The
 # while cond (vector->scalar ``any`` + branch) and the window-refill
 # ``cond`` (vector->scalar ``max`` + branch) are scalar-core syncs that
 # cost ~10x the loop body's vector work (measured 2026-08-19: ~1.2 us
@@ -60,6 +68,19 @@ _SYM_GROUP = 4  # AC symbols decoded per while-loop iteration.  The
 # MCUs because each block unrolls a full decode body in the kernel
 # (larger chunks balloon Mosaic compile time)
 _CHUNK = {6: 6, 4: 4, 3: 6, 1: 4}
+
+# group-interleave candidates for decode_segments, best first.  The
+# 2026-08-19 hardware sweep (16x640x640, 40 segs/img = 640 lanes):
+# G=5/SG=6 hits 705 MP/s vs 299 at G=1/SG=4 — deeper interleave hides
+# the per-symbol chain latency; SG=8+ regresses (register pressure).
+_G_CANDS = (5, 4, 3, 2)
+
+# PROFILING-ONLY trace-time knob (bench scripts monkeypatch): a set of
+# phase names to SKIP inside the AC symbol loop — "acc" (coefficient
+# placement), "core" (canonical decode, replaced by a fixed 4-bit
+# symbol), "fetch" (window peek, replaced by a constant).  Output is
+# garbage when non-empty; never set in production.
+_PROF_SKIP: frozenset = frozenset()
 
 # MCU pattern per sampling: (dc_table_row, ac_table_row, component) per
 # block position; table rows index the stacked [4 x 16] canonical tables
@@ -83,27 +104,33 @@ SAMPLING_OF_FACTORS = {
 
 
 def canonical_tables(bits: np.ndarray, huffval: np.ndarray):
-    """DHT (BITS, HUFFVAL) -> (maxcode [16], delta [16], hv [256]).
+    """DHT (BITS, HUFFVAL) -> (bound [16], delta [16], hv [256]).
 
-    T.81 F.2.2.3: a length-l code c decodes iff c <= maxcode[l]; the
-    symbol is HUFFVAL[valptr[l] + c - mincode[l]] = hv[c + delta[l]].
-    Lengths with no codes keep maxcode -1 (never matches, codes are
-    non-negative).
+    T.81 F.2.2.3 reformulated for a count-based length determination
+    (the monotone-boundary trick): ``bound[l-1] = (first 16-bit-aligned
+    value past all codes of length <= l)``, i.e. (maxcode_l + 1) <<
+    (16 - l) with empty lengths carrying the running code forward.
+    Bounds are monotone non-decreasing, so the true code length is
+    ``1 + count(peek16 >= bound)`` — ONE cross-sublane reduction per
+    symbol instead of a min-reduce plus two masked-sum selects.  A
+    peek past every bound counts 16 -> length 17 = invalid (covers
+    empty tables and corrupt bits).  The symbol is
+    hv[(peek16 >> (16 - len)) + delta[len - 1]].
     """
-    maxcode = np.full(16, -1, np.int64)
+    bound = np.zeros(16, np.int64)
     delta = np.zeros(16, np.int64)
     code = 0
     k = 0
     for l in range(1, 17):
         n = int(bits[l])
         if n:
-            maxcode[l - 1] = code + n - 1
             delta[l - 1] = k - code
+        bound[l - 1] = (code + n) << (16 - l)
         code = (code + n) << 1
         k += n
     hv = np.zeros(256, np.int64)
     hv[:len(huffval)] = np.asarray(huffval, np.int64)
-    return maxcode, delta, hv
+    return bound, delta, hv
 
 
 def _sub_iota(shape):
@@ -125,39 +152,43 @@ def _select16(sel, arr16):
                    dtype=jnp.int32)
 
 
-def _fetch32(wnd_ref, base_bits, bitpos):
+def _fetch32(wnd, base_bits, bitpos):
     """Aligned 32-bit big-endian peek at ``bitpos`` per lane.
 
-    wnd_ref: [128, _WNDW] window; base_bits: [1, 128] window origin in
+    wnd: [128, _WNDW] window VALUE; base_bits: [1, 128] window origin in
     bits (32-aligned); bitpos: [1, 128].  Returns peek32 [1, 128] with
     bits [bitpos, bitpos+32) left-aligned.
     """
     rel = jnp.clip(_shr(bitpos - base_bits, jnp.int32(5)), 0, _WNDW - 2)
     idx = rel.T + (_lane_iota((_LG, _WNDW)) & 1)  # lanes 0,1 -> w, w+1
-    got = jnp.take_along_axis(wnd_ref[:], idx, axis=1)
+    got = jnp.take_along_axis(wnd, idx, axis=1)
     pair = got[:, 0:2].T                          # [2, 128]
     w0, w1 = pair[0:1], pair[1:2]
     s = bitpos & 31
     return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
 
 
-def _decode_symbol_core(peek32, maxc16, delt16, hvp64):
+def _decode_symbol_core(peek32, bnd16, delt16, hvp64):
     """One canonical Huffman decode step for every lane, against
-    PRE-SLICED per-table arrays: maxc16/delt16 [16, 128], hvp64
-    [128, 64] byte-packed HUFFVAL (4 symbols/word).  Returns
-    (sym, code length) [1, 128] each; lanes whose bits match no code
-    get length 100 (corrupt or padding — callers mask on it)."""
+    PRE-SLICED per-table arrays: bnd16/delt16 [16, 128] (monotone
+    boundaries + deltas, ``canonical_tables``), hvp64 [128, 64]
+    byte-packed HUFFVAL (4 symbols/word).  Returns (sym, code length)
+    [1, 128] each; length 17 marks no-match (corrupt or padding —
+    callers mask on it).  Cost shape: one [16, 128] compare + ONE
+    cross-sublane count + one masked-sum delta select + one gather —
+    the count trick halves the XLU reductions of the maxcode form."""
     peek16 = _shr(peek32, jnp.int32(16))
-    sub = _sub_iota((16, _LG))
-    sh = _shr(jnp.broadcast_to(peek16, (16, _LG)), 15 - sub)
-    fits = sh <= maxc16
-    lsel = jnp.min(jnp.where(fits, sub, 99), axis=0, keepdims=True)
-    code = _select16(lsel, sh)
-    symidx = jnp.clip(code + _select16(lsel, delt16), 0, 255)
+    ge = jnp.broadcast_to(peek16, (16, _LG)) >= bnd16
+    cnt = jnp.sum(ge.astype(jnp.int32), axis=0, keepdims=True,
+                  dtype=jnp.int32)                    # = length - 1
+    ln = cnt + 1                                      # 1..17
+    code = _shr(peek16, jnp.clip(16 - ln, 0, 15))
+    symidx = jnp.clip(code + _select16(jnp.minimum(cnt, 15), delt16),
+                      0, 255)
     widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
     word = jnp.take_along_axis(hvp64, widx, axis=1)[:, 0:1].T
     sym = _shr(word, 8 * (symidx & 3)) & 0xFF
-    return sym, lsel + 1
+    return sym, ln
 
 
 def _tables_static(maxc, delt, hvp, tbl: int):
@@ -219,14 +250,17 @@ def _take_bits(peek32, off, n):
     return jnp.where(n == 0, 0, v)
 
 
-def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int):
+def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int,
+                      reserve: int = 3):
     """Window-refill closure shared by the decode kernels.
 
     Refills every lane's window at its own word position when any lane
-    is within one symbol (32 bits + the 2-word fetch) of its window
-    edge.  One full-row gather refills all lanes at once; typical
-    refill cadence is ~60 consumed words (hundreds of symbols), so the
-    wide gather amortizes to noise.
+    is within ``reserve`` words of its window edge (callers that decode
+    a straight-line GROUP of symbols between checks pass a reserve
+    covering the group's worst-case consumption plus the 2-word peek).
+    One full-row gather refills all lanes at once; typical refill
+    cadence is ~60 consumed words (hundreds of symbols), so the wide
+    gather amortizes to noise.
     """
     def ensure_window(bp):
         def refill():
@@ -245,125 +279,250 @@ def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int):
             wnd_ref[:, :] = acc[:, :_WNDW]
             st_ref[4:5, :] = base_w.T * 32
 
-        need = jnp.max(bp - st_ref[4:5, :]) > 32 * (_WNDW - 3)
+        need = jnp.max(bp - st_ref[4:5, :]) > 32 * (_WNDW - reserve)
         jax.lax.cond(need, refill, lambda: None)
     return ensure_window
+
+
+# reserve for group-decoding loops: _SYM_GROUP symbols at <= 31 bits
+# (16-bit code + 15 claimed magnitude bits on a corrupt stream) plus the
+# final symbol's 2-word aligned peek
+_GROUP_RESERVE = 3 + (_SYM_GROUP * 31 + 31) // 32
+
+# contiguous words fetched once per symbol group: alignment slack (1) +
+# the group's worst-case consumption + the last symbol's 2-word peek
+_NW_GROUP = 2 + (_SYM_GROUP * 31 + 31) // 32 + 1
+
+
+def _group_fetch(wnd, base_bits, bp):
+    """ONE gather + ONE transpose serving a whole symbol group.
+
+    The per-symbol ``_fetch32`` costs a dynamic gather and two lane<->
+    sublane transposes on the XLU — the serial resource this kernel is
+    bound on (measured 2026-08-19: skipping the [64,128] coefficient
+    placement entirely changes nothing, so the VPU is not the
+    bottleneck).  Bits consumed by a group are CONTIGUOUS from the
+    group's start position, so one [128, _NW_GROUP] gather + transpose
+    yields a per-lane register file ``wc`` [_NW_GROUP, 128] from which
+    each symbol's 32-bit peek is assembled with cheap lane-oriented
+    selects (``_peek_from``).  Returns (wc, word_base_bits)."""
+    rel0 = jnp.clip(_shr(bp - base_bits, jnp.int32(5)), 0,
+                    _WNDW - _NW_GROUP)
+    # Mosaic's dynamic_gather wants FULL-shape indices (same shape as
+    # the source); only the first _NW_GROUP gathered columns are used
+    idx = jnp.minimum(rel0.T + _lane_iota((_LG, _WNDW)), _WNDW - 1)
+    wc = jnp.take_along_axis(wnd, idx, axis=1)[:, :_NW_GROUP].T
+    return wc, base_bits + rel0 * 32
+
+
+def _peek_from(wc, word_base, bp):
+    """32-bit big-endian peek at ``bp`` from the group register file."""
+    off = bp - word_base                             # [1, 128]
+    wsel = _shr(off, jnp.int32(5))
+    s = off & 31
+    w0 = jnp.zeros_like(bp)
+    w1 = jnp.zeros_like(bp)
+    for k in range(_NW_GROUP - 1):
+        m = wsel == k
+        w0 = jnp.where(m, wc[k:k + 1], w0)
+        w1 = jnp.where(m, wc[k + 1:k + 2], w1)
+    return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
 
 
 def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                entry_ref, phase_ref, out_ref, st_ref, wnd_ref, *,
                sampling: str, nblk_real: int, chunk: int, max_words: int,
-               phased: bool = False):
+               phased: bool = False, groups: int = 1,
+               always_live: bool = False):
     # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
     # (bits, 32-aligned; -32*_WNDW forces the first refill)
+    #
+    # ``groups``: independent 128-lane groups decoded INTERLEAVED in this
+    # invocation.  The per-symbol dependency chain (window gather ->
+    # canonical-length reductions -> HUFFVAL gather -> bit advance) is
+    # latency-bound on a single group (measured 2026-08-19: ~1.1 us per
+    # 4-symbol iteration vs ~0.15 us of vector throughput); G groups'
+    # chains are mutually independent, so interleaving their ops inside
+    # one while loop fills the stalls.  All lane-indexed refs carry
+    # G*_LG lanes; group g owns lanes [g*_LG, (g+1)*_LG).
     period = len(_PATTERN[sampling])
     c = pl.program_id(1)
+    G = groups
 
-    maxc = maxc_ref[:]
-    delt = delt_ref[:]
-    hvp = hvp_ref[:]
-    nblk_l = nblk_ref[:]       # [1, 128] per-lane real block count
+    nblk_l = nblk_ref[:]       # [1, G*128] per-lane real block count
     phase_l = phase_ref[:]
 
     @pl.when(c == 0)
     def _():
         st_ref[:, :] = jnp.zeros_like(st_ref)
         st_ref[0:1, :] = entry_ref[:]  # per-lane start bit (0 = row start)
-        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
+        st_ref[4:5, :] = jnp.full((1, G * _LG), -32 * _WNDW, jnp.int32)
 
-    ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
-                                      max_words)
+    def L(g):
+        return slice(g * _LG, (g + 1) * _LG)
+
+    gtabs = [(maxc_ref[:, L(g)], delt_ref[:, L(g)], hvp_ref[L(g), :])
+             for g in range(G)]
+
+    def refill_all(bps):
+        """Refill EVERY group's window at its lanes' positions (one
+        scalar cond for all groups: any group near its edge refills
+        all — refills are rare enough that the over-refill is noise)."""
+        def refill():
+            for g in range(G):
+                base_w = jnp.clip(_shr(bps[g], jnp.int32(5)), 0,
+                                  max_words - _WNDW).T     # [128, 1]
+                idx = base_w + _lane_iota((_LG, 128))
+                acc = jnp.zeros((_LG, 128), jnp.int32)
+                for k in range(0, max_words, 128):
+                    src = streams_ref[L(g), k:k + 128]
+                    got = jnp.take_along_axis(
+                        src, jnp.clip(idx - k, 0, 127), axis=1)
+                    acc = jnp.where((idx >= k) & (idx < k + 128), got, acc)
+                wnd_ref[L(g), :] = acc[:, :_WNDW]
+                st_ref[4:5, L(g)] = base_w.T * 32
+
+        need = jnp.max(jnp.concatenate(
+            [bps[g] - st_ref[4:5, L(g)] for g in range(G)], axis=1)) \
+            > 32 * (_WNDW - _GROUP_RESERVE)
+        jax.lax.cond(need, refill, lambda: None)
 
     for j in range(chunk):
         dct, act_t, comp = _PATTERN[sampling][j % period]
+        # a per-block runtime cond is a scalar-core sync; skipped
+        # entirely when the padded grid equals the real block count
+        # (uniform restart segments — this framework's own output)
         blk_live = (c * chunk + j) < nblk_real     # scalar (static max)
 
         def dec_block(j=j, dct=dct, act_t=act_t, comp=comp):
-            live_l = (c * chunk + j) < nblk_l      # per-lane (short tails)
-            bitpos = st_ref[0:1, :]
-            ensure_window(bitpos)
-            base_bits = st_ref[4:5, :]
-            # -- DC --
-            peek = _fetch32(wnd_ref, base_bits, bitpos)
-            if phased:  # per-lane MCU phase: per-lane tables/component
-                pos = jax.lax.rem(phase_l + (c * chunk + j),
-                                  jnp.int32(period))
-                dcs, acs, cmps = _lane_pattern(sampling, pos)
-                dc_tabs = _tables_dyn(maxc, delt, hvp, dcs)
-                ac_tabs = _tables_dyn(maxc, delt, hvp, acs)
-            else:
-                cmps = None
-                dc_tabs = _tables_static(maxc, delt, hvp, dct)
-                ac_tabs = _tables_static(maxc, delt, hvp, act_t)
-            sym, ln = _decode_symbol_core(peek, *dc_tabs)
-            size = sym & 15
-            ok = live_l & (ln < 17)
-            diff = _extend(_take_bits(peek, ln, size), size)
-            if phased:
-                pred = jnp.zeros_like(diff)
-                for cc in range(3):
-                    pred = jnp.where(cmps == cc,
-                                     st_ref[1 + cc:2 + cc, :], pred)
-                dc = pred + jnp.where(ok, diff, 0)
-                for cc in range(3):
-                    st_ref[1 + cc:2 + cc, :] = jnp.where(
-                        ok & (cmps == cc), dc, st_ref[1 + cc:2 + cc, :])
-            else:
-                pred = st_ref[1 + comp:2 + comp, :]
-                dc = pred + jnp.where(ok, diff, 0)
-                st_ref[1 + comp:2 + comp, :] = dc
-            bitpos = bitpos + jnp.where(ok, ln + size, 0)
+            bitpos = [st_ref[0:1, L(g)] for g in range(G)]
+            refill_all(bitpos)
+            # window contents/origins only change at refills: load once
+            # per group per refill_all, not per symbol
+            wnds = [wnd_ref[L(g), :] for g in range(G)]
+            bases = [st_ref[4:5, L(g)] for g in range(G)]
+            # -- DC (per group, interleaved) --
+            ac_tabs, acc0, dc_ok = [], [], []
+            for g in range(G):
+                live_l = (c * chunk + j) < nblk_l[:, L(g)]
+                peek = _fetch32(wnds[g], bases[g], bitpos[g])
+                if phased:  # per-lane MCU phase: per-lane tables/comp
+                    pos = jax.lax.rem(phase_l[:, L(g)] + (c * chunk + j),
+                                      jnp.int32(period))
+                    dcs, acs, cmps = _lane_pattern(sampling, pos)
+                    dc_t = _tables_dyn(*gtabs[g], dcs)
+                    ac_t = _tables_dyn(*gtabs[g], acs)
+                else:
+                    cmps = None
+                    dc_t = _tables_static(*gtabs[g], dct)
+                    ac_t = _tables_static(*gtabs[g], act_t)
+                ac_tabs.append(ac_t)
+                sym, ln = _decode_symbol_core(peek, *dc_t)
+                size = sym & 15
+                ok = live_l & (ln < 17)
+                diff = _extend(_take_bits(peek, ln, size), size)
+                if phased:
+                    pred = jnp.zeros_like(diff)
+                    for cc in range(3):
+                        pred = jnp.where(cmps == cc,
+                                         st_ref[1 + cc:2 + cc, L(g)],
+                                         pred)
+                    dc = pred + jnp.where(ok, diff, 0)
+                    for cc in range(3):
+                        st_ref[1 + cc:2 + cc, L(g)] = jnp.where(
+                            ok & (cmps == cc), dc,
+                            st_ref[1 + cc:2 + cc, L(g)])
+                else:
+                    pred = st_ref[1 + comp:2 + comp, L(g)]
+                    dc = pred + jnp.where(ok, diff, 0)
+                    st_ref[1 + comp:2 + comp, L(g)] = dc
+                bitpos[g] = bitpos[g] + jnp.where(ok, ln + size, 0)
+                okb = jnp.broadcast_to(ok, (64, _LG))
+                acc0.append(jnp.where(
+                    okb & (_sub_iota((64, _LG)) == 0),
+                    jnp.broadcast_to(dc, (64, _LG)), 0))
+                dc_ok.append(ok)
 
-            okb = jnp.broadcast_to(ok, (64, _LG))
-            acc0 = jnp.where(okb & (_sub_iota((64, _LG)) == 0),
-                             jnp.broadcast_to(dc, (64, _LG)), 0)
-
-            # -- AC: one symbol per iteration, all lanes in lockstep --
+            # -- AC: _SYM_GROUP symbols per iteration per group, all
+            # groups interleaved in ONE while loop (shared cond).  Lanes
+            # that pass their EOB idle masked; a finished group idles
+            # until the slowest group's lanes finish — the coupling
+            # costs ~E[max over G]/E[max over 1] extra iterations but
+            # buys G-way latency hiding, a large net win.
             # NOTE: loop carries are int32 0/1 masks, never bool — Mosaic
             # fails to legalize scf.yield with i1 vector carries (mixed
             # (1,128)/(8,128) vpad layouts; hit on first hardware compile)
             def cond(carry):
-                done, _, _, _ = carry
-                return jnp.any(done == 0)
+                return jnp.any(
+                    jnp.concatenate([carry[4 * g] for g in range(G)],
+                                    axis=1) == 0)
 
             def body(carry, ac_tabs=ac_tabs):
-                done, slot, bp, acc = carry
-                ensure_window(bp)
-                peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-                sym, ln = _decode_symbol_core(peek, *ac_tabs)
-                run = _shr(sym, jnp.int32(4))
-                size = sym & 15
-                bad = ln >= 17
-                eob = (sym == 0) & ~bad
-                zrl = (sym == 0xF0) & ~bad
-                coef = _extend(_take_bits(peek, ln, size), size)
-                live = (done == 0) & ~bad
-                bp = bp + jnp.where(live, ln + size, 0)
-                pos = slot + run
-                wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
-                acc = acc + jnp.where(
-                    jnp.broadcast_to(wr, (64, _LG))
-                    & (_sub_iota((64, _LG))
-                       == jnp.broadcast_to(pos, (64, _LG))),
-                    jnp.broadcast_to(coef, (64, _LG)), 0)
-                slot = jnp.where(live,
-                                 jnp.where(zrl, slot + 16, pos + 1),
-                                 slot)
-                done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
-                return done, slot, bp, acc
+                st = [list(carry[4 * g:4 * g + 4]) for g in range(G)]
+                refill_all([st[g][2] for g in range(G)])
+                wnds = [wnd_ref[L(g), :] for g in range(G)]
+                bases = [st_ref[4:5, L(g)] for g in range(G)]
+                gf = [_group_fetch(wnds[g], bases[g], st[g][2])
+                      for g in range(G)]
+                for _ in range(_SYM_GROUP):
+                    for g in range(G):
+                        done, slot, bp, acc = st[g]
+                        if "fetch" in _PROF_SKIP:  # profiling only
+                            peek = bp | 1
+                        else:
+                            peek = _peek_from(gf[g][0], gf[g][1], bp)
+                        if "core" in _PROF_SKIP:  # profiling only
+                            sym, ln = (peek & 0x13) | 1, (peek & 7) + 2
+                        else:
+                            sym, ln = _decode_symbol_core(peek,
+                                                          *ac_tabs[g])
+                        run = _shr(sym, jnp.int32(4))
+                        size = sym & 15
+                        bad = ln >= 17
+                        eob = (sym == 0) & ~bad
+                        zrl = (sym == 0xF0) & ~bad
+                        coef = _extend(_take_bits(peek, ln, size), size)
+                        live = (done == 0) & ~bad
+                        bp = bp + jnp.where(live, ln + size, 0)
+                        pos = slot + run
+                        wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
+                        if "acc" in _PROF_SKIP:  # profiling only
+                            pass  # acc unchanged: measures all-but-acc
+                        else:
+                            acc = acc + jnp.where(
+                                jnp.broadcast_to(wr, (64, _LG))
+                                & (_sub_iota((64, _LG))
+                                   == jnp.broadcast_to(pos, (64, _LG))),
+                                jnp.broadcast_to(coef, (64, _LG)), 0)
+                        slot = jnp.where(live,
+                                         jnp.where(zrl, slot + 16,
+                                                   pos + 1), slot)
+                        done = done | (~live | eob
+                                       | (slot > 63)).astype(jnp.int32)
+                        st[g] = [done, slot, bp, acc]
+                return tuple(x for g in range(G) for x in st[g])
 
-            carry = ((~ok).astype(jnp.int32),
-                     jnp.ones((1, _LG), jnp.int32), bitpos, acc0)
-            # NOTE: the in-loop ensure_window IS load-bearing — the
-            # refill threshold leaves as little as 96 bits of headroom
-            # at block start, far less than a worst-case ~1700-bit block
-            done, slot, bitpos, acc = jax.lax.while_loop(cond, body, carry)
-            st_ref[0:1, :] = bitpos
-            return acc
+            carry = tuple(
+                x for g in range(G) for x in (
+                    (~dc_ok[g]).astype(jnp.int32),
+                    jnp.ones((1, _LG), jnp.int32), bitpos[g], acc0[g]))
+            # NOTE: the in-loop refill IS load-bearing — the threshold's
+            # headroom at block start is far less than a worst-case
+            # ~1700-bit block
+            out = jax.lax.while_loop(cond, body, carry)
+            for g in range(G):
+                st_ref[0:1, L(g)] = out[4 * g + 2]
+            return tuple(out[4 * g + 3] for g in range(G))
 
-        acc64 = jax.lax.cond(blk_live, dec_block,
-                             lambda: jnp.zeros((64, _LG), jnp.int32))
-        out_ref[:, j * 64:(j + 1) * 64] = acc64.T
+        if always_live:
+            accs = dec_block()
+        else:
+            accs = jax.lax.cond(
+                blk_live, dec_block,
+                lambda: tuple(jnp.zeros((64, _LG), jnp.int32)
+                              for _ in range(G)))
+        for g in range(G):
+            out_ref[L(g), j * 64:(j + 1) * 64] = accs[g].T
 
 
 def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
@@ -402,7 +561,7 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
 
     ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
-                                      max_words)
+                                      max_words, reserve=_GROUP_RESERVE)
 
     for j in range(chunk):
         if period > 1:
@@ -416,7 +575,7 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         bitpos0 = st_ref[0:1, :]
         live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
         ensure_window(bitpos0)
-        peek = _fetch32(wnd_ref, st_ref[4:5, :], bitpos0)
+        peek = _fetch32(wnd_ref[:], st_ref[4:5, :], bitpos0)
         sym, ln = _decode_symbol_core(peek, *dc_tabs)
         size = sym & 15
         ok = live_l & (ln < 17)
@@ -431,21 +590,23 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
 
         def body(carry, ac_tabs=ac_tabs):
             done, slot, bp, badacc = carry
-            ensure_window(bp)
-            peek = _fetch32(wnd_ref, st_ref[4:5, :], bp)
-            sym, ln = _decode_symbol_core(peek, *ac_tabs)
-            run = _shr(sym, jnp.int32(4))
-            size = sym & 15
-            bad = ln >= 17
-            eob = (sym == 0) & ~bad
-            zrl = (sym == 0xF0) & ~bad
-            live = (done == 0) & ~bad
-            badacc = badacc | ((done == 0) & bad).astype(jnp.int32)
-            bp = bp + jnp.where(live, ln + size, 0)
-            pos = slot + run
-            slot = jnp.where(live,
-                             jnp.where(zrl, slot + 16, pos + 1), slot)
-            done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
+            ensure_window(bp)  # one refill check per _SYM_GROUP group
+            wc, wb = _group_fetch(wnd_ref[:], st_ref[4:5, :], bp)
+            for _ in range(_SYM_GROUP):
+                peek = _peek_from(wc, wb, bp)
+                sym, ln = _decode_symbol_core(peek, *ac_tabs)
+                run = _shr(sym, jnp.int32(4))
+                size = sym & 15
+                bad = ln >= 17
+                eob = (sym == 0) & ~bad
+                zrl = (sym == 0xF0) & ~bad
+                live = (done == 0) & ~bad
+                badacc = badacc | ((done == 0) & bad).astype(jnp.int32)
+                bp = bp + jnp.where(live, ln + size, 0)
+                pos = slot + run
+                slot = jnp.where(live,
+                                 jnp.where(zrl, slot + 16, pos + 1), slot)
+                done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
             return done, slot, bp, badacc
 
         carry = ((~ok).astype(jnp.int32), jnp.ones((1, _LG), jnp.int32),
@@ -550,33 +711,44 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
         entry = jnp.zeros((1, Sp), jnp.int32)
     if phase is None:
         phase = jnp.zeros((1, Sp), jnp.int32)
+    # interleave as many independent 128-lane groups per invocation as
+    # the lane count and the streams' VMEM footprint allow (~4 MB cap
+    # for G x [128, max_words] i32 stream blocks) — see _hd_kernel
+    G = 1
+    for cand in _G_CANDS:
+        if (Sp // _LG) % cand == 0 and \
+                cand * _LG * max_words * 4 <= 4 << 20:
+            G = cand
+            break
+    GL = G * _LG
     kernel = functools.partial(
         _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
-        max_words=max_words, phased=phased)
+        max_words=max_words, phased=phased, groups=G,
+        always_live=nblk_p <= nblk_seg)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, nblk_p * 64), jnp.int32),
-        grid=(Sp // _LG, nblk_p // chunk),
+        grid=(Sp // GL, nblk_p // chunk),
         in_specs=[
-            pl.BlockSpec((_LG, max_words), lambda g, c: (g, 0),
+            pl.BlockSpec((GL, max_words), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LG, 256), lambda g, c: (g, 0),
+            pl.BlockSpec((GL, 256), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_LG, chunk * 64), lambda g, c: (g, c),
+        out_specs=pl.BlockSpec((GL, chunk * 64), lambda g, c: (g, c),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
-                        pltpu.VMEM((_LG, _WNDW), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8, GL), jnp.int32),
+                        pltpu.VMEM((GL, _WNDW), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane,
       jnp.asarray(entry, jnp.int32), jnp.asarray(phase, jnp.int32))
@@ -593,7 +765,8 @@ def _pad_lanes(ndev, streams, maxc, delt, hvp, *rows):
         pad = spp - Sp
         streams = jnp.pad(streams, ((0, pad), (0, 0)))
         hvp = jnp.pad(hvp, ((0, pad), (0, 0)))
-        maxc = jnp.pad(maxc, ((0, 0), (0, pad)), constant_values=-1)
+        # bound 0 on padding lanes: every peek counts 16 -> len 17 (bad)
+        maxc = jnp.pad(maxc, ((0, 0), (0, pad)))
         delt = jnp.pad(delt, ((0, 0), (0, pad)))
         rows = tuple(jnp.pad(r, ((0, 0), (0, pad))) for r in rows)
     return (streams, maxc, delt, hvp) + rows
@@ -907,7 +1080,7 @@ def lane_tables(tables_per_seg):
     """
     S = len(tables_per_seg)
     Sp = -(-S // _LG) * _LG
-    maxc = np.full((64, Sp), -1, np.int64)
+    maxc = np.zeros((64, Sp), np.int64)  # bound 0 = always-invalid lane
     delt = np.zeros((64, Sp), np.int64)
     hvb = np.zeros((Sp, 1024), np.int64)
     cache: dict = {}

@@ -234,8 +234,14 @@ def _em_to_planes(em, samp: str, mx: int, my: int):
 
 
 # minimum restart-segment count for "auto" to pick the device engine on
-# a SINGLE image (decode_jpeg_batch fills lanes across images instead)
-_MIN_AUTO_SEGMENTS = 32
+# a SINGLE image (decode_jpeg_batch fills lanes across images instead).
+# Calibrated on hardware 2026-08-19: the lockstep kernel's wall scales
+# with blocks-per-lane (~13 us per block step at one 128-lane group)
+# while the native host decoder walks ~0.3 us per block; the device
+# wins a single image when S > ~45 (then blocks/lane is small enough),
+# so 48 — BELOW it the host bit-walk finishes first even before its
+# thread-level parallelism is counted.
+_MIN_AUTO_SEGMENTS = 48
 
 # largest per-segment byte size the device kernel accepts: the stream
 # rows live in a [128, max_words] VMEM block, so a foreign stream with

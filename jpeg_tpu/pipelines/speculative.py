@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 _SLACK = 384          # bytes past the chunk end each lane can read (one
@@ -234,6 +235,286 @@ def _spec_scans(scan_list, interpret: bool = False,
     return results
 
 
+# -- fused single-launch decode ---------------------------------------------
+#
+# The host-driven fixpoint above costs one kernel dispatch plus several
+# blocking transfers PER ROUND (~200 ms/round on a ~48 ms-latency
+# transport) and then fetches the padded [Sp, nblk_p, 64] coefficient
+# buffer to stitch on host.  The fused path moves the WHOLE decode into
+# one jit: a lax.while_loop carries the (entry bit, phase) chain fixpoint
+# across positions-kernel passes, the tail clamp / lane stitch / DC base
+# corrections run as XLA gathers and scans on device, and the standard
+# reconstruct emits the final uint8 image — one dispatch, one image-sized
+# fetch.  Geometry (lane layout, chains, caps, dims) is trace-time
+# static; executables cache per geometry via ``_fused_jit``.
+
+import functools as _ft
+
+# fixpoint status codes (device scalar -> host routing)
+_ST_RUN, _ST_OK, _ST_CAPPED, _ST_BROKEN, _ST_BADCOUNT = 0, 1, 2, 3, 4
+
+
+@_ft.lru_cache(maxsize=64)
+def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
+               head_t: tuple, tail_t: tuple, chain_t: tuple,
+               need_t: tuple, sampling: str, cap: int, max_words: int,
+               rounds: int, recon_key, interpret: bool):
+    """Build (and cache) the fused speculative-decode executable for one
+    static geometry.  ``recon_key`` describes the reconstruction:
+    ("interleaved", samp, mx, my, H, W) or ("scans", spec-tuples...) —
+    see ``_spec_scans_fused`` for how it is assembled."""
+    from ..kernels import huffdec as hd
+    period = len(hd._PATTERN[sampling])
+    starts8 = np.asarray(starts_t, np.int64) * 8
+    head = np.asarray(head_t, bool)
+    tail = np.asarray(tail_t, bool)
+    chain = np.asarray(chain_t, np.int64)
+    need = list(need_t)
+    comp_of = np.asarray([c for _, _, c in hd._PATTERN[sampling]],
+                         np.int32)
+
+    def run(streams, maxc, delt, hvp, limits, *quants):
+        starts8_d = jnp.asarray(starts8, jnp.int32)
+        limits_s = limits[0, :S]
+        upd = jnp.asarray(~head)
+        midlane = jnp.asarray(~tail)
+
+        def expand(v):  # [S] -> [1, Sp]
+            return jnp.zeros((1, Sp), jnp.int32).at[0, :S].set(v)
+
+        def positions(entries_abs, phases):
+            ex, ct, bd = hd.scan_positions(
+                streams, maxc, delt, hvp,
+                expand(entries_abs - starts8_d), limits,
+                cap_blocks=cap, max_words=max_words, sampling=sampling,
+                phase=expand(phases), interpret=interpret)
+            return ex[:S], ct[:S], bd[:S] != 0
+
+        def cond(c):
+            _, _, _, _, status, r = c
+            return (status == _ST_RUN) & (r < rounds)
+
+        def body(c):
+            entries, phases, _, _, _, r = c
+            ex, ct, bd = positions(entries, phases)
+            capped = ((~bd) & (ex < limits_s) & (ct >= cap)).any()
+            prop = ex + starts8_d                   # absolute exits
+            propm1 = jnp.concatenate([entries[:1], prop[:-1]])
+            ctm1 = jnp.concatenate([ct[:1] * 0, ct[:-1]])
+            phm1 = jnp.concatenate([phases[:1], phases[:-1]])
+            ir = (propm1 >= starts8_d) & \
+                 (propm1 <= starts8_d + 8 * _SLACK)
+            new = jnp.where(upd, jnp.where(ir, propm1, starts8_d),
+                            entries)
+            newp = jnp.where(upd,
+                             jnp.where(ir, (phm1 + ctm1) % period, 0),
+                             phases)
+            fix = (new == entries).all() & (newp == phases).all()
+            ok = jnp.where(upd, ir, True).all() & \
+                ~jnp.where(midlane, bd, False).any()
+            status = jnp.where(
+                capped, jnp.int32(_ST_CAPPED),
+                jnp.where(fix & ok, jnp.int32(_ST_OK),
+                          jnp.where(fix, jnp.int32(_ST_BROKEN),
+                                    jnp.int32(_ST_RUN)))).astype(jnp.int32)
+            return (new, newp, ct.astype(jnp.int32),
+                    bd.astype(jnp.int32), status, r + 1)
+
+        entries0 = starts8_d
+        phases0 = jnp.zeros((S,), jnp.int32)
+        z = jnp.zeros((S,), jnp.int32)
+        entries, phases, ct, _bd, status, _r = jax.lax.while_loop(
+            cond, body, (entries0, phases0, z, z,
+                         jnp.int32(_ST_RUN), jnp.int32(0)))
+
+        # tail clamp: each chain's last lane decodes byte-pad garbage
+        # past the scan's true block count — clamp to the truth (static
+        # chain layout, device counts)
+        ok_counts = jnp.bool_(True)
+        for i, nblk in enumerate(need):
+            lanes = np.flatnonzero(chain == i)
+            k0, k1 = int(lanes[0]), int(lanes[-1]) + 1
+            total = ct[k0:k1].sum()
+            lastn = nblk - (total - ct[k1 - 1])
+            ok_counts &= (lastn >= 0) & (lastn <= ct[k1 - 1])
+            ct = ct.at[k1 - 1].set(lastn.astype(jnp.int32))
+        status = jnp.where((status == _ST_OK) & ~ok_counts,
+                           _ST_BADCOUNT, status)
+
+        out = hd.decode_segments(
+            streams, maxc, delt, hvp, expand(ct), sampling, cap,
+            max_words, interpret=interpret,
+            entry=expand(entries - starts8_d), phase=expand(phases),
+            phased=period > 1)          # [Sp, nblk_p, 64]
+        nblk_p = out.shape[1]
+
+        def stitch(i, nblk):
+            lanes = np.flatnonzero(chain == i)
+            k0, k1 = int(lanes[0]), int(lanes[-1]) + 1
+            nk = k1 - k0
+            sl = out[k0:k1]
+            ctk = ct[k0:k1]
+            cum = jnp.cumsum(ctk)
+            cume = cum - ctk
+            di = jnp.arange(nblk, dtype=jnp.int32)
+            lane = jnp.searchsorted(cum, di, side="right").astype(
+                jnp.int32)
+            lane = jnp.clip(lane, 0, nk - 1)
+            off = jnp.clip(di - cume[lane], 0, nblk_p - 1)
+            zz = sl[lane, off]                       # [nblk, 64]
+            lk = jnp.arange(nk)
+            if period == 1:
+                fin = jnp.where(
+                    ctk > 0,
+                    sl[lk, jnp.clip(ctk - 1, 0, nblk_p - 1), 0], 0)
+                base = jnp.cumsum(fin) - fin         # exclusive
+                zz = zz.at[:, 0].add(base[lane])
+            else:
+                jj = jnp.arange(nblk_p, dtype=jnp.int32)
+                cseq = jnp.asarray(comp_of)[
+                    (phases[k0:k1, None] + jj[None]) % period]
+                live = jj[None] < ctk[:, None]
+                cdest = jnp.asarray(comp_of)[di % period]
+                for cc in range(3):
+                    m = live & (cseq == cc)
+                    lastj = jnp.max(jnp.where(m, jj[None], -1), axis=1)
+                    fin = jnp.where(
+                        lastj >= 0,
+                        sl[lk, jnp.clip(lastj, 0, nblk_p - 1), 0], 0)
+                    base = jnp.cumsum(fin) - fin
+                    zz = zz.at[:, 0].add(
+                        jnp.where(cdest == cc, base[lane], 0))
+            return zz
+
+        zzs = [stitch(i, nblk) for i, nblk in enumerate(need)]
+        img = _reconstruct_traced(recon_key, zzs, quants)
+        return img, status
+
+    return jax.jit(run)
+
+
+def _reconstruct_traced(recon_key, zzs, quants):
+    """Trace-time reconstruction dispatch (shapes/geometry static)."""
+    from .decode import _em_to_planes, reconstruct, reconstruct_gray
+    kind = recon_key[0]
+    if kind == "interleaved":
+        _, samp, mx, my, ph, pw, height, width = recon_key
+        period = zzs[0].shape[0] // (mx * my)
+        em = zzs[0].reshape(-1, period, 64)
+        y, cb, cr = _em_to_planes(em, samp, mx, my)
+        ql, qc = quants
+        img = reconstruct(y, cb, cr, ql, qc, ph, pw, samp=samp)
+        return img[:height, :width]
+    if kind == "gray":
+        _, bw, bh, height, width = recon_key
+        (ql,) = quants
+        img = reconstruct_gray(zzs[0], ql, bh * 8, bw * 8)
+        return img[:height, :width]
+    # kind == "scans3": three single-component scans in Y, Cb, Cr order
+    _, samp, ph, pw, height, width = recon_key
+    ql, qc = quants
+    img = reconstruct(zzs[0], zzs[1], zzs[2], ql, qc, ph, pw, samp=samp)
+    return img[:height, :width]
+
+
+def _spec_scans_fused(p, interpret: bool = False,
+                      target_lane_bytes: int = _TARGET_LANE_BYTES,
+                      min_lanes: int = _MIN_LANES):
+    """Single-image fused decode: one dispatch, one image fetch.
+
+    Returns the uint8 image, or None (ineligible / non-converged — the
+    caller falls back to the host-driven fixpoint or the host decoder).
+    """
+    from ..kernels import huffdec as hd
+    scan_list = p["scan_list"]
+    sampling = p["sampling"]
+    period = len(hd._PATTERN[sampling])
+
+    rows, quads, chain = [], [], []
+    starts_l, limits_l, need = [], [], []
+    for entropy, quad, nblk in scan_list:
+        segs = hd.unstuff_segments(entropy)
+        if len(segs) != 1:
+            return None
+        b = segs[0]
+        nbytes = len(b)
+        s_i = int(min(max(nbytes // target_lane_bytes, 1), 256))
+        o = np.linspace(0, nbytes, s_i + 1).round().astype(np.int64)
+        for s, e in zip(o[:-1], o[1:]):
+            rows.append(b[s:min(e + _SLACK, nbytes)])
+            quads.append(quad)
+            chain.append(len(need))
+            starts_l.append(int(s))
+            limits_l.append(8 * int(e - s))
+        need.append(int(nblk))
+    S = len(rows)
+    if S < min_lanes:
+        return None
+    chain_np = np.asarray(chain)
+    head = np.ones(S, bool)
+    head[1:] = chain_np[1:] != chain_np[:-1]
+    tail = np.ones(S, bool)
+    tail[:-1] = chain_np[:-1] != chain_np[1:]
+
+    streams, _active, max_words = hd.pack_streams(rows)
+    if max_words > _MAX_WORDS:
+        return None
+    Sp = streams.shape[0]
+    maxc, delt, hvp = hd.lane_tables(quads)
+    limits = np.zeros((1, Sp), np.int32)
+    limits[0, :S] = limits_l
+
+    # reconstruction key + runtime quantizers
+    if p["kind"] == "interleaved":
+        ph, pw = p["pdims"]
+        st = p["st"]
+        recon_key = ("interleaved", sampling, p["mx"], p["my"], ph, pw,
+                     st["height"], st["width"])
+        quants = (jnp.asarray(p["ql"]), jnp.asarray(p["qc"]))
+    else:
+        info, grids = p["info"], p["grids"]
+        comps = info["comps"]
+        if len(comps) == 1:
+            cid, _, _, qid = comps[0]
+            bw, bh = grids[cid]
+            recon_key = ("gray", bw, bh, info["height"], info["width"])
+            quants = (jnp.asarray(info["quant"][qid]),)
+        else:
+            # scans arrive in stream order; reconstruct wants Y, Cb, Cr
+            order = {s["cid"]: i for i, s in enumerate(info["scans"])}
+            cids = [c[0] for c in comps]
+            if [order[c] for c in cids] != list(range(3)):
+                return None  # out-of-order scans: host fixpoint handles
+            (cy, _, _, qy), (cb_, _, _, qb), _ = comps
+            ph, pw = info["pdims"]
+            recon_key = ("scans3", info["samp"], ph, pw,
+                         info["height"], info["width"])
+            quants = (jnp.asarray(info["quant"][qy]),
+                      jnp.asarray(info["quant"][qb]))
+
+    avg = max(1, sum(need) // S)
+    cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
+    rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
+
+    d_streams = jnp.asarray(streams)
+    d_tabs = tuple(map(jnp.asarray, (maxc, delt, hvp)))
+    d_limits = jnp.asarray(limits)
+    for _attempt in range(2):
+        fn = _fused_jit(S, Sp, tuple(starts_l), tuple(limits_l),
+                        tuple(head.tolist()), tuple(tail.tolist()),
+                        tuple(chain), tuple(need), sampling, cap,
+                        max_words, rounds, recon_key, interpret)
+        img, status = jax.device_get(
+            fn(d_streams, *d_tabs, d_limits, *quants))
+        status = int(status)
+        if status == _ST_OK:
+            return np.asarray(img)
+        if status != _ST_CAPPED:
+            return None
+        cap *= 4  # block cap too small: one recompile at the next bucket
+    return None
+
+
 def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
                         interpret: bool = False,
                         target_lane_bytes: int = _TARGET_LANE_BYTES):
@@ -399,6 +680,14 @@ def speculative_decode(data: bytes, interpret: bool = False,
     p = _parse_spec(data)
     if p is None:
         return None
+    if mesh is None:
+        # fused single-launch path first: one dispatch + one image
+        # fetch; any failure (non-convergence, odd scan order) falls
+        # through to the host-driven fixpoint below
+        img = _spec_scans_fused(p, interpret=interpret,
+                                target_lane_bytes=target_lane_bytes)
+        if img is not None:
+            return img
     got = _spec_scans(p["scan_list"], interpret=interpret,
                       target_lane_bytes=target_lane_bytes,
                       sampling=p["sampling"], mesh=mesh,

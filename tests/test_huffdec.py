@@ -254,3 +254,36 @@ def test_decode_segments_sharded_matches_single():
     sharded = decode_jpeg_batch(datas, interpret=True, mesh=mesh)
     for a, b in zip(single, sharded):
         assert np.array_equal(a, b)
+
+
+def test_decode_segments_multigroup_parity():
+    """G interleaved 128-lane groups must decode byte-identically to the
+    single-group kernel (the auto pick keys on Sp//128 divisibility:
+    tiling a 128-lane problem x4 exercises groups=4)."""
+    img = _img(128, 128, seed=77)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2, engine="xla")
+    data = bytes(JpegEncoder(cfg).encode(img))
+    st = hd.parse_scan_structure(data)
+    mcus = (128 // 16) * (128 // 16)
+    S = mcus // st["restart_interval"]
+    segs = hd.unstuff_segments(st["entropy"], n_expected=S)
+    dht = st["tabs"]
+    c0, c1 = st["comps"][0][0], st["comps"][1][0]
+    quad = (st["dht"][(0, dht[c0][0])], st["dht"][(1, dht[c0][1])],
+            st["dht"][(0, dht[c1][0])], st["dht"][(1, dht[c1][1])])
+    nblk_seg = st["restart_interval"] * 6
+
+    def run(reps):
+        sg = segs * ((reps * 128) // S)
+        streams, active, max_words = hd.pack_streams(sg)
+        maxc, delt, hvp = hd.lane_tables([quad] * len(sg))
+        return np.asarray(hd.decode_segments(
+            jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+            jnp.asarray(hvp), jnp.asarray(active * nblk_seg), "420",
+            nblk_seg, max_words, interpret=True))
+
+    one = run(1)       # Sp = 128 -> groups = 1
+    four = run(4)      # Sp = 512 -> groups = 4
+    for r in range(4):
+        assert np.array_equal(four[r * 128:(r + 1) * 128][:S], one[:S])
