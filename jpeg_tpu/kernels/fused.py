@@ -945,25 +945,41 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
     t = rows.T                                # [TB, 1]
 
     # Row accumulation in 128-block windows: rows are monotone along
-    # blocks, so each window touches only a small dynamic row range
-    # (its own bit span / 4096), and the masked reductions shrink from
-    # [TB, 128] to [128, 128].  Worst cases (many tiny blocks per row,
-    # or giant blocks spanning many rows) just lengthen a window's inner
-    # loop — no fixed-size assumption.
-    for w0 in range(0, tb, 128):
-        r0w = r0t[w0:w0 + 128]
-        r1w = r1t[w0:w0 + 128]
-        tw = t[w0:w0 + 128]
+    # blocks, so each window touches only a small dynamic row range (its
+    # own bit span / 4096).  All windows advance through their ranges in
+    # ONE fori (trip count = the longest window span): per iteration
+    # each window contributes one masked reduction + one row RMW, so the
+    # independent windows' reduce/RMW chains interleave (latency hiding
+    # — the same lesson as kernels/huffdec.py's group interleave) and
+    # the loop pays one trip-count scalar sync instead of one per
+    # window.  The this-row (t == r) and next-row-straddle (t == r - 1)
+    # halves stack into a single [256, 128] keyed reduction — half the
+    # cross-sublane reductions of the two-pass form.  Exhausted windows
+    # contribute exact zeros (their keys can't match r past max+1); the
+    # RMW row just clamps in-bounds.
+    nwin = tb // 128
+    keys, data, mins, spans = [], [], [], []
+    for k in range(nwin):
+        sl = slice(k * 128, (k + 1) * 128)
+        data.append(jnp.concatenate([r0t[sl], r1t[sl]], axis=0))
+        keys.append(jnp.concatenate([t[sl], t[sl] + 1], axis=0))
+        mins.append(jnp.min(t[sl]))
+        spans.append(jnp.max(t[sl]) + 2 - mins[k])
+    span = spans[0]
+    for s in spans[1:]:
+        span = jnp.maximum(span, s)
 
-        def rbody(r, _, tw=tw, r0w=r0w, r1w=r1w):
-            add = jnp.sum(jnp.where(tw == r, r0w, 0), axis=0,
-                          keepdims=True, dtype=jnp.int32)
-            add = add + jnp.sum(jnp.where(tw == r - 1, r1w, 0), axis=0,
-                                keepdims=True, dtype=jnp.int32)
-            out_ref[pl.dslice(r, 1), :] = out_ref[pl.dslice(r, 1), :] + add
-            return 0
+    def rbody(i, _):
+        for k in range(nwin):
+            r = mins[k] + i
+            add = jnp.sum(jnp.where(keys[k] == r, data[k], 0),
+                          axis=0, keepdims=True, dtype=jnp.int32)
+            rc = jnp.minimum(r, mins[k] + spans[k] - 1)
+            out_ref[pl.dslice(rc, 1), :] = \
+                out_ref[pl.dslice(rc, 1), :] + add
+        return 0
 
-        jax.lax.fori_loop(jnp.min(tw), jnp.max(tw) + 2, rbody, 0)
+    jax.lax.fori_loop(0, span, rbody, 0)
 
 
 def _place_tail_w16(hi, lo, w, goff, out_ref, lw_ref):
