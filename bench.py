@@ -487,7 +487,8 @@ def main():
           f" device entropy (kernels.huffdec, {BATCH}-img batch) "
           f"{dev_entropy_ms:.1f}ms/batch -> all-device {dev_dec_mps:.1f} "
           f"MP/s; speculative 3-scan wall {spec_ms:.0f}ms/img "
-          f"(fixpoint dispatch-bound over this tunnel)", file=sys.stderr)
+          f"(fused single-launch: the wall is the tunnel's put + image "
+          f"fetch round trips)", file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e one-shot {e2e*1000:.0f}ms "
           f"({e2e_mps:.1f} MP/s), pipelined {pipe_dt*1000:.0f}ms/batch "

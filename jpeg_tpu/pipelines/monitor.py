@@ -17,10 +17,21 @@ from .diff import DEFAULT_THRESHOLD, FrameComparator
 from .encode import JpegEncoder
 
 
+# reference capture cadence (main/main.c:154-158,164): poll fast while
+# motion is active, back off when the scene is idle
+ACTIVE_DELAY_S = 1.0
+IDLE_DELAY_S = 10.0
+
+
 @dataclasses.dataclass
 class FrameResult:
     """Outcome of one monitor cycle."""
     regions: list  # list[tuple[Area, bytes]]
+    suggested_delay: float = IDLE_DELAY_S
+    """Seconds until the next capture, mirroring the firmware's adaptive
+    cadence (``main/main.c:154-158,164``: 1 s after a detected change,
+    10 s idle).  Advisory — the caller owns the frame source and may
+    pace however it likes."""
 
     @property
     def changed(self) -> bool:
@@ -33,10 +44,14 @@ class ChangeMonitor:
     def __init__(self, height: int, width: int,
                  config: EncodeConfig | None = None,
                  threshold: int = DEFAULT_THRESHOLD,
-                 snap_multiple: int | None = None):
+                 snap_multiple: int | None = None,
+                 active_delay: float = ACTIVE_DELAY_S,
+                 idle_delay: float = IDLE_DELAY_S):
         self.comparator = FrameComparator(height, width, threshold=threshold,
                                           snap_multiple=snap_multiple)
         self.encoder = JpegEncoder(config)
+        self.active_delay = active_delay
+        self.idle_delay = idle_delay
 
     def process_frame(self, rgb) -> FrameResult:
         """One cycle: subsample, diff, ROI-encode each changed region.
@@ -47,4 +62,6 @@ class ChangeMonitor:
         """
         areas = self.comparator.process(rgb)
         out = [(a, self.encoder.encode_region(rgb, a)) for a in areas]
-        return FrameResult(regions=out)
+        return FrameResult(
+            regions=out,
+            suggested_delay=self.active_delay if out else self.idle_delay)

@@ -387,8 +387,18 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
             return zz
 
         zzs = [stitch(i, nblk) for i, nblk in enumerate(need)]
-        img = _reconstruct_traced(recon_key, zzs, quants)
-        return img, status
+        # per-image reconstruction: recon_key is a TUPLE of per-image
+        # (key, n_scans, n_quants) — every image of a batched launch
+        # decodes and reconstructs inside this one jit
+        imgs = []
+        zoff = qoff = 0
+        for key, n_scans, n_q in recon_key:
+            imgs.append(_reconstruct_traced(
+                key, zzs[zoff:zoff + n_scans],
+                quants[qoff:qoff + n_q]))
+            zoff += n_scans
+            qoff += n_q
+        return tuple(imgs), status
 
     return jax.jit(run)
 
@@ -417,36 +427,78 @@ def _reconstruct_traced(recon_key, zzs, quants):
     return img[:height, :width]
 
 
-def _spec_scans_fused(p, interpret: bool = False,
+def _image_recon_key(p):
+    """Per-image (recon key, n_scans, n_quants) + runtime quantizers for
+    the fused launch, or None when the scan order defeats it."""
+    if p["kind"] == "interleaved":
+        ph, pw = p["pdims"]
+        st = p["st"]
+        key = ("interleaved", p["sampling"], p["mx"], p["my"], ph, pw,
+               st["height"], st["width"])
+        return (key, 1, 2), (jnp.asarray(p["ql"]), jnp.asarray(p["qc"]))
+    info, grids = p["info"], p["grids"]
+    comps = info["comps"]
+    if len(comps) == 1:
+        cid, _, _, qid = comps[0]
+        bw, bh = grids[cid]
+        key = ("gray", bw, bh, info["height"], info["width"])
+        return (key, 1, 1), (jnp.asarray(info["quant"][qid]),)
+    # scans arrive in stream order; reconstruct wants Y, Cb, Cr
+    order = {s["cid"]: i for i, s in enumerate(info["scans"])}
+    cids = [c[0] for c in comps]
+    if [order[c] for c in cids] != list(range(3)):
+        return None  # out-of-order scans: host fixpoint handles
+    (cy, _, _, qy), (cb_, _, _, qb), _ = comps
+    ph, pw = info["pdims"]
+    key = ("scans3", info["samp"], ph, pw, info["height"],
+           info["width"])
+    return (key, 3, 2), (jnp.asarray(info["quant"][qy]),
+                         jnp.asarray(info["quant"][qb]))
+
+
+def _spec_scans_fused(ps, interpret: bool = False,
                       target_lane_bytes: int = _TARGET_LANE_BYTES,
                       min_lanes: int = _MIN_LANES):
-    """Single-image fused decode: one dispatch, one image fetch.
+    """Fused decode of one OR MANY same-sampling images: one dispatch,
+    one fetch for everything (fixpoint + payload + stitch + reconstruct
+    all inside a single jit).
 
-    Returns the uint8 image, or None (ineligible / non-converged — the
-    caller falls back to the host-driven fixpoint or the host decoder).
+    ``ps``: list of ``_parse_spec`` dicts sharing ``sampling``.  Returns
+    a list of uint8 images (one per input), or None (ineligible /
+    non-converged — callers fall back to the host-driven fixpoint or
+    the host decoder; a combined multi-image failure is salvaged
+    per-image by the batch caller).
     """
     from ..kernels import huffdec as hd
-    scan_list = p["scan_list"]
-    sampling = p["sampling"]
+    sampling = ps[0]["sampling"]
     period = len(hd._PATTERN[sampling])
+
+    recon_keys, quants = [], []
+    for p in ps:
+        got = _image_recon_key(p)
+        if got is None:
+            return None
+        recon_keys.append(got[0])
+        quants.extend(got[1])
 
     rows, quads, chain = [], [], []
     starts_l, limits_l, need = [], [], []
-    for entropy, quad, nblk in scan_list:
-        segs = hd.unstuff_segments(entropy)
-        if len(segs) != 1:
-            return None
-        b = segs[0]
-        nbytes = len(b)
-        s_i = int(min(max(nbytes // target_lane_bytes, 1), 256))
-        o = np.linspace(0, nbytes, s_i + 1).round().astype(np.int64)
-        for s, e in zip(o[:-1], o[1:]):
-            rows.append(b[s:min(e + _SLACK, nbytes)])
-            quads.append(quad)
-            chain.append(len(need))
-            starts_l.append(int(s))
-            limits_l.append(8 * int(e - s))
-        need.append(int(nblk))
+    for p in ps:
+        for entropy, quad, nblk in p["scan_list"]:
+            segs = hd.unstuff_segments(entropy)
+            if len(segs) != 1:
+                return None
+            b = segs[0]
+            nbytes = len(b)
+            s_i = int(min(max(nbytes // target_lane_bytes, 1), 256))
+            o = np.linspace(0, nbytes, s_i + 1).round().astype(np.int64)
+            for s, e in zip(o[:-1], o[1:]):
+                rows.append(b[s:min(e + _SLACK, nbytes)])
+                quads.append(quad)
+                chain.append(len(need))
+                starts_l.append(int(s))
+                limits_l.append(8 * int(e - s))
+            need.append(int(nblk))
     S = len(rows)
     if S < min_lanes:
         return None
@@ -464,34 +516,6 @@ def _spec_scans_fused(p, interpret: bool = False,
     limits = np.zeros((1, Sp), np.int32)
     limits[0, :S] = limits_l
 
-    # reconstruction key + runtime quantizers
-    if p["kind"] == "interleaved":
-        ph, pw = p["pdims"]
-        st = p["st"]
-        recon_key = ("interleaved", sampling, p["mx"], p["my"], ph, pw,
-                     st["height"], st["width"])
-        quants = (jnp.asarray(p["ql"]), jnp.asarray(p["qc"]))
-    else:
-        info, grids = p["info"], p["grids"]
-        comps = info["comps"]
-        if len(comps) == 1:
-            cid, _, _, qid = comps[0]
-            bw, bh = grids[cid]
-            recon_key = ("gray", bw, bh, info["height"], info["width"])
-            quants = (jnp.asarray(info["quant"][qid]),)
-        else:
-            # scans arrive in stream order; reconstruct wants Y, Cb, Cr
-            order = {s["cid"]: i for i, s in enumerate(info["scans"])}
-            cids = [c[0] for c in comps]
-            if [order[c] for c in cids] != list(range(3)):
-                return None  # out-of-order scans: host fixpoint handles
-            (cy, _, _, qy), (cb_, _, _, qb), _ = comps
-            ph, pw = info["pdims"]
-            recon_key = ("scans3", info["samp"], ph, pw,
-                         info["height"], info["width"])
-            quants = (jnp.asarray(info["quant"][qy]),
-                      jnp.asarray(info["quant"][qb]))
-
     avg = max(1, sum(need) // S)
     cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
     rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
@@ -503,12 +527,12 @@ def _spec_scans_fused(p, interpret: bool = False,
         fn = _fused_jit(S, Sp, tuple(starts_l), tuple(limits_l),
                         tuple(head.tolist()), tuple(tail.tolist()),
                         tuple(chain), tuple(need), sampling, cap,
-                        max_words, rounds, recon_key, interpret)
-        img, status = jax.device_get(
-            fn(d_streams, *d_tabs, d_limits, *quants))
+                        max_words, rounds, tuple(recon_keys), interpret)
+        out = jax.device_get(fn(d_streams, *d_tabs, d_limits, *quants))
+        imgs, status = out
         status = int(status)
         if status == _ST_OK:
-            return np.asarray(img)
+            return [np.asarray(im) for im in imgs]
         if status != _ST_CAPPED:
             return None
         cap *= 4  # block cap too small: one recompile at the next bucket
@@ -684,10 +708,10 @@ def speculative_decode(data: bytes, interpret: bool = False,
         # fused single-launch path first: one dispatch + one image
         # fetch; any failure (non-convergence, odd scan order) falls
         # through to the host-driven fixpoint below
-        img = _spec_scans_fused(p, interpret=interpret,
-                                target_lane_bytes=target_lane_bytes)
-        if img is not None:
-            return img
+        imgs = _spec_scans_fused([p], interpret=interpret,
+                                 target_lane_bytes=target_lane_bytes)
+        if imgs is not None:
+            return imgs[0]
     got = _spec_scans(p["scan_list"], interpret=interpret,
                       target_lane_bytes=target_lane_bytes,
                       sampling=p["sampling"], mesh=mesh,
@@ -715,6 +739,16 @@ def speculative_decode_batch(datas, interpret: bool = False,
         if p is not None:
             groups.setdefault(p["sampling"], []).append(i)
     for sampling, idx in groups.items():
+        if mesh is None:
+            # batched fused launch: all of this group's images decode
+            # AND reconstruct in one jit — one put + one fetch total
+            imgs = _spec_scans_fused(
+                [parsed[i] for i in idx], interpret=interpret,
+                target_lane_bytes=target_lane_bytes)
+            if imgs is not None:
+                for i, im in zip(idx, imgs):
+                    results[i] = im
+                continue
         combined = []
         for i in idx:
             combined.extend(parsed[i]["scan_list"])

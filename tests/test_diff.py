@@ -98,6 +98,12 @@ def test_monitor_end_to_end(img640, img640_diffs):
     # a third identical frame is quiet again
     third = mon.process_frame(img640_diffs)
     assert not third.changed
+    # adaptive cadence (main/main.c:154-158,164): fast poll after a
+    # change, back off when idle
+    from jpeg_tpu.pipelines.monitor import ACTIVE_DELAY_S, IDLE_DELAY_S
+    assert second.suggested_delay == ACTIVE_DELAY_S
+    assert first.suggested_delay == IDLE_DELAY_S
+    assert third.suggested_delay == IDLE_DELAY_S
 
 
 def test_resize_pad_and_multiple():
