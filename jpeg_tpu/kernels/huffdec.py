@@ -284,17 +284,32 @@ def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int,
     return ensure_window
 
 
-# reserve for group-decoding loops: _SYM_GROUP symbols at <= 31 bits
-# (16-bit code + 15 claimed magnitude bits on a corrupt stream) plus the
-# final symbol's 2-word aligned peek
-_GROUP_RESERVE = 3 + (_SYM_GROUP * 31 + 31) // 32
+# luma blocks peel DC + _PEEL_LUMA ACs on one register-file fetch before
+# the while loop (most blocks' full symbol run is covered, so they skip
+# the loop and its per-iteration scalar syncs outright); chroma blocks
+# are almost always DC + EOB, so they peel just one AC.  2026-08-19
+# hardware sweep (640 lanes, G=5, SG=6): 7 -> 851 MP/s, 11 -> 897,
+# 15 -> 941, 19 -> 983 (peak), 21 -> 941, 23 -> 845 — past the peak the
+# unconditional masked decodes on sparse blocks outweigh the saved
+# while iterations.
+_PEEL_LUMA = 19
+
+# reserve for group-decoding: the largest straight-line run (the luma
+# peel: DC + _PEEL_LUMA ACs) at <= 31 bits each (16-bit code + 15
+# claimed magnitude bits on a corrupt stream) plus the final symbol's
+# 2-word aligned peek
+_GROUP_RESERVE = 3 + ((_PEEL_LUMA + 1) * 31 + 31) // 32
 
 # contiguous words fetched once per symbol group: alignment slack (1) +
 # the group's worst-case consumption + the last symbol's 2-word peek
-_NW_GROUP = 2 + (_SYM_GROUP * 31 + 31) // 32 + 1
+def _nw_for(nsyms: int) -> int:
+    return 2 + (nsyms * 31 + 31) // 32 + 1
 
 
-def _group_fetch(wnd, base_bits, bp):
+_NW_GROUP = _nw_for(_SYM_GROUP)
+
+
+def _group_fetch(wnd, base_bits, bp, nw: int = _NW_GROUP):
     """ONE gather + ONE transpose serving a whole symbol group.
 
     The per-symbol ``_fetch32`` costs a dynamic gather and two lane<->
@@ -306,12 +321,11 @@ def _group_fetch(wnd, base_bits, bp):
     yields a per-lane register file ``wc`` [_NW_GROUP, 128] from which
     each symbol's 32-bit peek is assembled with cheap lane-oriented
     selects (``_peek_from``).  Returns (wc, word_base_bits)."""
-    rel0 = jnp.clip(_shr(bp - base_bits, jnp.int32(5)), 0,
-                    _WNDW - _NW_GROUP)
+    rel0 = jnp.clip(_shr(bp - base_bits, jnp.int32(5)), 0, _WNDW - nw)
     # Mosaic's dynamic_gather wants FULL-shape indices (same shape as
-    # the source); only the first _NW_GROUP gathered columns are used
+    # the source); only the first ``nw`` gathered columns are used
     idx = jnp.minimum(rel0.T + _lane_iota((_LG, _WNDW)), _WNDW - 1)
-    wc = jnp.take_along_axis(wnd, idx, axis=1)[:, :_NW_GROUP].T
+    wc = jnp.take_along_axis(wnd, idx, axis=1)[:, :nw].T
     return wc, base_bits + rel0 * 32
 
 
@@ -322,7 +336,7 @@ def _peek_from(wc, word_base, bp):
     s = off & 31
     w0 = jnp.zeros_like(bp)
     w1 = jnp.zeros_like(bp)
-    for k in range(_NW_GROUP - 1):
+    for k in range(wc.shape[0] - 1):
         m = wsel == k
         w0 = jnp.where(m, wc[k:k + 1], w0)
         w1 = jnp.where(m, wc[k + 1:k + 2], w1)
@@ -333,7 +347,7 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                entry_ref, phase_ref, out_ref, st_ref, wnd_ref, *,
                sampling: str, nblk_real: int, chunk: int, max_words: int,
                phased: bool = False, groups: int = 1,
-               always_live: bool = False):
+               always_live: bool = False, peel_luma: int = _PEEL_LUMA):
     # st_ref rows: 0 bit position, 1..3 DC predictors, 4 window base
     # (bits, 32-aligned; -32*_WNDW forces the first refill)
     #
@@ -395,17 +409,68 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
         blk_live = (c * chunk + j) < nblk_real     # scalar (static max)
 
         def dec_block(j=j, dct=dct, act_t=act_t, comp=comp):
+            def ac_sym(g, done, slot, bp, acc, gf, ac_tabs):
+                """One AC symbol for group ``g`` against its register
+                file — shared by the peeled first group and the loop."""
+                if "fetch" in _PROF_SKIP:  # profiling only
+                    peek = bp | 1
+                else:
+                    peek = _peek_from(gf[g][0], gf[g][1], bp)
+                if "core" in _PROF_SKIP:  # profiling only
+                    sym, ln = (peek & 0x13) | 1, (peek & 7) + 2
+                else:
+                    sym, ln = _decode_symbol_core(peek, *ac_tabs[g])
+                run = _shr(sym, jnp.int32(4))
+                size = sym & 15
+                bad = ln >= 17
+                eob = (sym == 0) & ~bad
+                zrl = (sym == 0xF0) & ~bad
+                coef = _extend(_take_bits(peek, ln, size), size)
+                live = (done == 0) & ~bad
+                bp = bp + jnp.where(live, ln + size, 0)
+                pos = slot + run
+                wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
+                if "acc" in _PROF_SKIP:  # profiling only
+                    pass  # acc unchanged: measures all-but-acc
+                else:
+                    acc = acc + jnp.where(
+                        jnp.broadcast_to(wr, (64, _LG))
+                        & (_sub_iota((64, _LG))
+                           == jnp.broadcast_to(pos, (64, _LG))),
+                        jnp.broadcast_to(coef, (64, _LG)), 0)
+                slot = jnp.where(live,
+                                 jnp.where(zrl, slot + 16, pos + 1),
+                                 slot)
+                done = done | (~live | eob
+                               | (slot > 63)).astype(jnp.int32)
+                return [done, slot, bp, acc]
+
             bitpos = [st_ref[0:1, L(g)] for g in range(G)]
             refill_all(bitpos)
             # window contents/origins only change at refills: load once
             # per group per refill_all, not per symbol
             wnds = [wnd_ref[L(g), :] for g in range(G)]
             bases = [st_ref[4:5, L(g)] for g in range(G)]
-            # -- DC (per group, interleaved) --
-            ac_tabs, acc0, dc_ok = [], [], []
+            # -- peeled first group: DC + peel_ac ACs on one
+            # register-file fetch (a DC consumes <= 31 bits, exactly an
+            # AC's worst case).  This folds the DC's former separate
+            # gather + transposes and refill cond into the group
+            # machinery.  The peel is sized per component (static for
+            # block-synchronized patterns): luma peels enough to cover
+            # its median symbol count so most blocks never enter the
+            # while loop; chroma is almost always DC + EOB, so it peels
+            # one AC and skips the loop outright.
+            if phased:
+                peel_ac = _SYM_GROUP - 1   # per-lane components: uniform
+            else:
+                peel_ac = peel_luma if comp == 0 else 1
+            gf = [_group_fetch(wnds[g], bases[g], bitpos[g],
+                               nw=_nw_for(peel_ac + 1))
+                  for g in range(G)]
+            ac_tabs, st0 = [], []
             for g in range(G):
                 live_l = (c * chunk + j) < nblk_l[:, L(g)]
-                peek = _fetch32(wnds[g], bases[g], bitpos[g])
+                peek = _peek_from(gf[g][0], gf[g][1], bitpos[g])
                 if phased:  # per-lane MCU phase: per-lane tables/comp
                     pos = jax.lax.rem(phase_l[:, L(g)] + (c * chunk + j),
                                       jnp.int32(period))
@@ -436,12 +501,16 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                     pred = st_ref[1 + comp:2 + comp, L(g)]
                     dc = pred + jnp.where(ok, diff, 0)
                     st_ref[1 + comp:2 + comp, L(g)] = dc
-                bitpos[g] = bitpos[g] + jnp.where(ok, ln + size, 0)
+                bp = bitpos[g] + jnp.where(ok, ln + size, 0)
                 okb = jnp.broadcast_to(ok, (64, _LG))
-                acc0.append(jnp.where(
+                acc0 = jnp.where(
                     okb & (_sub_iota((64, _LG)) == 0),
-                    jnp.broadcast_to(dc, (64, _LG)), 0))
-                dc_ok.append(ok)
+                    jnp.broadcast_to(dc, (64, _LG)), 0)
+                st0.append([(~ok).astype(jnp.int32),
+                            jnp.ones((1, _LG), jnp.int32), bp, acc0])
+            for _ in range(peel_ac):
+                for g in range(G):
+                    st0[g] = ac_sym(g, *st0[g], gf, ac_tabs)
 
             # -- AC: _SYM_GROUP symbols per iteration per group, all
             # groups interleaved in ONE while loop (shared cond).  Lanes
@@ -466,46 +535,10 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
                       for g in range(G)]
                 for _ in range(_SYM_GROUP):
                     for g in range(G):
-                        done, slot, bp, acc = st[g]
-                        if "fetch" in _PROF_SKIP:  # profiling only
-                            peek = bp | 1
-                        else:
-                            peek = _peek_from(gf[g][0], gf[g][1], bp)
-                        if "core" in _PROF_SKIP:  # profiling only
-                            sym, ln = (peek & 0x13) | 1, (peek & 7) + 2
-                        else:
-                            sym, ln = _decode_symbol_core(peek,
-                                                          *ac_tabs[g])
-                        run = _shr(sym, jnp.int32(4))
-                        size = sym & 15
-                        bad = ln >= 17
-                        eob = (sym == 0) & ~bad
-                        zrl = (sym == 0xF0) & ~bad
-                        coef = _extend(_take_bits(peek, ln, size), size)
-                        live = (done == 0) & ~bad
-                        bp = bp + jnp.where(live, ln + size, 0)
-                        pos = slot + run
-                        wr = live & ~eob & ~zrl & (size > 0) & (pos <= 63)
-                        if "acc" in _PROF_SKIP:  # profiling only
-                            pass  # acc unchanged: measures all-but-acc
-                        else:
-                            acc = acc + jnp.where(
-                                jnp.broadcast_to(wr, (64, _LG))
-                                & (_sub_iota((64, _LG))
-                                   == jnp.broadcast_to(pos, (64, _LG))),
-                                jnp.broadcast_to(coef, (64, _LG)), 0)
-                        slot = jnp.where(live,
-                                         jnp.where(zrl, slot + 16,
-                                                   pos + 1), slot)
-                        done = done | (~live | eob
-                                       | (slot > 63)).astype(jnp.int32)
-                        st[g] = [done, slot, bp, acc]
+                        st[g] = ac_sym(g, *st[g], gf, ac_tabs)
                 return tuple(x for g in range(G) for x in st[g])
 
-            carry = tuple(
-                x for g in range(G) for x in (
-                    (~dc_ok[g]).astype(jnp.int32),
-                    jnp.ones((1, _LG), jnp.int32), bitpos[g], acc0[g]))
+            carry = tuple(x for g in range(G) for x in st0[g])
             # NOTE: the in-loop refill IS load-bearing — the threshold's
             # headroom at block start is far less than a worst-case
             # ~1700-bit block
@@ -724,7 +757,12 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
     kernel = functools.partial(
         _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
         max_words=max_words, phased=phased, groups=G,
-        always_live=nblk_p <= nblk_seg)
+        always_live=nblk_p <= nblk_seg,
+        # the peel size is pure performance tuning — any value decodes
+        # byte-identically (test_peel_production_parity pins the real
+        # one) — so interpret mode caps it to keep the Python-interpreted
+        # CPU test suite fast
+        peel_luma=min(_PEEL_LUMA, 7) if interpret else _PEEL_LUMA)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, nblk_p * 64), jnp.int32),

@@ -287,3 +287,40 @@ def test_decode_segments_multigroup_parity():
     four = run(4)      # Sp = 512 -> groups = 4
     for r in range(4):
         assert np.array_equal(four[r * 128:(r + 1) * 128][:S], one[:S])
+
+
+def test_peel_production_parity(monkeypatch):
+    """The production luma peel size (capped in interpret mode to keep
+    this suite fast) decodes byte-identically to the capped one."""
+    img = _img(96, 96, seed=5)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       restart_interval_mcu_rows=2, engine="xla")
+    data = bytes(JpegEncoder(cfg).encode(img))
+    st = hd.parse_scan_structure(data)
+    S = (96 // 16) * (96 // 16) // st["restart_interval"]
+    segs = hd.unstuff_segments(st["entropy"], n_expected=S)
+    dht = st["tabs"]
+    c0, c1 = st["comps"][0][0], st["comps"][1][0]
+    quad = (st["dht"][(0, dht[c0][0])], st["dht"][(1, dht[c0][1])],
+            st["dht"][(0, dht[c1][0])], st["dht"][(1, dht[c1][1])])
+    nblk_seg = st["restart_interval"] * 6
+    streams, active, max_words = hd.pack_streams(segs)
+    maxc, delt, hvp = hd.lane_tables([quad] * S)
+
+    def run():
+        return np.asarray(hd.decode_segments(
+            jnp.asarray(streams), jnp.asarray(maxc), jnp.asarray(delt),
+            jnp.asarray(hvp), jnp.asarray(active * nblk_seg), "420",
+            nblk_seg, max_words, interpret=True))
+
+    capped = run()
+    # force the full production peel through the interpret path
+    real_kernel = hd._hd_kernel
+    monkeypatch.setattr(
+        hd, "_hd_kernel",
+        lambda *a, **k: real_kernel(
+            *a, **{**k, "peel_luma": hd._PEEL_LUMA}))
+    hd.decode_segments.clear_cache()
+    full = run()
+    hd.decode_segments.clear_cache()
+    assert np.array_equal(capped, full)
