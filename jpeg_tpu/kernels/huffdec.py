@@ -294,11 +294,21 @@ def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int,
 # while iterations.
 _PEEL_LUMA = 19
 
-# reserve for group-decoding: the largest straight-line run (the luma
-# peel: DC + _PEEL_LUMA ACs) at <= 31 bits each (16-bit code + 15
-# claimed magnitude bits on a corrupt stream) plus the final symbol's
-# 2-word aligned peek
-_GROUP_RESERVE = 3 + ((_PEEL_LUMA + 1) * 31 + 31) // 32
+# the positions pass peels NOTHING (see _scan_kernel): its lanes run to
+# a uniform grid cap, so any unconditional decode multiplies across
+# every lane and block; only the DC folds into the register-file fetch.
+# 2026-08-19 sweep on the 3-scan fused wall: 0 -> 131 ms, 2 -> 191,
+# 4 -> 134, 19 -> 297.
+_PEEL_SCAN = 0
+
+# reserve for group-decoding: the kernel's largest straight-line run at
+# <= 31 bits per symbol (16-bit code + 15 claimed magnitude bits on a
+# corrupt stream) plus the final symbol's 2-word aligned peek.  Sized
+# PER KERNEL from its peel: an oversized reserve multiplies refill
+# frequency, and a refill costs max_words/128 chunked gathers — the
+# dominant term for long speculative streams.
+def _reserve_for(peel: int) -> int:
+    return 3 + (max(peel + 1, _SYM_GROUP) * 31 + 31) // 32
 
 # contiguous words fetched once per symbol group: alignment slack (1) +
 # the group's worst-case consumption + the last symbol's 2-word peek
@@ -372,6 +382,8 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
         st_ref[0:1, :] = entry_ref[:]  # per-lane start bit (0 = row start)
         st_ref[4:5, :] = jnp.full((1, G * _LG), -32 * _WNDW, jnp.int32)
 
+    reserve = _reserve_for(peel_luma)
+
     def L(g):
         return slice(g * _LG, (g + 1) * _LG)
 
@@ -398,7 +410,7 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
 
         need = jnp.max(jnp.concatenate(
             [bps[g] - st_ref[4:5, L(g)] for g in range(G)], axis=1)) \
-            > 32 * (_WNDW - _GROUP_RESERVE)
+            > 32 * (_WNDW - reserve)
         jax.lax.cond(need, refill, lambda: None)
 
     for j in range(chunk):
@@ -560,7 +572,8 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
 
 def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
                  limit_ref, phase_ref, pos_ref, st_ref, wnd_ref,
-                 *, sampling: str, chunk: int, max_words: int):
+                 *, sampling: str, chunk: int, max_words: int,
+                 peel_luma: int = _PEEL_LUMA):
     """Positions-only speculative decode pass.
 
     Each lane walks blocks from its ``entry`` bit until its bit position
@@ -594,7 +607,8 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
 
     ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
-                                      max_words, reserve=_GROUP_RESERVE)
+                                      max_words,
+                                      reserve=_reserve_for(peel_luma))
 
     for j in range(chunk):
         if period > 1:
@@ -605,15 +619,47 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         else:
             dc_tabs = _tables_static(maxc, delt, hvp, 0)
             ac_tabs = _tables_static(maxc, delt, hvp, 1)
+        def ac_sym(done, slot, bp, badacc, wc, wb, ac_tabs=ac_tabs):
+            """One positions-only AC symbol against a register file."""
+            peek = _peek_from(wc, wb, bp)
+            sym, ln = _decode_symbol_core(peek, *ac_tabs)
+            run = _shr(sym, jnp.int32(4))
+            size = sym & 15
+            bad = ln >= 17
+            eob = (sym == 0) & ~bad
+            zrl = (sym == 0xF0) & ~bad
+            live = (done == 0) & ~bad
+            badacc = badacc | ((done == 0) & bad).astype(jnp.int32)
+            bp = bp + jnp.where(live, ln + size, 0)
+            pos = slot + run
+            slot = jnp.where(live,
+                             jnp.where(zrl, slot + 16, pos + 1), slot)
+            done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
+            return [done, slot, bp, badacc]
+
         bitpos0 = st_ref[0:1, :]
         live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
         ensure_window(bitpos0)
-        peek = _fetch32(wnd_ref[:], st_ref[4:5, :], bitpos0)
+        # peeled straight-line group: DC + peel ACs on one register-file
+        # fetch.  UNLIKE decode_segments, ANY unconditional peel loses
+        # here: the positions pass runs every lane to the grid cap and
+        # walks near-empty chroma content too, so masked decodes
+        # multiply (peel 19 measured 2.3x SLOWER, even peel 2 1.5x, on
+        # the 3-scan fused wall).  _PEEL_SCAN = 0: only the DC folds
+        # into the register-file machinery.
+        peel = peel_luma
+        wc0, wb0 = _group_fetch(wnd_ref[:], st_ref[4:5, :], bitpos0,
+                                nw=_nw_for(peel + 1))
+        peek = _peek_from(wc0, wb0, bitpos0)
         sym, ln = _decode_symbol_core(peek, *dc_tabs)
         size = sym & 15
         ok = live_l & (ln < 17)
         badf = live_l & (ln >= 17)
         bitpos = bitpos0 + jnp.where(ok, ln + size, 0)
+        st0 = [(~ok).astype(jnp.int32), jnp.ones((1, _LG), jnp.int32),
+               bitpos, badf.astype(jnp.int32)]
+        for _ in range(peel):
+            st0 = ac_sym(*st0, wc0, wb0)
 
         # int32 0/1 carries, never bool (see the _hd_kernel NOTE: Mosaic
         # cannot legalize scf.yield with i1 vector loop carries)
@@ -621,30 +667,16 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
             done, _, _, _ = carry
             return jnp.any(done == 0)
 
-        def body(carry, ac_tabs=ac_tabs):
+        def body(carry):
             done, slot, bp, badacc = carry
             ensure_window(bp)  # one refill check per _SYM_GROUP group
             wc, wb = _group_fetch(wnd_ref[:], st_ref[4:5, :], bp)
+            st = [done, slot, bp, badacc]
             for _ in range(_SYM_GROUP):
-                peek = _peek_from(wc, wb, bp)
-                sym, ln = _decode_symbol_core(peek, *ac_tabs)
-                run = _shr(sym, jnp.int32(4))
-                size = sym & 15
-                bad = ln >= 17
-                eob = (sym == 0) & ~bad
-                zrl = (sym == 0xF0) & ~bad
-                live = (done == 0) & ~bad
-                badacc = badacc | ((done == 0) & bad).astype(jnp.int32)
-                bp = bp + jnp.where(live, ln + size, 0)
-                pos = slot + run
-                slot = jnp.where(live,
-                                 jnp.where(zrl, slot + 16, pos + 1), slot)
-                done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
-            return done, slot, bp, badacc
+                st = ac_sym(*st, wc, wb)
+            return tuple(st)
 
-        carry = ((~ok).astype(jnp.int32), jnp.ones((1, _LG), jnp.int32),
-                 bitpos, badf.astype(jnp.int32))
-        _, _, bitpos, badi = jax.lax.while_loop(cond, body, carry)
+        _, _, bitpos, badi = jax.lax.while_loop(cond, body, tuple(st0))
         badf = badi != 0
         st_ref[0:1, :] = jnp.where(ok & ~badf, bitpos, bitpos0)
         st_ref[3:4, :] = st_ref[3:4, :] + (ok & ~badf).astype(jnp.int32)
@@ -676,8 +708,9 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
     cap_p = -(-cap_blocks // chunk) * chunk
     if phase is None:
         phase = jnp.zeros((1, Sp), jnp.int32)
-    kernel = functools.partial(_scan_kernel, sampling=sampling,
-                               chunk=chunk, max_words=max_words)
+    kernel = functools.partial(
+        _scan_kernel, sampling=sampling, chunk=chunk, max_words=max_words,
+        peel_luma=_PEEL_SCAN)
     pos = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp // _LG * 8, _LG), jnp.int32),
@@ -715,11 +748,11 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
 
 @functools.partial(jax.jit,
                    static_argnames=("sampling", "nblk_seg", "max_words",
-                                    "interpret", "phased"))
+                                    "interpret", "phased", "peel_luma"))
 def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                     nblk_seg: int, max_words: int,
                     interpret: bool = False, entry=None, phase=None,
-                    phased: bool = False):
+                    phased: bool = False, peel_luma: int | None = None):
     """[Sp, max_words] u32 segment streams -> zz [Sp, nblk_p, 64] int32.
 
     Sp must be a multiple of 128; ``nblk_lane`` [1, Sp] int32 holds each
@@ -754,6 +787,11 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
             G = cand
             break
     GL = G * _LG
+    # callers that know their content override the peel: the speculative
+    # payload decodes 3-scan color through the "gray" pattern, where the
+    # chroma scans are ~1 symbol/block and the full luma peel wastes
+    # masked decodes (measured 2x wall regression on the 3-scan fixture)
+    pl_ = _PEEL_LUMA if peel_luma is None else peel_luma
     kernel = functools.partial(
         _hd_kernel, sampling=sampling, nblk_real=nblk_seg, chunk=chunk,
         max_words=max_words, phased=phased, groups=G,
@@ -762,7 +800,7 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
         # byte-identically (test_peel_production_parity pins the real
         # one) — so interpret mode caps it to keep the Python-interpreted
         # CPU test suite fast
-        peel_luma=min(_PEEL_LUMA, 7) if interpret else _PEEL_LUMA)
+        peel_luma=min(pl_, 7) if interpret else pl_)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Sp, nblk_p * 64), jnp.int32),

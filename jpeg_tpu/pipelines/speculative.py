@@ -48,6 +48,8 @@ _SLACK = 384          # bytes past the chunk end each lane can read (one
 #                       worst-case block is ~213 bytes)
 _MIN_LANES = 8        # below this total, the threaded host decoder wins
 _TARGET_LANE_BYTES = 2048
+_PAYLOAD_PEEL = 5     # decode_segments peel for "gray" payload passes
+#                       (scan mixes dense luma with near-empty chroma)
 _MAX_ROUNDS = 8
 _MAX_ROUNDS_PHASED = 16   # interleaved chains may repair lane by lane
 _MAX_WORDS = 4096         # per-lane row words (16 KB): the streams VMEM
@@ -203,7 +205,7 @@ def _spec_scans(scan_list, interpret: bool = False,
             d_streams, d_maxc, d_delt, d_hvp, jnp.asarray(nlarr),
             sampling, nblk_seg, max_words, interpret=interpret,
             entry=jnp.asarray(earr), phase=jnp.asarray(parr),
-            phased=period > 1))[:S]
+            phased=period > 1, peel_luma=_PAYLOAD_PEEL))[:S]
 
     # stitch lanes per scan; per-lane per-COMPONENT DC chains start at
     # 0 -> exclusive-scan base corrections along each chain
@@ -345,7 +347,10 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
             streams, maxc, delt, hvp, expand(ct), sampling, cap,
             max_words, interpret=interpret,
             entry=expand(entries - starts8_d), phase=expand(phases),
-            phased=period > 1)          # [Sp, nblk_p, 64]
+            phased=period > 1,
+            # "gray"-pattern payloads mix dense luma and near-empty
+            # chroma scans: a moderate peel beats the full luma one
+            peel_luma=_PAYLOAD_PEEL)    # [Sp, nblk_p, 64]
         nblk_p = out.shape[1]
 
         def stitch(i, nblk):

@@ -186,3 +186,29 @@ def test_speculative_sharded_matches_single():
     sharded = decode_jpeg_batch(datas, interpret=True, mesh=mesh)
     for a, b in zip(single, sharded):
         assert np.array_equal(a, b)
+
+
+def test_batch_salvage_with_corrupt_member():
+    """One corrupt stream in a batch must not sink the others: the
+    batched fused launch fails as a whole, the fallback machinery
+    salvages the healthy images, and the corrupt one returns None or a
+    count-contract-respecting decode — never a wrong image."""
+    from jpeg_tpu.pipelines.speculative import speculative_decode_batch
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(3)]
+    datas = [bytes(JpegEncoder(EncodeConfig()).encode(im)) for im in imgs]
+    bad = bytearray(datas[1])
+    # stomp entropy bytes in the back half (markers live up front)
+    for k in range(6):
+        bad[len(bad) // 2 + 7 * k] = 0x55
+    datas[1] = bytes(bad)
+    outs = speculative_decode_batch(datas, interpret=True,
+                                    target_lane_bytes=256)
+    from jpeg_tpu.pipelines.decode import decode_jpeg
+    for i in (0, 2):
+        if outs[i] is not None:
+            ref = decode_jpeg(datas[i], entropy_engine="host")
+            assert np.array_equal(outs[i], ref), i
+    assert any(outs[i] is not None for i in (0, 2)), \
+        "healthy images must be salvaged"
