@@ -145,13 +145,6 @@ def _shr(x, s):
     return jax.lax.shift_right_logical(x, s)
 
 
-def _select16(sel, arr16):
-    """Pick per-lane row ``sel`` [1, 128] of ``arr16`` [16, 128]."""
-    sub = _sub_iota(arr16.shape)
-    return jnp.sum(jnp.where(sub == sel, arr16, 0), axis=0, keepdims=True,
-                   dtype=jnp.int32)
-
-
 def _fetch32(wnd, base_bits, bitpos):
     """Aligned 32-bit big-endian peek at ``bitpos`` per lane.
 
@@ -168,41 +161,64 @@ def _fetch32(wnd, base_bits, bitpos):
     return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
 
 
-def _decode_symbol_core(peek32, bnd16, delt16, hvp64):
+def _prev_bounds(maxc):
+    """Stacked [16k, N] boundary tables -> the same tables shifted down
+    one LENGTH row within each 16-row table (row l of the result =
+    bound[l-1], row 0 = 0, always <= any peek).
+
+    Row l-1 of ``bound_prev <= peek < bound`` isolates the true code
+    length in ``_decode_symbol_core`` with ONE masked-sum reduction.
+    Computed with plain XLA ops OUTSIDE the Pallas kernels (tiny [64, S]
+    arrays, once per launch) and passed in as a fourth table operand —
+    no in-kernel sublane shuffling at all."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, maxc.shape, 0)
+    return jnp.where(rows % 16 == 0, 0, jnp.roll(maxc, 1, axis=0))
+
+
+def _decode_symbol_core(peek32, bnd16, bnd_prev16, delt16, hvp64):
     """One canonical Huffman decode step for every lane, against
-    PRE-SLICED per-table arrays: bnd16/delt16 [16, 128] (monotone
-    boundaries + deltas, ``canonical_tables``), hvp64 [128, 64]
-    byte-packed HUFFVAL (4 symbols/word).  Returns (sym, code length)
-    [1, 128] each; length 17 marks no-match (corrupt or padding —
-    callers mask on it).  Cost shape: one [16, 128] compare + ONE
-    cross-sublane count + one masked-sum delta select + one gather —
-    the count trick halves the XLU reductions of the maxcode form."""
+    PRE-SLICED per-table arrays (``_prep_tables``): bnd16/bnd_prev16/
+    delt16 [16, 128] (monotone boundaries + deltas,
+    ``canonical_tables``), hvp64 [128, 64] byte-packed HUFFVAL
+    (4 symbols/word).  Returns (sym, code length) [1, 128] each; length
+    17 marks no-match (corrupt or padding — callers mask on it).
+
+    Cost shape: two [16, 128] compares + ONE cross-sublane masked sum +
+    one gather.  The boundaries are monotone, so exactly the row
+    ``l = len`` satisfies ``bound[l-1] <= peek16 < bound[l]`` (none for
+    len 17): summing a per-row packed ``(symidx << 5) | l`` under that
+    mask yields symbol index AND length in a single XLU reduction —
+    the old count-then-select form cost two SERIAL reductions per
+    symbol, the dominant latency term of the decode chain."""
     peek16 = _shr(peek32, jnp.int32(16))
-    ge = jnp.broadcast_to(peek16, (16, _LG)) >= bnd16
-    cnt = jnp.sum(ge.astype(jnp.int32), axis=0, keepdims=True,
-                  dtype=jnp.int32)                    # = length - 1
-    ln = cnt + 1                                      # 1..17
-    code = _shr(peek16, jnp.clip(16 - ln, 0, 15))
-    symidx = jnp.clip(code + _select16(jnp.minimum(cnt, 15), delt16),
-                      0, 255)
+    pb = jnp.broadcast_to(peek16, (16, _LG))
+    ge = pb >= bnd16
+    hit = (pb >= bnd_prev16) & ~ge          # true only at row len-1
+    lrow = _sub_iota((16, _LG)) + 1         # l = 1..16 per row
+    val = jnp.clip(_shr(pb, 16 - lrow) + delt16, 0, 255)
+    packed = jnp.sum(jnp.where(hit, (val << 5) | lrow, 0), axis=0,
+                     keepdims=True, dtype=jnp.int32)
+    ln = jnp.where(ge[15:16], 17, packed & 31)   # all-ge: past every bound
+    symidx = _shr(packed, jnp.int32(5))
     widx = jnp.broadcast_to(_shr(symidx, jnp.int32(2)).T, (_LG, 64))
     word = jnp.take_along_axis(hvp64, widx, axis=1)[:, 0:1].T
     sym = _shr(word, 8 * (symidx & 3)) & 0xFF
     return sym, ln
 
 
-def _tables_static(maxc, delt, hvp, tbl: int):
+def _tables_static(maxc, maxcp, delt, hvp, tbl: int):
     """Static table row ``tbl`` of the stacked [4 x 16] arrays."""
-    return (maxc[16 * tbl:16 * (tbl + 1)], delt[16 * tbl:16 * (tbl + 1)],
-            hvp[:, 64 * tbl:64 * (tbl + 1)])
+    return (maxc[16 * tbl:16 * (tbl + 1)], maxcp[16 * tbl:16 * (tbl + 1)],
+            delt[16 * tbl:16 * (tbl + 1)], hvp[:, 64 * tbl:64 * (tbl + 1)])
 
 
-def _tables_dyn(maxc, delt, hvp, tsel):
+def _tables_dyn(maxc, maxcp, delt, hvp, tsel):
     """PER-LANE table row (``tsel`` [1, 128] in 0..3) — speculative
     interleaved decode, where each lane carries its own MCU phase and
     so its own current component/table.  Select ONCE per block; the
     result feeds every symbol's ``_decode_symbol_core``."""
     maxc_s = jnp.zeros((16, _LG), jnp.int32)
+    maxcp_s = jnp.zeros((16, _LG), jnp.int32)
     delt_s = jnp.zeros((16, _LG), jnp.int32)
     hvp_s = jnp.zeros((_LG, 64), jnp.int32)
     tsel_t = tsel.T  # transpose the int32 selector, not the bool mask —
@@ -210,15 +226,10 @@ def _tables_dyn(maxc, delt, hvp, tsel):
     for t in range(4):
         m = tsel == t
         maxc_s = jnp.where(m, maxc[16 * t:16 * (t + 1)], maxc_s)
+        maxcp_s = jnp.where(m, maxcp[16 * t:16 * (t + 1)], maxcp_s)
         delt_s = jnp.where(m, delt[16 * t:16 * (t + 1)], delt_s)
         hvp_s = jnp.where(tsel_t == t, hvp[:, 64 * t:64 * (t + 1)], hvp_s)
-    return maxc_s, delt_s, hvp_s
-
-
-def _decode_symbol(peek32, maxc, delt, hvp, tbl: int):
-    """``_decode_symbol_core`` against static table row ``tbl``."""
-    return _decode_symbol_core(peek32, *_tables_static(maxc, delt, hvp,
-                                                       tbl))
+    return maxc_s, maxcp_s, delt_s, hvp_s
 
 
 def _lane_pattern(sampling: str, pos):
@@ -353,8 +364,8 @@ def _peek_from(wc, word_base, bp):
     return jnp.where(s == 0, w0, (w0 << s) | _shr(w1, (32 - s) & 31))
 
 
-def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
-               entry_ref, phase_ref, out_ref, st_ref, wnd_ref, *,
+def _hd_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
+               nblk_ref, entry_ref, phase_ref, out_ref, st_ref, wnd_ref, *,
                sampling: str, nblk_real: int, chunk: int, max_words: int,
                phased: bool = False, groups: int = 1,
                always_live: bool = False, peel_luma: int = _PEEL_LUMA):
@@ -387,8 +398,8 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
     def L(g):
         return slice(g * _LG, (g + 1) * _LG)
 
-    gtabs = [(maxc_ref[:, L(g)], delt_ref[:, L(g)], hvp_ref[L(g), :])
-             for g in range(G)]
+    gtabs = [(maxc_ref[:, L(g)], maxcp_ref[:, L(g)], delt_ref[:, L(g)],
+              hvp_ref[L(g), :]) for g in range(G)]
 
     def refill_all(bps):
         """Refill EVERY group's window at its lanes' positions (one
@@ -570,8 +581,8 @@ def _hd_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, nblk_ref,
             out_ref[L(g), j * 64:(j + 1) * 64] = accs[g].T
 
 
-def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
-                 limit_ref, phase_ref, pos_ref, st_ref, wnd_ref,
+def _scan_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
+                 entry_ref, limit_ref, phase_ref, pos_ref, st_ref, wnd_ref,
                  *, sampling: str, chunk: int, max_words: int,
                  peel_luma: int = _PEEL_LUMA):
     """Positions-only speculative decode pass.
@@ -595,6 +606,7 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
     period = len(_PATTERN[sampling])
     c = pl.program_id(1)
     maxc = maxc_ref[:]
+    maxcp = maxcp_ref[:]
     delt = delt_ref[:]
     hvp = hvp_ref[:]
     limit_l = limit_ref[:]
@@ -614,11 +626,11 @@ def _scan_kernel(streams_ref, maxc_ref, delt_ref, hvp_ref, entry_ref,
         if period > 1:
             pos = jax.lax.rem(phase_l + (c * chunk + j), jnp.int32(period))
             dcs, acs, _cmp = _lane_pattern(sampling, pos)
-            dc_tabs = _tables_dyn(maxc, delt, hvp, dcs)
-            ac_tabs = _tables_dyn(maxc, delt, hvp, acs)
+            dc_tabs = _tables_dyn(maxc, maxcp, delt, hvp, dcs)
+            ac_tabs = _tables_dyn(maxc, maxcp, delt, hvp, acs)
         else:
-            dc_tabs = _tables_static(maxc, delt, hvp, 0)
-            ac_tabs = _tables_static(maxc, delt, hvp, 1)
+            dc_tabs = _tables_static(maxc, maxcp, delt, hvp, 0)
+            ac_tabs = _tables_static(maxc, maxcp, delt, hvp, 1)
         def ac_sym(done, slot, bp, badacc, wc, wb, ac_tabs=ac_tabs):
             """One positions-only AC symbol against a register file."""
             peek = _peek_from(wc, wb, bp)
@@ -722,6 +734,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, _LG), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((_LG, 256), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LG), lambda g, c: (0, g),
@@ -736,8 +750,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
         scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp,
-      jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
+    )(jnp.asarray(streams, jnp.int32), maxc, _prev_bounds(maxc), delt,
+      hvp, jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
       jnp.asarray(phase, jnp.int32))
     pos = pos.reshape(Sp // _LG, 8, _LG)
     exits = pos[:, 0, :].reshape(Sp)
@@ -812,6 +826,8 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((GL, 256), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, GL), lambda g, c: (0, g),
@@ -826,8 +842,9 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
         scratch_shapes=[pltpu.VMEM((8, GL), jnp.int32),
                         pltpu.VMEM((GL, _WNDW), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(streams, jnp.int32), maxc, delt, hvp, nblk_lane,
-      jnp.asarray(entry, jnp.int32), jnp.asarray(phase, jnp.int32))
+    )(jnp.asarray(streams, jnp.int32), maxc, _prev_bounds(maxc), delt,
+      hvp, nblk_lane, jnp.asarray(entry, jnp.int32),
+      jnp.asarray(phase, jnp.int32))
     return out.reshape(Sp, nblk_p, 64)
 
 

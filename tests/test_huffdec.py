@@ -324,3 +324,61 @@ def test_peel_production_parity(monkeypatch):
     full = run()
     hd.decode_segments.clear_cache()
     assert np.array_equal(capped, full)
+
+
+def test_symbol_core_matches_bruteforce():
+    """_decode_symbol_core (single masked-sum form) vs a brute-force
+    canonical decode, over random tables and exhaustive-ish peeks —
+    including no-match peeks (length 17) and length-16 codes."""
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        # random canonical table: random BITS histogram over a random
+        # symbol alphabet (including the degenerate nearly-empty table)
+        nsym = int(rng.integers(1, 200)) if trial else 1
+        bits = np.zeros(17, np.int64)
+        left = nsym
+        for l in range(1, 17):
+            room = min(left, (1 << l) - 1)  # keep the code space open
+            n = int(rng.integers(0, room + 1)) if l < 16 else left
+            bits[l] = n
+            left -= n
+            if not left:
+                break
+        nsym = int(bits.sum())
+        huffval = rng.integers(0, 256, nsym).astype(np.int64)
+        bound, delta, hv = hd.canonical_tables(bits, huffval)
+
+        # brute-force oracle: walk code lengths like T.81 F.2.2.3
+        def oracle(peek16):
+            code, k = 0, 0
+            for l in range(1, 17):
+                n = int(bits[l])
+                cd = peek16 >> (16 - l)
+                if n and cd < code + n:
+                    return int(hv[k + cd - code]), l
+                code = (code + n) << 1
+                k += n
+            return None, 17
+
+        peeks = np.unique(np.concatenate([
+            rng.integers(0, 1 << 16, 128),
+            np.asarray([0, 1, 0xFFFF, 0x8000, 0x7FFF])]))[:hd._LG]
+        pk = np.zeros((1, hd._LG), np.int64)
+        pk[0, :len(peeks)] = peeks << 16  # peek32 with peek16 on top
+
+        maxc = np.tile(bound[:, None], (1, hd._LG))
+        delt = np.tile(delta[:, None], (1, hd._LG))
+        hvp = (hv.reshape(64, 4)
+               * (1 << (8 * np.arange(4, dtype=np.int64)))).sum(-1)
+        hvp = np.tile(hvp[None].astype(np.uint32).view(np.int32),
+                      (hd._LG, 1))
+        tabs = hd._prep_tables((jnp.asarray(maxc, jnp.int32),
+                                jnp.asarray(delt, jnp.int32),
+                                jnp.asarray(hvp)))
+        sym, ln = hd._decode_symbol_core(jnp.asarray(pk, jnp.int32), *tabs)
+        sym, ln = np.asarray(sym)[0], np.asarray(ln)[0]
+        for i, p in enumerate(peeks):
+            want_sym, want_len = oracle(int(p))
+            assert ln[i] == want_len, (trial, hex(p), ln[i], want_len)
+            if want_sym is not None:
+                assert sym[i] == want_sym, (trial, hex(p), sym[i], want_sym)
