@@ -106,15 +106,18 @@ SAMPLING_OF_FACTORS = {
 def canonical_tables(bits: np.ndarray, huffval: np.ndarray):
     """DHT (BITS, HUFFVAL) -> (bound [16], delta [16], hv [256]).
 
-    T.81 F.2.2.3 reformulated for a count-based length determination
-    (the monotone-boundary trick): ``bound[l-1] = (first 16-bit-aligned
-    value past all codes of length <= l)``, i.e. (maxcode_l + 1) <<
-    (16 - l) with empty lengths carrying the running code forward.
-    Bounds are monotone non-decreasing, so the true code length is
-    ``1 + count(peek16 >= bound)`` — ONE cross-sublane reduction per
-    symbol instead of a min-reduce plus two masked-sum selects.  A
-    peek past every bound counts 16 -> length 17 = invalid (covers
-    empty tables and corrupt bits).  The symbol is
+    T.81 F.2.2.3 reformulated as monotone 16-bit-aligned boundaries:
+    ``bound[l-1] = (first 16-bit-aligned value past all codes of
+    length <= l)``, i.e. (maxcode_l + 1) << (16 - l) with empty
+    lengths carrying the running code forward.  Bounds are monotone
+    non-decreasing, so with the shifted companion table
+    ``bound_prev`` (``_prev_bounds``: row l = bound[l-1], row 0 = 0)
+    exactly one row satisfies ``bound_prev[l-1] <= peek16 <
+    bound[l-1]`` — the true code length — and
+    ``_decode_symbol_core`` extracts symbol index AND length from
+    that interval hit with ONE cross-sublane masked-sum reduction.
+    A peek >= bound[15] matches no row -> length 17 = invalid
+    (covers empty tables and corrupt bits).  The symbol is
     hv[(peek16 >> (16 - len)) + delta[len - 1]].
     """
     bound = np.zeros(16, np.int64)
@@ -173,6 +176,15 @@ def _prev_bounds(maxc):
     no in-kernel sublane shuffling at all."""
     rows = jax.lax.broadcasted_iota(jnp.int32, maxc.shape, 0)
     return jnp.where(rows % 16 == 0, 0, jnp.roll(maxc, 1, axis=0))
+
+
+def _prep_tables(tabs):
+    """(maxc, delt, hvp) table triple -> the 4-operand form
+    ``_decode_symbol_core`` consumes: (bound, bound_prev, delta,
+    packed HUFFVAL), with ``bound_prev`` derived via ``_prev_bounds``.
+    Plain XLA ops, run once per launch outside the kernels."""
+    maxc, delt, hvp = tabs
+    return maxc, _prev_bounds(maxc), delt, hvp
 
 
 def _decode_symbol_core(peek32, bnd16, bnd_prev16, delt16, hvp64):

@@ -337,11 +337,14 @@ def test_symbol_core_matches_bruteforce():
         nsym = int(rng.integers(1, 200)) if trial else 1
         bits = np.zeros(17, np.int64)
         left = nsym
+        space = 2  # free canonical code space entering each length
         for l in range(1, 17):
-            room = min(left, (1 << l) - 1)  # keep the code space open
-            n = int(rng.integers(0, room + 1)) if l < 16 else left
+            # keep >=1 slot open below l=16 so deeper codes stay valid
+            room = min(left, space - (1 if l < 16 else 0))
+            n = int(rng.integers(0, room + 1)) if l < 16 else room
             bits[l] = n
             left -= n
+            space = (space - n) * 2
             if not left:
                 break
         nsym = int(bits.sum())
