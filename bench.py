@@ -264,30 +264,29 @@ def main():
     luts_d = jnp.asarray(luts)
     jax.block_until_ready(luts_d)
 
-    def dyn_stage_loop(n, stage2):
-        from jpeg_tpu.kernels import front as kfront
-
+    def dyn_stage_loop(n, full):
+        # full=False: stage 1 only (analyze + hist [+ xt emit]);
+        # full=True: the REAL two-stage device chain exactly as
+        # _pack_only consumes stage 1's fields (xt handoff on eligible
+        # geometries) — stage 2 is reported as the difference
         @jax.jit
         def run(b, d):
             def body(i, c):
                 seed, acc = c
                 bp = b ^ (seed + d)
-                if stage2:
-                    o, tot = kfront.front_place(
-                        bp, luts_d, dyn_enc._dct_m, dyn_enc._dct_bias,
-                        dyn_enc._ql_zz, dyn_enc._qc_zz, w // 16, h // 16,
-                        "420", dyn_enc.seg_rows)
-                    s = jnp.sum(o, dtype=jnp.uint32)
-                else:
-                    _, hist = dyn_enc._analyze_hist_fn(bp)
-                    s = jnp.sum(hist.astype(jnp.uint32))
+                fields, hist = dyn_enc._analyze_hist_fn(bp)
+                s = jnp.sum(hist.astype(jnp.uint32))
+                if full:
+                    words, tot = dyn_enc._pack_only_fn(fields, luts_d)
+                    s = s + jnp.sum(words, dtype=jnp.uint32) \
+                        + jnp.sum(tot).astype(jnp.uint32)
                 return (s & 1).astype(jnp.uint8), acc + s
             return jax.lax.fori_loop(0, n, body,
                                      (jnp.uint8(0), jnp.uint32(0)))[1]
         return run
 
-    def stage_slope(stage2):
-        r1, r2 = dyn_stage_loop(N1, stage2), dyn_stage_loop(N2, stage2)
+    def stage_slope(full):
+        r1, r2 = dyn_stage_loop(N1, full), dyn_stage_loop(N2, full)
         int(np.asarray(r1(batch, next_delta())))
         int(np.asarray(r2(batch, next_delta())))
 
@@ -300,14 +299,16 @@ def main():
             return best
         return (t(r2) - t(r1)) / (N2 - N1)
 
-    s1_dt, s2_dt = stage_slope(False), stage_slope(True)
-    dyn_dev_dt = s1_dt + s2_dt
+    s1_dt, tot_dt = stage_slope(False), stage_slope(True)
+    s2_dt = max(tot_dt - s1_dt, 1e-6)
+    dyn_dev_dt = tot_dt
     dyn_dev_mps = (BATCH * h * w) / dyn_dev_dt / 1e6
     idx_bytes = 64 * nblk * 4                     # [64, nblk] i32 slot idx
-    _roofline("dynamic stage 1 (idx+hist)", s1_dt * 1e3,
-              in_bytes + 2 * idx_bytes, dct_flops, roof)
-    _roofline("dynamic stage 2 (place)", s2_dt * 1e3,
-              in_bytes + words_bytes, dct_flops, roof)
+    xt_bytes = 64 * nblk * 4                      # [64, nblk] f32 handoff
+    _roofline("dynamic stage 1 (idx+hist+xt)", s1_dt * 1e3,
+              in_bytes + 2 * idx_bytes + xt_bytes, dct_flops, roof)
+    _roofline("dynamic stage 2 (xt place)", s2_dt * 1e3,
+              xt_bytes + words_bytes, dct_flops, roof)
 
     # Secondary: decode. Host-side entropy decode (native C++ bit-walk)
     # feeds the device IDCT/reconstruct; the two stages pipeline across

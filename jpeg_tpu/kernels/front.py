@@ -544,18 +544,29 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
                        nblk_real: int, sc: int, sc_p: int, cbp: int,
-                       nconst: int, sps: int):
+                       nconst: int, sps: int, emit_xt: bool = False):
     """Front + DCT + symbolize emitting only the combined-LUT index field
-    (dynamic-mode stage 1 — feeds the MXU histograms)."""
+    (dynamic-mode stage 1 — feeds the MXU histograms).
+
+    ``emit_xt`` additionally writes the slab's relayouted pixel blocks
+    to a second output so stage 2 (``fused.dct_attach_pack_xt``) can
+    skip re-running the front: one ~39 MB HBM round trip replaces a
+    ~0.5 ms in-kernel front re-run."""
     from . import fused as kf
     in_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:5]
     crefs = refs[5:5 + nconst]
-    idx_ref = refs[5 + nconst]
-    prev_ref = refs[6 + nconst]
+    if emit_xt:
+        idx_ref, xt_ref = refs[5 + nconst:7 + nconst]
+        prev_ref = refs[7 + nconst]
+    else:
+        idx_ref = refs[5 + nconst]
+        prev_ref = refs[6 + nconst]
     strip_cs = _strip_consts(meta, crefs)
     g = pl.program_id(1)
     gs = jax.lax.rem(g, jnp.int32(sps))
     xt = _pad_slab(_front_slab(strip_cs, in_ref, sampling, bf16), sc, sc_p)
+    if emit_xt:
+        xt_ref[:] = xt
     bias_t = _tile_lanes(bias_ref[:], cbp)
     ql_t = _tile_lanes(ql_ref[:], cbp)
     qc_t = _tile_lanes(qc_ref[:], cbp)
@@ -672,27 +683,47 @@ def _real_nblk(mx, my, sampling, real_height, G, sc):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "interpret",
-                                    "real_height", "n_segs"))
+                                    "real_height", "n_segs", "emit_xt"))
 def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, interpret: bool = False,
-                real_height: int | None = None, n_segs: int = 1):
+                real_height: int | None = None, n_segs: int = 1,
+                emit_xt: bool = False):
     """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]
     (padded tail blocks emit NULL_INDEX, whose histogram bin is
-    dropped)."""
+    dropped).
+
+    ``emit_xt=True`` returns (idx_t, xt): xt is the relayouted
+    [64, B*nblk_img] f32 pixel-block layout (``front_analyze``'s), so
+    dynamic-mode stage 2 can consume it via
+    ``fused.dct_attach_pack_xt`` instead of re-running the ~0.5 ms
+    in-kernel front — one xt HBM round trip (~0.1 ms at 39 MB) is
+    cheaper.  Requires 128-aligned slab columns (no phantom padding)."""
     B = batch_flat.shape[0]
     meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
     sc_p, cbp = _pick_slab_pad(sc)
     if G % n_segs or (n_segs > 1 and real_height not in (None, 16 * my)):
         raise ValueError("segments must be whole slabs, unpadded")
+    if emit_xt and sc_p != sc:
+        raise ValueError("emit_xt needs 128-aligned slab columns")
     kernel = functools.partial(
         _mega_index_kernel, meta, sampling=sampling,
         bf16=not interpret,
         nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc)
         // n_segs,
-        sc=sc, sc_p=sc_p, cbp=cbp, nconst=len(consts), sps=G // n_segs)
+        sc=sc, sc_p=sc_p, cbp=cbp, nconst=len(consts), sps=G // n_segs,
+        emit_xt=emit_xt)
+    ospec = lambda: pl.BlockSpec((64, sc_p),
+                                 lambda b, g, G=G: (0, b * G + g),
+                                 memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((64, B * G * sc_p), jnp.int32)
+    out_specs = ospec()
+    if emit_xt:
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((64, B * G * sc_p), jnp.float32)]
+        out_specs = [out_specs, ospec()]
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((64, B * G * sc_p), jnp.int32),
+        out_shape=out_shape,
         grid=(B, G),
         in_specs=[pl.BlockSpec((1, 128, batch_flat.shape[2]),
                                lambda b, g: (b, g, 0),
@@ -701,9 +732,7 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec((64, 128), lambda b, g: (0, 0),
                                memory_space=pltpu.VMEM)] * 3 + cspecs,
-        out_specs=pl.BlockSpec((64, sc_p),
-                               lambda b, g, G=G: (0, b * G + g),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((1, cbp), jnp.int32)],
         interpret=interpret,
     )(batch_flat, m.astype(jnp.float32), _bcast128(bias), _bcast128(ql),

@@ -38,6 +38,18 @@ from .pack import LOCAL_WORDS, _cumsum_sublanes, _sub_iota
 _TB = 128  # blocks per tile (lanes); fixed: the LUT lane-gather needs 128
 _CHUNK = 4  # 128-block tiles per grid step in the one-kernel fused path
 
+# fori unroll factors for the place tail's two dynamic-bound loops (the
+# local-pack word loop and the row accumulation).  Each loop body is a
+# short chain of masked cross-sublane reductions whose latency the VPU
+# cannot fill from a single iteration; computing U independent
+# rows/iteration interleaves U such chains (the same latency-hiding
+# lesson as kernels/huffdec.py's group interleave) and pays 1/U of the
+# loop's scalar bookkeeping.  Byte-identical for any value (the loops
+# cover the same index ranges); trace-time constants, A/B'd on hardware
+# by bench/unroll_profile.py.
+_PACK_UNROLL = 1
+_ROWACC_UNROLL = 1
+
 
 def _attach_fields(t, idx, extra, extra_n):
     """Combined-LUT lane-gather + field assembly -> (value, nbits).
@@ -902,16 +914,27 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
     tb = hi.shape[1]
 
     lw_ref[:, :] = jnp.zeros((128, tb), jnp.int32)
+    U = _PACK_UNROLL
 
-    def wbody(j, _):
-        cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
-                     dtype=jnp.int32)
-        cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
-                          keepdims=True, dtype=jnp.int32)
-        lw_ref[pl.dslice(j, 1), :] = cj
+    def wbody(i, _):
+        j0 = i * U
+        rows = []
+        for u in range(U):   # U independent reduction chains interleave
+            j = j0 + u
+            cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
+                              keepdims=True, dtype=jnp.int32)
+            rows.append(cj)
+        lw_ref[pl.dslice(j0, U), :] = (
+            rows[0] if U == 1 else jnp.concatenate(rows, axis=0))
         return 0
 
-    jax.lax.fori_loop(0, jnp.max(w) + 2, wbody, 0)  # hi -> w, lo -> w + 1
+    # hi -> w, lo -> w + 1; rows past max(w)+1 rewrite zeros (no slot
+    # matches), so the rounded-up trip count is harmless: max j0 + U
+    # <= max(w) + 1 + U << 128 (a block is <= 57 local words)
+    wtrip = jnp.max(w) + 2 if U == 1 else (jnp.max(w) + 1 + U) // U
+    jax.lax.fori_loop(0, wtrip, wbody, 0)
     lw = lw_ref[:]
     if stop_after == "pack":
         return _consume(lw)
@@ -969,17 +992,23 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
     for s in spans[1:]:
         span = jnp.maximum(span, s)
 
+    R = _ROWACC_UNROLL
+
     def rbody(i, _):
-        for k in range(nwin):
-            r = mins[k] + i
-            add = jnp.sum(jnp.where(keys[k] == r, data[k], 0),
-                          axis=0, keepdims=True, dtype=jnp.int32)
-            rc = jnp.minimum(r, mins[k] + spans[k] - 1)
-            out_ref[pl.dslice(rc, 1), :] = \
-                out_ref[pl.dslice(rc, 1), :] + add
+        for u in range(R):
+            for k in range(nwin):
+                r = mins[k] + i * R + u
+                add = jnp.sum(jnp.where(keys[k] == r, data[k], 0),
+                              axis=0, keepdims=True, dtype=jnp.int32)
+                # exhausted windows (r past their span) add exact zeros
+                # into their clamped last row
+                rc = jnp.minimum(r, mins[k] + spans[k] - 1)
+                out_ref[pl.dslice(rc, 1), :] = \
+                    out_ref[pl.dslice(rc, 1), :] + add
         return 0
 
-    jax.lax.fori_loop(0, span, rbody, 0)
+    jax.lax.fori_loop(0, span if R == 1 else (span + R - 1) // R,
+                      rbody, 0)
 
 
 def _place_tail_w16(hi, lo, w, goff, out_ref, lw_ref):

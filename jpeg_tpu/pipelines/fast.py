@@ -354,6 +354,18 @@ class FastBatchEncoder:
                 seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
 
     @property
+    def _front_xt_ok(self):
+        """Dynamic-mode xt handoff eligibility: stage 1 emits the
+        relayouted pixel blocks (``front_index(emit_xt=True)``) and
+        stage 2 consumes them (``fused.dct_attach_pack_xt``) instead of
+        re-running the ~0.5 ms in-kernel front.  Needs 128-aligned slab
+        columns (no phantom padding in the emitted xt)."""
+        from ..kernels import front as kfront
+        return (self._front_ok and
+                kfront.slab_cols(self.width // 16, self.sampling)
+                % 128 == 0)
+
+    @property
     def _h_pad(self):
         """Rows padded up to full 128-row slabs (mega kernels mask the
         padded tail MCU rows via real_height)."""
@@ -439,6 +451,19 @@ class FastBatchEncoder:
             h = hist_1024_t(idx_t, B)
             return (idx_t, extra_t, extran_t), h
         B, S = rgbs_flat.shape[0], self.n_segs
+        if self._front_xt_ok:
+            from ..kernels import front as kfront
+            idx_t, xt = kfront.front_index(
+                self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
+                self._ql_zz, self._qc_zz, self.width // 16,
+                self._h_pad // 16, self.sampling,
+                interpret=self.interpret, real_height=self.height,
+                n_segs=S, emit_xt=True)
+            h = hist_1024_t(idx_t, B)
+            # the relayouted xt survives the histogram sync in HBM;
+            # stage 2 consumes it directly and skips the front re-run
+            # (one ~39 MB round trip vs ~0.5 ms of relayout)
+            return (xt,), h
         if self._front_ok:
             from ..kernels import front as kfront
             idx_t = kfront.front_index(
@@ -470,9 +495,24 @@ class FastBatchEncoder:
             words, totals = kfused.attach_pack_grouped(
                 lut_per_image, idx_t, extra_t, extran_t, B * S, S,
                 self.seg_rows, interpret=self.interpret)
+        elif fields[0].ndim == 2:  # xt handoff: stage 1 emitted the
+            # relayouted pixel blocks; consume them directly (skips the
+            # ~0.5 ms in-kernel front re-run — _front_xt_ok geometries)
+            from ..kernels import front as kfront
+            (xt,) = fields
+            mx, myp = self.width // 16, self._h_pad // 16
+            G = self._h_pad // 128
+            sc = kfront.slab_cols(mx, self.sampling)
+            rn = kfront._real_nblk(mx, myp, self.sampling, self.height,
+                                   G, sc) // S
+            words, totals = kfused.dct_attach_pack_xt(
+                lut_per_image, self._dct_m, self._dct_bias, self._ql_zz,
+                self._qc_zz, xt, B * S, S, self.y_per_mcu + 2,
+                self.y_per_mcu, self.seg_rows, interpret=self.interpret,
+                real_nblk=rn)
         elif fields[0].dtype == jnp.uint8:  # front path: raw batch kept;
-            # stage 2 re-runs the in-kernel front (cheaper than holding
-            # 39 MB of xt across the histogram sync)
+            # stage 2 re-runs the in-kernel front (non-128-aligned slab
+            # columns, where the xt handoff cannot apply)
             from ..kernels import front as kfront
             (rgbs_flat,) = fields
             words, totals = kfront.front_place(

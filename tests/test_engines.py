@@ -53,3 +53,54 @@ def test_3scan_pallas_engine_odd_chroma_blocks(img_synthetic_160):
     a = JpegEncoder(EncodeConfig(engine="xla")).encode(img)
     b = JpegEncoder(EncodeConfig(engine="pallas")).encode(img)
     assert a == b
+
+
+@pytest.mark.parametrize("unroll", [(2, 1), (4, 2)])
+def test_place_unroll_parity(img_synthetic_160, unroll, monkeypatch):
+    """The place-tail fori unroll factors are pure performance knobs:
+    any (_PACK_UNROLL, _ROWACC_UNROLL) must produce byte-identical
+    streams (bench/unroll_profile.py A/Bs them on hardware)."""
+    from jpeg_tpu.kernels import front as kfront
+    from jpeg_tpu.kernels import fused as kf
+
+    img = np.asarray(img_synthetic_160)[:128, :64]
+    base = dict(scan_layout="interleaved", restart_interval_mcu_rows=4)
+    a = JpegEncoder(EncodeConfig(engine="pallas", **base)).encode(img)
+    monkeypatch.setattr(kf, "_PACK_UNROLL", unroll[0])
+    monkeypatch.setattr(kf, "_ROWACC_UNROLL", unroll[1])
+    kfront.front_place.clear_cache()
+    kf.dct_attach_pack_xt.clear_cache()
+    kf.dct_attach_pack_segments.clear_cache()
+    kf.dct_attach_pack_grouped.clear_cache()
+    try:
+        b = JpegEncoder(EncodeConfig(engine="pallas", **base)).encode(img)
+    finally:
+        kfront.front_place.clear_cache()
+        kf.dct_attach_pack_xt.clear_cache()
+        kf.dct_attach_pack_segments.clear_cache()
+        kf.dct_attach_pack_grouped.clear_cache()
+    assert a == b
+
+
+def test_dynamic_xt_handoff_parity(monkeypatch):
+    """Dynamic-mode stage 1 -> 2 xt handoff (front_index(emit_xt=True) +
+    dct_attach_pack_xt) must be byte-identical to the front re-run path
+    it replaces (128-aligned slab columns: 128x128 geometry)."""
+    from jpeg_tpu.pipelines.fast import FastBatchEncoder
+
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:128, 0:128]
+    base = ((yy // 16 + xx // 16) % 2) * 180 + 40
+    img = np.clip(np.stack([base, 255 - base, xx * 2], axis=-1)
+                  + rng.integers(-20, 21, (128, 128, 3)),
+                  0, 255).astype(np.uint8)[None]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="dynamic")
+    enc = FastBatchEncoder(128, 128, config=cfg, interpret=True)
+    assert enc._front_xt_ok
+    a = enc.encode_batch(img)
+    monkeypatch.setattr(FastBatchEncoder, "_front_xt_ok",
+                        property(lambda self: False))
+    enc2 = FastBatchEncoder(128, 128, config=cfg, interpret=True)
+    assert not enc2._front_xt_ok and enc2._front_ok
+    b = enc2.encode_batch(img)
+    assert a[0] == b[0]
