@@ -128,7 +128,7 @@ def main():
                                      (jnp.uint8(0), jnp.uint32(0)))[1]
         return run
 
-    def slope(mk, n1=N1, n2=N2, reps=2):
+    def slope(mk, n1=N1, n2=N2, reps=3):
         r1, r2 = mk(n1), mk(n2)
         int(np.asarray(r1(batch, next_delta())))   # compile + settle
         int(np.asarray(r2(batch, next_delta())))
@@ -292,7 +292,7 @@ def main():
 
         def t(r):
             best = 1e9
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 int(np.asarray(r(batch, next_delta())))
                 best = min(best, time.perf_counter() - t0)
@@ -358,7 +358,7 @@ def main():
 
         def t(r):
             best = 1e9
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 int(np.asarray(r(*args, next_delta())))
                 best = min(best, time.perf_counter() - t0)
@@ -430,7 +430,7 @@ def main():
 
             def t(r):
                 best = 1e9
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.perf_counter()
                     int(np.asarray(r(*dargs, d32)))
                     best = min(best, time.perf_counter() - t0)

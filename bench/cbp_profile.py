@@ -1,11 +1,13 @@
-"""A/B the place-tail fori unroll factors on hardware.
+"""A/B the mega-kernel slab chunk width (cbp) on hardware.
 
-Sweeps (kernels.fused._PACK_UNROLL, _ROWACC_UNROLL) over the full
-front_place mega kernel with the cache-proof fori-slope methodology
-(see bench.py).  Byte parity across factors is pinned by
-tests/test_engines.py::test_place_unroll_parity; this script only
-answers which factor is fastest on the real chip.
-Run: python bench/unroll_profile.py
+``front.py::_pick_slab_pad`` currently picks the LARGEST 128-multiple
+chunk dividing the slab columns (the whole slab when sc % 128 == 0).
+Smaller chunks re-amortize the place tail's fixed costs differently
+(shorter row-accumulation spans per chunk, more chunk prologues); this
+sweeps the divisors with the shipped unroll factors.  Byte parity is
+structural (chunking never changes the math — the DC chain and carry
+cross chunks); tests pin it on the 128-aligned geometries.
+Run: python bench/cbp_profile.py
 """
 import os
 import sys
@@ -14,8 +16,6 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import numpy as np
-
-COMBOS = [(1, 1), (2, 1), (4, 1), (2, 2), (4, 2)]
 
 
 def main():
@@ -26,7 +26,6 @@ def main():
 
     from jpeg_tpu.core.types import EncodeConfig
     from jpeg_tpu.kernels import front as kfront
-    from jpeg_tpu.kernels import fused as kf
     from jpeg_tpu.pipelines import fast as F
 
     from bench import _load_batch
@@ -37,15 +36,19 @@ def main():
     jax.block_until_ready(batch)
     mp = B * H * W / 1e6
     mx, my = W // 16, H // 16
+    sc = kfront.slab_cols(mx, "420")
+    cands = [c for c in (sc, 1024, 640, 512, 384, 256)
+             if c <= sc and sc % c == 0 and c % 128 == 0]
 
     enc = F.FastBatchEncoder(H, W, config=EncodeConfig(
         scan_layout="interleaved", huffman="fixed"))
     assert enc._front_ok
-    rng = np.random.default_rng(13)
+    rng = np.random.default_rng(17)
     deltas = [jax.device_put(jnp.uint8(int(v)))
               for v in rng.integers(2, 255, 64)]
     jax.block_until_ready(deltas)
     di = [0]
+    orig_pick = kfront._pick_slab_pad
 
     def slope(n1=4, n2=16, reps=3):
         def make(n):
@@ -68,7 +71,7 @@ def main():
 
         def t(r):
             di[0] += 1
-            int(np.asarray(r(batch, deltas[di[0] % 64])))  # settle/compile
+            int(np.asarray(r(batch, deltas[di[0] % 64])))
             best = 1e9
             for _ in range(reps):
                 di[0] += 1
@@ -78,18 +81,20 @@ def main():
             return best
         return (t(r2) - t(r1)) / (n2 - n1) * 1000.0
 
-    print(f"batch = {B} x {W}x{H} = {mp:.2f} MP")
+    print(f"batch = {B} x {W}x{H} = {mp:.2f} MP, sc = {sc}, "
+          f"candidates = {cands}", flush=True)
     best = (None, 1e9)
-    for pu, ru in COMBOS:
-        kf._PACK_UNROLL, kf._ROWACC_UNROLL = pu, ru
+    for cand in cands:
+        kfront._pick_slab_pad = lambda s, c=cand: (s, c)
         kfront.front_place.clear_cache()
         ms = slope()
-        print(f"pack_u={pu} rowacc_u={ru}  {ms:9.3f} ms "
-              f"({mp / (ms / 1000):.0f} MP/s)", flush=True)
+        print(f"cbp={cand:<5} {ms:9.3f} ms ({mp / (ms / 1000):.0f} MP/s)",
+              flush=True)
         if ms < best[1]:
-            best = ((pu, ru), ms)
-    print(f"best: pack_u={best[0][0]} rowacc_u={best[0][1]} "
-          f"{best[1]:.3f} ms ({mp / (best[1] / 1000):.0f} MP/s)")
+            best = (cand, ms)
+    kfront._pick_slab_pad = orig_pick
+    print(f"best: cbp={best[0]} {best[1]:.3f} ms "
+          f"({mp / (best[1] / 1000):.0f} MP/s)")
 
 
 if __name__ == "__main__":

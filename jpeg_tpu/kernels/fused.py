@@ -918,16 +918,15 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
 
     def wbody(i, _):
         j0 = i * U
-        rows = []
         for u in range(U):   # U independent reduction chains interleave
             j = j0 + u
             cj = jnp.sum(jnp.where(w == j, hi, 0), axis=0, keepdims=True,
                          dtype=jnp.int32)
             cj = cj + jnp.sum(jnp.where(w == j - 1, lo, 0), axis=0,
                               keepdims=True, dtype=jnp.int32)
-            rows.append(cj)
-        lw_ref[pl.dslice(j0, U), :] = (
-            rows[0] if U == 1 else jnp.concatenate(rows, axis=0))
+            # per-row stores: a multi-row dynamic-index vector store
+            # needs a provably 8-aligned row (Mosaic), which j0 is not
+            lw_ref[pl.dslice(j, 1), :] = cj
         return 0
 
     # hi -> w, lo -> w + 1; rows past max(w)+1 rewrite zeros (no slot
