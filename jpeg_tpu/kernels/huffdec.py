@@ -55,14 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LG = 128   # lanes per segment group
 _WNDW = 64  # sliding window words per lane (> worst-case block: 57)
-_SYM_GROUP = 6  # AC symbols decoded per while-loop iteration.  The
+_SYM_GROUP = 5  # AC symbols decoded per while-loop iteration.  The
 # while cond (vector->scalar ``any`` + branch) and the window-refill
 # ``cond`` (vector->scalar ``max`` + branch) are scalar-core syncs that
 # cost ~10x the loop body's vector work (measured 2026-08-19: ~1.2 us
 # per single-symbol iteration vs ~0.1 us of vector ops); decoding a
 # straight-line group of symbols per iteration amortizes both.  Lanes
 # that finish mid-group idle masked — the group size trades a little
-# wasted vector work for far fewer scalar syncs.
+# wasted vector work for far fewer scalar syncs.  Re-calibrated
+# 2026-08-20 with the component-sized peel in place: 5 beats 6 by
+# ~1.8% reproducibly (6.93 vs 7.06 ms on the 640-lane bench batch; 7
+# regresses to 7.59) — with most luma symbols peeled, the while tail
+# sees sparser lanes and the smaller group wastes fewer masked decodes.
 # blocks per grid step: a multiple of the MCU period (so table choice
 # is static) whose x64 out-lane count is 128-aligned; kept at one or two
 # MCUs because each block unrolls a full decode body in the kernel

@@ -618,28 +618,34 @@ class FastBatchEncoder:
     def encode_stream(self, batches, sync_depth: int = 4):
         """Pipelined multi-batch encode; yields one list of JPEGs per batch.
 
-        Fixed mode: two-deep software pipeline — batch i's device work is
-        enqueued before batch i-1's outputs are fetched and assembled.
+        Fixed mode: up to ``sync_depth`` batches' device steps are
+        enqueued per group and the WHOLE group's outputs fetch in one
+        link round trip (``_fetch_assemble_many``), two groups deep —
+        the round trip, not bandwidth, dominates the fetch on
+        high-latency links, so grouping amortizes it sync_depth-fold.
 
         Dynamic mode: the histogram device->host sync is the expensive
         step on high-latency links (one blocking round trip per batch),
         so up to ``sync_depth`` batches' analyzes are enqueued first and
         their histograms fetched in ONE stacked transfer; the host K.2
         builds and per-image-LUT packs then run per batch with the next
-        super-batch's analyzes already in flight.  Amortizes the link
-        round trip ``sync_depth``-fold while keeping submission order.
+        super-batch's analyzes already in flight; the packed outputs
+        group-fetch the same way as fixed mode.
         """
         if self._fixed is not None:
-            pending = None
+            group, prev = [], None
             for rgbs in batches:
                 rgbs = self._check_batch(rgbs)
                 words, totals = self._step(rgbs, self._fixed_lut)
-                cur = (words, totals, [self._fixed] * int(rgbs.shape[0]))
-                if pending is not None:
-                    yield self._fetch_assemble(*pending)
-                pending = cur
-            if pending is not None:
-                yield self._fetch_assemble(*pending)
+                group.append((words, totals,
+                              [self._fixed] * int(rgbs.shape[0])))
+                if len(group) >= max(sync_depth, 1):
+                    if prev is not None:
+                        yield from self._fetch_assemble_many(prev)
+                    prev, group = group, []
+            for g in (prev, group):
+                if g:
+                    yield from self._fetch_assemble_many(g)
             return
 
         analyzed = []          # (fields, hist) awaiting the batched sync
@@ -675,12 +681,14 @@ class FastBatchEncoder:
             analyzed.append(self._analyze_hist(self._check_batch(rgbs)))
             if len(analyzed) >= sync_depth:
                 stage()
-            while len(ready) > 1:  # keep one packed batch in flight
-                yield self._fetch_assemble(*ready.popleft())
+            if len(ready) > 1:  # keep one packed batch in flight
+                grp = [ready.popleft() for _ in range(len(ready) - 1)]
+                yield from self._fetch_assemble_many(grp)
         stage()
         stage()
-        while ready:
-            yield self._fetch_assemble(*ready.popleft())
+        if ready:
+            yield from self._fetch_assemble_many(list(ready))
+            ready.clear()
 
     # words-fetch bucketing: caps quantize to _CAP_BUCKET words so slice
     # executables are reused across batches (an unbucketed ``w[:, :, :cap]``
@@ -759,6 +767,49 @@ class FastBatchEncoder:
         self._pred_caps = new
         return self._assemble(self._split_flat(flat_np, caps), totals_np,
                               tables)
+
+    def _fetch_assemble_many(self, pending):
+        """Fetch SEVERAL batches' outputs in one link round trip.
+
+        Each batch's used word prefixes slice on device under the shared
+        caps prediction (same executable for every batch), the slices
+        concatenate into one transfer alongside the stacked totals, and
+        assembly runs per batch on host.  A batch whose content outgrew
+        the prediction salvages with its own exact refetch (rare; the
+        ratchet then covers it).  Returns a list of per-batch file lists
+        in submission order.
+        """
+        pred = self._pred_caps
+        if pred is None or any(len(pred) != w.shape[0]
+                               for w, _, _ in pending):
+            # no usable prediction yet: per-batch path establishes it
+            return [self._fetch_assemble(w, t, tb) for w, t, tb in pending]
+        flats, capss = [], []
+        for words, _totals, _tables in pending:
+            f, c = self._flat_slice(words, pred)
+            flats.append(f)
+            capss.append(c)
+        tot_stack = jnp.stack([t for _, t, _ in pending])
+        comb = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+        tots_np, comb_np = jax.device_get((tot_stack, comb))
+        outs = []
+        off = 0
+        new = pred
+        for (words, _totals, tables), caps, tnp in zip(pending, capss,
+                                                       tots_np):
+            n = self.n_segs * sum(caps)
+            flat_np = comb_np[off:off + n]
+            off += n
+            need = self._caps_of(tnp, words.shape[-1])
+            if any(nd > c for nd, c in zip(need, caps)):
+                f2, caps = self._flat_slice(words, need)
+                flat_np = np.asarray(f2)
+            new = tuple(max(a, b) for a, b in zip(
+                new, self._caps_of(tnp, words.shape[-1], headroom=1)))
+            outs.append(self._assemble(self._split_flat(flat_np, caps),
+                                       tnp, tables))
+        self._pred_caps = new
+        return outs
 
     def _assemble(self, words, totals, tables):
         from .. import native

@@ -119,11 +119,16 @@ def test_encode_stream_matches_encode_batch(huff, img_synthetic_160):
     direct = [fast.encode_batch(b) for b in batches]
     assert [[bytes(x) for x in ys] for ys in streamed] == \
         [[bytes(x) for x in ys] for ys in direct]
-    if huff == "dynamic":
-        # super-batched histogram sync must not change bytes or order,
-        # including a partial tail super-batch (5 batches, depth 2)
-        more = batches + [np.stack([img, np.roll(img, 9, axis=0)])] * 2
-        streamed2 = list(fast.encode_stream(iter(more), sync_depth=2))
-        direct2 = [fast.encode_batch(b) for b in more]
-        assert [[bytes(x) for x in ys] for ys in streamed2] == \
-            [[bytes(x) for x in ys] for ys in direct2]
+    # grouped-fetch pipeline (fixed: grouped device steps; dynamic:
+    # super-batched histogram sync + grouped output fetch) must not
+    # change bytes or order, including a partial tail group (5 batches,
+    # depth 2) and content that grows past the caps prediction (the
+    # heavy random batch forces the salvage refetch)
+    heavy = np.stack([
+        np.random.default_rng(3).integers(0, 256, img.shape, np.uint8),
+        img])
+    more = batches + [np.stack([img, np.roll(img, 9, axis=0)]), heavy]
+    streamed2 = list(fast.encode_stream(iter(more), sync_depth=2))
+    direct2 = [fast.encode_batch(b) for b in more]
+    assert [[bytes(x) for x in ys] for ys in streamed2] == \
+        [[bytes(x) for x in ys] for ys in direct2]
