@@ -218,47 +218,26 @@ def main():
     _, luts = dyn_enc._build_tables_batch(np.asarray(hist))
     out = dyn_enc._pack_only(fields, jnp.asarray(luts))  # compile
     jax.block_until_ready(out)
-    # compile the K-wide histogram stack too (a cold compile inside the
-    # timed loop once cost 65 ms/batch amortized)
-    np.asarray(jnp.stack([hist] * 5))
 
     _t("measure dynamic")
-    # Super-batched histogram sync (encode_stream's structure): enqueue K
-    # analyzes, fetch their stacked histograms in ONE device->host round
-    # trip (the round trip, ~48 ms on this tunnel, is the dominant cost
-    # of a per-batch sync), then run the host K.2 builds + per-image-LUT
-    # packs while the next super-batch's analyzes are already in flight.
-    K = 5
+    # True pipelined bytes-out through encode_stream: super-batched
+    # histogram sync (K analyzes enqueued, ONE stacked histogram
+    # transfer), host K.2 builds + per-image-LUT packs behind the next
+    # super-batch's device work, and grouped output fetches (one link
+    # round trip per sync_depth packed batches).  Same semantics as the
+    # fixed-path pipelined number: complete JPEG files out.  Warm pass
+    # compiles every group-shape executable outside the timed region.
+    xor_d = jax.jit(lambda b, d: b ^ d)
+    for out in dyn_enc.encode_stream(
+            xor_d(batch, next_delta()) for _ in range(ITERS)):
+        pass
+    n_files = 0
     t0 = time.perf_counter()
-    out = None
-    pend, staged = [], None
-
-    def stage():
-        nonlocal staged, out
-        nxt = None
-        if pend:
-            hs = jnp.stack([hst for _, hst in pend])
-            try:
-                hs.copy_to_host_async()
-            except Exception:
-                pass
-            nxt = ([f for f, _ in pend], hs)
-            pend.clear()
-        if staged is not None:
-            for fields, h_np in zip(staged[0], np.asarray(staged[1])):
-                _, luts = dyn_enc._build_tables_batch(h_np)
-                out = dyn_enc._pack_only(fields, jnp.asarray(luts))
-        staged = nxt
-
-    for i in range(ITERS):
-        pend.append(analyze(batch, next_delta()))
-        if len(pend) == K:
-            stage()
-    stage()
-    stage()
-    # fetch a word to force true completion (tunnel block can return early)
-    int(np.asarray(out[0][0, 0, 0]))
+    for out in dyn_enc.encode_stream(
+            xor_d(batch, next_delta()) for _ in range(ITERS)):
+        n_files += len(out)
     dyn_dt = (time.perf_counter() - t0) / ITERS
+    assert n_files == BATCH * ITERS
     dyn_mps = (BATCH * h * w) / dyn_dt / 1e6
 
     # Device-bound dynamic throughput (stages 1+2 fori slopes): what the
@@ -519,8 +498,8 @@ def main():
           f"({pipe_mps:.1f} MP/s incl. host assembly over the tunnel); "
           f"dynamic-huffman device "
           f"{dyn_dev_mps:.1f} MP/s ({dyn_dev_dt*1000:.2f}ms/batch stages "
-          f"1+2, {mps/max(dyn_dev_mps,1e-9):.2f}x fixed), pipelined wall "
-          f"over this 8 MB/s tunnel {dyn_mps:.1f} MP/s "
+          f"1+2, {mps/max(dyn_dev_mps,1e-9):.2f}x fixed), pipelined "
+          f"bytes-out over this tunnel {dyn_mps:.1f} MP/s "
           f"({dyn_dt*1000:.1f}ms/batch)", file=sys.stderr)
 
 
