@@ -1,8 +1,10 @@
 """Micro-sweep of the device entropy decode knobs on hardware.
 
 Sweeps (kernels.huffdec._SYM_GROUP, _PEEL_LUMA) around the shipped
-(6, 19) on the bench decode shape (16 images x 40 restart segments =
-640 lanes, G=5), slope-timing decode_segments.  The peel/SG values are
+default — (5, 19) since 2026-08-20 (the sweep itself flipped SG 6 -> 5;
+see huffdec.py's _SYM_GROUP comment) — on the bench decode shape
+(16 images x 40 restart segments = 640 lanes, G=5), slope-timing
+decode_segments.  The peel/SG values are
 pure performance knobs — byte parity is pinned by
 tests/test_huffdec.py::test_peel_production_parity.
 Run: python bench/decode_tune.py

@@ -615,6 +615,18 @@ class FastBatchEncoder:
             words, totals, tables = self.dynamic_pack(rgbs)
         return self._fetch_assemble(words, totals, tables)
 
+    # device-memory budget for in-flight stream buffers: the grouped
+    # pipeline holds up to ~2*depth+1 batches' worst-case words buffers
+    # (fixed) or xt handoffs (dynamic); _stream_depth scales the group
+    # size down so that residency stays under this budget on large
+    # geometries instead of OOMing a 16 GB chip
+    _STREAM_BUDGET_BYTES = 2 << 30
+
+    def _stream_depth(self, per_batch_bytes: int, sync_depth: int) -> int:
+        return max(1, min(max(sync_depth, 1),
+                          int(self._STREAM_BUDGET_BYTES
+                              // max(per_batch_bytes, 1))))
+
     def encode_stream(self, batches, sync_depth: int = 4):
         """Pipelined multi-batch encode; yields one list of JPEGs per batch.
 
@@ -631,15 +643,23 @@ class FastBatchEncoder:
         builds and per-image-LUT packs then run per batch with the next
         super-batch's analyzes already in flight; the packed outputs
         group-fetch the same way as fixed mode.
+
+        Memory: in-flight residency is ~(2*depth+1) words buffers (and
+        in dynamic mode up to depth xt handoffs), so the effective depth
+        shrinks below ``sync_depth`` when a group would exceed
+        ``_STREAM_BUDGET_BYTES``.  Group sizes are held constant at the
+        effective depth (only the final drain may be smaller), so each
+        stream compiles at most two group-shape fetch executables.
         """
         if self._fixed is not None:
-            group, prev = [], None
+            group, prev, depth = [], None, max(sync_depth, 1)
             for rgbs in batches:
                 rgbs = self._check_batch(rgbs)
                 words, totals = self._step(rgbs, self._fixed_lut)
                 group.append((words, totals,
                               [self._fixed] * int(rgbs.shape[0])))
-                if len(group) >= max(sync_depth, 1):
+                depth = self._stream_depth(words.nbytes, sync_depth)
+                if len(group) >= depth:
                     if prev is not None:
                         yield from self._fetch_assemble_many(prev)
                     prev, group = group, []
@@ -677,15 +697,26 @@ class FastBatchEncoder:
                     ready.append((words, totals, tables))
             staged = nxt
 
+        depth = max(sync_depth, 1)
         for rgbs in batches:
-            analyzed.append(self._analyze_hist(self._check_batch(rgbs)))
-            if len(analyzed) >= sync_depth:
+            fh = self._analyze_hist(self._check_batch(rgbs))
+            analyzed.append(fh)
+            # xt handoffs (f32 pixel blocks) dominate residency; scale
+            # the analyze super-batch down on large geometries
+            depth = self._stream_depth(fh[0][0].nbytes, sync_depth)
+            if len(analyzed) >= depth:
                 stage()
-            if len(ready) > 1:  # keep one packed batch in flight
-                grp = [ready.popleft() for _ in range(len(ready) - 1)]
+            # fetch in CONSTANT-size groups (one in flight): varying
+            # group sizes would compile a fresh stack/concat executable
+            # per size, stalling ~0.7 s in-band each first time
+            while len(ready) > depth:
+                grp = [ready.popleft() for _ in range(depth)]
                 yield from self._fetch_assemble_many(grp)
         stage()
         stage()
+        while len(ready) > depth:
+            grp = [ready.popleft() for _ in range(depth)]
+            yield from self._fetch_assemble_many(grp)
         if ready:
             yield from self._fetch_assemble_many(list(ready))
             ready.clear()
