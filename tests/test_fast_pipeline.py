@@ -132,3 +132,15 @@ def test_encode_stream_matches_encode_batch(huff, img_synthetic_160):
     direct2 = [fast.encode_batch(b) for b in more]
     assert [[bytes(x) for x in ys] for ys in streamed2] == \
         [[bytes(x) for x in ys] for ys in direct2]
+
+
+def test_stream_depth_budget():
+    """The grouped-fetch pipeline scales its group size down so that
+    in-flight buffers stay under the device-memory budget (large
+    geometries must not OOM where the old two-deep pipeline worked)."""
+    enc = FastBatchEncoder(64, 64, config=EncodeConfig(
+        scan_layout="interleaved", huffman="fixed"), interpret=True)
+    assert enc._stream_depth(1 << 20, 4) == 4      # small buffers: full
+    assert enc._stream_depth(1 << 31, 4) == 1      # huge buffers: solo
+    assert enc._stream_depth(enc._STREAM_BUDGET_BYTES // 2, 4) == 2
+    assert enc._stream_depth(123, 0) == 1          # depth floor
