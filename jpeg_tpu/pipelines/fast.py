@@ -100,13 +100,18 @@ def hist_1024_t(idx_t, n_images: int):
     n = total // n_images
     m = idx_t.reshape(r, n_images, n).transpose(1, 0, 2).reshape(
         n_images, r * n)
-    KC = 32768  # slots per chunk: bounds one-hots to ~2*B*KC*32 int8
+    # slots per chunk: as LARGE as the memory budget allows — XLA fuses
+    # the one-hot construction into the int8 dot, and every extra scan
+    # step costs real time (measured 2026-08-20: one chunk 0.82-0.93 ms
+    # vs 1.33 ms at the old 32768 for the 16x640x640 batch); the cap
+    # bounds the worst-case materialized one-hots to ~64*B*KC bytes if
+    # a future XLA version stops fusing them
+    KC = min(-(-(r * n) // 128) * 128, 1 << 20)
     pad = (-m.shape[1]) % KC
     if pad:
         m = jnp.concatenate(
             [m, jnp.full((n_images, pad), klut.NULL_INDEX, m.dtype)],
             axis=-1)
-    chunks = jnp.moveaxis(m.reshape(n_images, -1, KC), 1, 0)
 
     def step(h, ch):  # ch: [B, KC]
         oh_a = (ch[:, None, :] >> 5 == jnp.arange(32, dtype=jnp.int32)
@@ -117,7 +122,11 @@ def hist_1024_t(idx_t, n_images: int):
                               preferred_element_type=jnp.int32), None
 
     h0 = jnp.zeros((n_images, 32, 32), jnp.int32)
-    h, _ = jax.lax.scan(step, h0, chunks)
+    if m.shape[1] == KC:  # common case: ONE chunk, no scan at all
+        h, _ = step(h0, m)
+    else:
+        chunks = jnp.moveaxis(m.reshape(n_images, -1, KC), 1, 0)
+        h, _ = jax.lax.scan(step, h0, chunks)
     return h.reshape(n_images, 1024)
 
 
