@@ -144,3 +144,33 @@ def test_stream_depth_budget():
     assert enc._stream_depth(1 << 31, 4) == 1      # huge buffers: solo
     assert enc._stream_depth(enc._STREAM_BUDGET_BYTES // 2, 4) == 2
     assert enc._stream_depth(123, 0) == 1          # depth floor
+
+
+def test_hist_1024_matches_bincount():
+    """hist_1024_t (MXU one-hot dot, adaptive chunking) vs a NumPy
+    bincount oracle — both the single-chunk fast path and the scan
+    fallback (forced by shrinking the chunk cap)."""
+    from jpeg_tpu.kernels import lut as klut
+    from jpeg_tpu.pipelines import fast as F
+
+    rng = np.random.default_rng(7)
+    B, r, n = 3, 64, 640  # r*n = 40960 slots/image
+    idx = np.where(rng.random((r, B * n)) < 0.3,
+                   rng.integers(0, 1023, (r, B * n)),
+                   klut.NULL_INDEX).astype(np.int32)
+    want = np.stack([
+        np.bincount(idx.reshape(r, B, n)[:, b, :].ravel(), minlength=1024)
+        for b in range(B)])
+
+    got = np.asarray(F.hist_1024_t(jnp.asarray(idx), B))
+    np.testing.assert_array_equal(got, want)
+
+    # scan fallback: r*n > the 1<<20 cap forces multi-chunk (pads land
+    # in the NULL bin, which split_hists drops in production)
+    B2, n2 = 1, 20000  # 64 * 20000 = 1.28M slots > 1<<20
+    idx2 = np.where(rng.random((r, B2 * n2)) < 0.05,
+                    rng.integers(0, 1023, (r, B2 * n2)),
+                    klut.NULL_INDEX).astype(np.int32)
+    want2 = np.bincount(idx2.ravel(), minlength=1024)[None]
+    got2 = np.asarray(F.hist_1024_t(jnp.asarray(idx2), B2))
+    np.testing.assert_array_equal(got2[:, :1023], want2[:, :1023])
