@@ -131,12 +131,49 @@ def drive_speculative_decode():
         assert np.array_equal(got, ref), f"speculative {name} != host"
 
 
+def drive_app_surface():
+    """BucketedEncoder (mixed resolutions) + ChangeMonitor (the
+    reference's surveillance loop, adaptive cadence) on the real chip —
+    the app-level surfaces above the kernels the other stages cover."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from jpeg_tpu.core.types import EncodeConfig
+    from jpeg_tpu.pipelines.bucket import BucketedEncoder
+    from jpeg_tpu.pipelines.monitor import ChangeMonitor
+
+    img = _img(256, 256, 5)
+    small = np.ascontiguousarray(img[:128, :128])
+    be = BucketedEncoder(config=EncodeConfig(scan_layout="interleaved",
+                                             huffman="fixed"))
+    outs = be.encode([img, small, img])
+    for o, wh in zip(outs, [(256, 256), (128, 128), (256, 256)]):
+        im = Image.open(io.BytesIO(bytes(o)))
+        im.load()
+        assert im.size == wh, (im.size, wh)
+
+    mon = ChangeMonitor(256, 256)
+    mon.process_frame(img)
+    moved = img.copy()
+    moved[64:192, 64:192] = np.roll(moved[64:192, 64:192], 31, axis=0)
+    res = mon.process_frame(moved)
+    assert res.changed and res.suggested_delay == 1.0
+    for _a, jb in res.regions:
+        im = Image.open(io.BytesIO(bytes(jb)))
+        im.load()
+    idle = mon.process_frame(moved)
+    assert not idle.changed and idle.suggested_delay == 10.0
+
+
 def main():
     _stage("probe", _probe)
     _stage("fixed_encode", drive_fixed_encode)
     _stage("dynamic_encode", drive_dynamic_encode)
     _stage("device_entropy_decode", drive_device_entropy_decode)
     _stage("speculative_decode", drive_speculative_decode)
+    _stage("app_surface", drive_app_surface)
     print("DRIVE OK")
 
 
