@@ -167,6 +167,28 @@ def drive_app_surface():
     assert not idle.changed and idle.suggested_delay == 10.0
 
 
+def drive_sharded():
+    """ShardedEncoder (shard_map over a 1-device mesh) byte-identical
+    to the fast path on the real chip — the SPMD program the CPU mesh
+    tests pin, compiled by the real backend (first verified on hardware
+    2026-08-20, fixed AND dynamic modes at 640x640)."""
+    import numpy as np
+
+    from jpeg_tpu.core.types import EncodeConfig
+    from jpeg_tpu.parallel.mesh import make_mesh
+    from jpeg_tpu.parallel.sharded import ShardedEncoder
+    from jpeg_tpu.pipelines.fast import FastBatchEncoder
+
+    imgs = np.stack([_img(256, 256, s) for s in (7, 8)])
+    mesh = make_mesh(data=1, space=1)
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed")
+    got = ShardedEncoder(mesh, 256, 256, config=cfg,
+                         segs_per_device=2).encode_batch(imgs)
+    want = FastBatchEncoder(256, 256, config=cfg,
+                            segs_per_image=2).encode_batch(imgs)
+    assert [bytes(a) for a in got] == [bytes(b) for b in want]
+
+
 def main():
     _stage("probe", _probe)
     _stage("fixed_encode", drive_fixed_encode)
@@ -174,6 +196,7 @@ def main():
     _stage("device_entropy_decode", drive_device_entropy_decode)
     _stage("speculative_decode", drive_speculative_decode)
     _stage("app_surface", drive_app_surface)
+    _stage("sharded", drive_sharded)
     print("DRIVE OK")
 
 
