@@ -81,8 +81,10 @@ def main():
     # The tunneled chip's failure mode is a HANG (see CLAUDE.md); fail
     # fast with a diagnosable message instead of wedging the driver.
     from jpeg_tpu.utils.resilience import probe_device
+    # probes measured up to ~380 s under tunnel load (2026-08-20);
+    # a short deadline would falsely report a live-but-busy chip dead
     if not probe_device(timeout_s=float(os.environ.get(
-            "BENCH_PROBE_TIMEOUT", "300"))):
+            "BENCH_PROBE_TIMEOUT", "900"))):
         print("# device probe timed out: TPU backend unavailable",
               file=sys.stderr)
         sys.exit(1)
