@@ -160,6 +160,57 @@ def main():
     _roofline("fixed step (mega kernel)", dt * 1e3,
               in_bytes + words_bytes, dct_flops, roof)
 
+    # Secondary: the reference CLI's other headline geometry, 1920x1280
+    # (utils/original.c is run on 1920x1280 PPMs; the fixture is absent
+    # from the snapshot, so tile the 640x640 one).  A 4-image batch is
+    # 9.83 MP — 1.5x the 16x640x640 batch — and the step is latency-
+    # bound, so the large geometry amortizes better (measured 322x C).
+    big_mps = float("nan")
+    try:
+        big_np = np.tile(batch_np[0], (2, 3, 1))
+        bh, bw = big_np.shape[:2]
+        bb_np = np.stack([np.roll(big_np, 16 * i, axis=0) for i in range(4)])
+        enc_big = FastBatchEncoder(
+            bh, bw, config=EncodeConfig(scan_layout="interleaved",
+                                        huffman="fixed"),
+            segs_per_image=10)
+        bb = jax.device_put(jnp.asarray(bb_np.reshape(4, bh, bw * 3)))
+        jax.block_until_ready(bb)
+
+        def big_loop(n):
+            @jax.jit
+            def run(b, d):
+                def body(i, c):
+                    seed, acc = c
+                    w_, t_ = enc_big._step_fn(b ^ (seed + d),
+                                              enc_big._fixed_lut)
+                    s = jnp.sum(w_, dtype=jnp.uint32) \
+                        + jnp.sum(t_).astype(jnp.uint32)
+                    return (s & 1).astype(jnp.uint8), acc + s
+                return jax.lax.fori_loop(0, n, body,
+                                         (jnp.uint8(0), jnp.uint32(0)))[1]
+            return run
+
+        r1b, r2b = big_loop(4), big_loop(16)
+
+        def tb(r):
+            int(np.asarray(r(bb, next_delta())))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(np.asarray(r(bb, next_delta())))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        big_dt = (tb(r2b) - tb(r1b)) / 12
+        big_mp = 4 * bh * bw / 1e6
+        big_mps = big_mp / big_dt
+        _roofline("fixed step 4x1920x1280", big_dt * 1e3,
+                  4 * bh * bw * 3
+                  + 4 * 10 * ((enc_big.seg_rows + 7) & ~7) * 128 * 4,
+                  4 * (bh // 8) * (bw // 8) * 3 // 2 * 2 * 64 * 64, roof)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"# large-geometry bench skipped: {e}", file=sys.stderr)
+
     _t("measure e2e")
     # Secondary: e2e bytes-out.  The fetch path predicts per-image word
     # caps from the previous batch and fetches totals + sliced words in
@@ -497,6 +548,9 @@ def main():
           f"{spec_batch_ms:.0f}ms/img batched-fused x8 (the one-shot wall "
           f"is the tunnel's put + image fetch round trips; the batch "
           f"amortizes them)", file=sys.stderr)
+    print(f"# large geometry: 4x1920x1280 (the reference CLI's size, "
+          f"10 restart segs/img) {big_mps:.0f} MP/s device step "
+          f"({big_mps/C_REFERENCE_MPS:.0f}x C)", file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e one-shot {e2e*1000:.0f}ms "
           f"({e2e_mps:.1f} MP/s), pipelined {pipe_dt*1000:.0f}ms/batch "
