@@ -36,6 +36,37 @@ C_REFERENCE_MPS = 19.0
 # these, so "fast" claims are self-auditing (VERDICT r2 #7).
 HBM_GBPS = 819.0
 MXU_TFLOPS = 197.0
+# VPU peak estimate: 8x128 = 1024 vector lanes, ~4 ALU ops/lane/cycle,
+# ~1.5 GHz (the clock implied by the public 197 TF/s bf16 MXU figure:
+# 4 MXUs x 128x128 x 2 x 1.5e9).  An ESTIMATE — used only to bound the
+# mega kernel's VPU utilization so "VPU-work-bound" is quantified
+# (VERDICT r4 #5); the op COUNT below is the load-bearing number.
+VPU_TOPS = 6.1
+
+
+def vpu_ops_fixed_step(sc: int, slabs: int, avg_bits_per_block: float
+                       = 450.0) -> float:
+    """Analytic VECTOR-LANE op count (adds/compares/selects/shifts on
+    (8,128) vregs x 1024 lanes) of the mega kernel's entropy phases per
+    batch, from the kernel structure (kernels/fused.py):
+
+    per slab of ``sc`` 128-block columns, counting ops on [64, cb]
+    arrays as 4*cb lane-ops per single full-array op pass:
+      * symbolize: ~64 elementwise/roll passes     -> 4.0 * sc vregs
+      * attach: 6 LUT rows x (bcast+gather+select) -> 2.3 * sc
+      * offsets/cumsum + shift + rotate (incl XLU) -> 5.6 * sc
+      * local-pack word loop: ~16 iters x 2 masked
+        reductions over [64, cb]                   -> 4.0 * sc
+      * row accumulation: ~(128*avg_bits/4096 + 2)
+        iters x 2 masked [256,128] reductions/win  -> ~8.3 * sc
+    front relayout ops (exchange8 XLU transposes, color int math) are
+    NOT counted (they are XLU/load-bound, not ALU-bound), so the true
+    VPU load is strictly higher: the printed utilization is a LOWER
+    bound.  One vreg = 1024 lane-ops.
+    """
+    rowacc = (128.0 * avg_bits_per_block / 4096.0 + 2) / 16.0 * 8.3
+    vregs_per_slab = (4.0 + 2.3 + 5.6 + 4.0 + rowacc) * sc
+    return vregs_per_slab * slabs * 1024.0
 
 
 def _roofline(name, ms, hbm_bytes, mxu_flops, lines):
@@ -145,10 +176,27 @@ def main():
         return (t(r2) - t(r1)) / (n2 - n1)
 
     _t("measure fixed (fori slope)")
-    # two independent slope measurements, best-of: single slopes on this
-    # tunnel occasionally land 5-10% slow (and once impossibly fast —
-    # BASELINE.md r4 notes); the headline takes the min credible one
-    dt = min(slope(step_loop), slope(step_loop))
+
+    def robust_slope(mk, tol=0.15, max_extra=2):
+        """Cross-checked slope: single slopes on this tunnel occasionally
+        land 5-10% slow AND once impossibly fast (0.588 ms that
+        re-measured at 1.52 — BASELINE.md r4), so a bare min() would
+        publish exactly that outlier.  Take two slopes; if they agree
+        within ``tol`` use the min (both credible), else re-measure up
+        to ``max_extra`` times and use the MEDIAN of all measurements
+        (robust to a single outlier in either direction)."""
+        ss = [mk(), mk()]
+        if abs(ss[0] - ss[1]) <= tol * max(ss):
+            return min(ss)
+        for _ in range(max_extra):
+            ss.append(mk())
+            med = float(np.median(ss))
+            close = [s for s in ss if abs(s - med) <= tol * med]
+            if len(close) >= 2:
+                return min(close)
+        return float(np.median(ss))
+
+    dt = robust_slope(lambda: slope(step_loop))
     mps = (BATCH * h * w) / dt / 1e6
 
     roof = []
@@ -159,6 +207,19 @@ def main():
     dct_flops = nblk * 2 * 64 * 64                # flat [*,64]@[64,64] form
     _roofline("fixed step (mega kernel)", dt * 1e3,
               in_bytes + words_bytes, dct_flops, roof)
+    # VPU row: quantifies "VPU-work-bound" (VERDICT r4 #5).  avg bits
+    # per block from the measured totals of the warmup batch.
+    from jpeg_tpu.kernels import front as kfront
+    sc = kfront.slab_cols(w // 16, "420")
+    slabs = BATCH * ((h + 127) // 128)
+    avg_bits = float(np.mean([len(j) * 8 for j in jpegs])) / (nblk / BATCH)
+    vops = vpu_ops_fixed_step(sc, slabs, avg_bits)
+    vtops = vops / dt / 1e12
+    roof.append(
+        f"#   fixed step VPU (est. lower bound)  {vops / 1e9:6.2f} Gop "
+        f"-> {vtops:5.2f} Top/s (~{vtops / VPU_TOPS * 100:4.1f}% of est. "
+        f"{VPU_TOPS} Top/s peak; entropy-phase ops only — front "
+        f"relayout excluded)")
 
     # Secondary: the reference CLI's other headline geometry, 1920x1280
     # (utils/original.c is run on 1920x1280 PPMs; the fixture is absent
@@ -210,6 +271,77 @@ def main():
                   4 * (bh // 8) * (bw // 8) * 3 // 2 * 2 * 64 * 64, roof)
     except Exception as e:  # pragma: no cover - platform-dependent
         print(f"# large-geometry bench skipped: {e}", file=sys.stderr)
+
+    # Standing non-420 rows (VERDICT r4 #6): a regression in the 4:4:4
+    # front path or the grayscale encoder must be bench-visible.
+    _t("444 + grayscale bench")
+    mps444 = float("nan")
+    gray_ms = float("nan")
+    try:
+        enc444 = FastBatchEncoder(
+            h, w, config=EncodeConfig(scan_layout="interleaved",
+                                      huffman="fixed", subsampling="444"),
+            segs_per_image=1)
+
+        def s444_loop(n, e=enc444):
+            @jax.jit
+            def run(b, d):
+                def body(i, c):
+                    seed, acc = c
+                    words, totals = e._step_fn(b ^ (seed + d),
+                                               e._fixed_lut)
+                    s = jnp.sum(words, dtype=jnp.uint32)
+                    return ((s & 1).astype(jnp.uint8),
+                            acc + s + jnp.sum(totals).astype(jnp.uint32))
+                return jax.lax.fori_loop(0, n, body,
+                                         (jnp.uint8(0), jnp.uint32(0)))[1]
+            return run
+
+        dt444 = slope(s444_loop)
+        mps444 = (BATCH * h * w) / dt444 / 1e6
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"# 444 bench skipped: {e}", file=sys.stderr)
+    try:
+        from jpeg_tpu.pipelines.encode import encode_gray
+        plane = batch_np[0][:, :, 0].copy()
+        d = encode_gray(plane)  # compile + probe
+        assert d[:2] == b"\xff\xd8" and d[-2:] == b"\xff\xd9"
+        gray_ms = 1e9
+        for i in range(3):
+            pl_in = plane ^ np.uint8(i + 1)
+            t0 = time.perf_counter()
+            encode_gray(pl_in)
+            gray_ms = min(gray_ms, (time.perf_counter() - t0) * 1e3)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"# grayscale bench skipped: {e}", file=sys.stderr)
+
+    # Standing surveillance-diff row (the reference's own control loop,
+    # main/main.c:130-166; SURVEY §8.2 phase 4).
+    _t("diff workload bench")
+    diff_fps = float("nan")
+    diff_regions = 0
+    try:
+        from jpeg_tpu.pipelines.monitor import ChangeMonitor
+        mon = ChangeMonitor(h, w, snap_multiple=64)
+        nfr = 24
+        base = batch_np[0]
+        frames = []
+        for i in range(nfr):
+            f = base.copy()
+            if i:
+                x = (40 + 17 * i) % (w - 96)
+                y = (60 + 11 * i) % (h - 96)
+                f[y:y + 96, x:x + 96] = 255 - f[y:y + 96, x:x + 96]
+            frames.append(f)
+        mon.process_frame(frames[0])  # seed + compile
+        mon.process_frame(frames[1])  # compile ROI-encode shapes
+        t0 = time.perf_counter()
+        for f in frames[2:]:
+            res = mon.process_frame(f)
+            diff_regions += len(res.regions)
+        diff_fps = (nfr - 2) / (time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover - platform-dependent
+        print(f"# diff bench skipped: {e}", file=sys.stderr)
 
     _t("measure e2e")
     # Secondary: e2e bytes-out.  The fetch path predicts per-image word
@@ -344,12 +476,11 @@ def main():
     s2_dt = max(tot_dt - s1_dt, 1e-6)
     dyn_dev_dt = tot_dt
     dyn_dev_mps = (BATCH * h * w) / dyn_dev_dt / 1e6
-    idx_bytes = 64 * nblk * 4                     # [64, nblk] i32 slot idx
-    xt_bytes = 64 * nblk * 4                      # [64, nblk] f32 handoff
-    _roofline("dynamic stage 1 (idx+hist+xt)", s1_dt * 1e3,
-              in_bytes + 2 * idx_bytes + xt_bytes, dct_flops, roof)
-    _roofline("dynamic stage 2 (xt place)", s2_dt * 1e3,
-              xt_bytes + words_bytes, dct_flops, roof)
+    pf_bytes = 64 * nblk * 4      # [64, nblk] i32 packed symbol fields
+    _roofline("dynamic stage 1 (pf+hist)", s1_dt * 1e3,
+              in_bytes + 2 * pf_bytes, dct_flops, roof)
+    _roofline("dynamic stage 2 (pf attach+place)", s2_dt * 1e3,
+              pf_bytes + words_bytes, 0, roof)
 
     # Secondary: decode. Host-side entropy decode (native C++ bit-walk)
     # feeds the device IDCT/reconstruct; the two stages pipeline across
@@ -551,6 +682,16 @@ def main():
     print(f"# large geometry: 4x1920x1280 (the reference CLI's size, "
           f"10 restart segs/img) {big_mps:.0f} MP/s device step "
           f"({big_mps/C_REFERENCE_MPS:.0f}x C)", file=sys.stderr)
+    gray_mps = (h * w) / gray_ms / 1e3 if gray_ms == gray_ms else \
+        float("nan")
+    print(f"# non-420: 4:4:4 device step {mps444:.0f} MP/s; grayscale "
+          f"e2e {gray_ms:.1f} ms/img ({gray_mps:.1f} MP/s bytes-out over "
+          f"this tunnel)", file=sys.stderr)
+    print(f"# surveillance diff (640x640 frames, moving 96px block): "
+          f"{diff_fps:.1f} frames/s ({diff_fps * h * w / 1e6:.1f} MP/s "
+          f"scanned), {diff_regions} regions encoded — per-frame "
+          f"latency-bound on this tunnel (~10 round trips/frame)",
+          file=sys.stderr)
     print(f"# platform={jax.devices()[0].platform} batch={BATCH} "
           f"step={dt*1000:.2f}ms e2e one-shot {e2e*1000:.0f}ms "
           f"({e2e_mps:.1f} MP/s), pipelined {pipe_dt*1000:.0f}ms/batch "

@@ -28,6 +28,7 @@ Writes ``DIST_BENCH.json`` (BENCH-style artifact) to the repo root.
 import argparse
 import json
 import os
+import shutil
 import socket
 import subprocess
 import sys
@@ -44,8 +45,20 @@ ITERS = 3           # timed iterations (after 1 warmup)
 def worker(coordinator: str, num_procs: int, pid: int, out_path: str):
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
+    # ONE compute thread per process: without this every process runs a
+    # multi-threaded Eigen/intra-op pool over all host cores, so N
+    # processes on an M-core host self-oversubscribe N*M-fold and the
+    # measured "efficiency" collapses for reasons that have nothing to
+    # do with the distributed software path (VERDICT r4 weak #1).  The
+    # launcher additionally taskset-pins each worker to its own core.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=1").strip()
+        flags + " --xla_force_host_platform_device_count=1"
+        " --xla_cpu_multi_thread_eigen=false"
+        " intra_op_parallelism_threads=1"
+        " inter_op_parallelism_threads=1").strip()
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+              "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -132,12 +145,19 @@ def run_point(num_procs: int, tmpdir: str):
     env["PYTHONPATH"] = os.pathsep.join(
         [REPO] + env.get("PYTHONPATH", "").split(os.pathsep))
     procs, outs = [], []
+    ncpu = os.cpu_count() or 1
+    have_taskset = shutil.which("taskset") is not None
     for pid in range(num_procs):
         out = os.path.join(tmpdir, f"dist_{num_procs}_{pid}.json")
         outs.append(out)
+        # pin each worker to its own core (round-robin past ncpu, which
+        # only the deliberately-oversubscribed 8-proc point hits on a
+        # 4-core host) so the kernel scheduler cannot migrate the
+        # single-threaded workers onto shared cores mid-measurement
+        pin = (["taskset", "-c", str(pid % ncpu)] if have_taskset else [])
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             coordinator, str(num_procs), str(pid), out],
+            pin + [sys.executable, os.path.abspath(__file__), "--worker",
+                   coordinator, str(num_procs), str(pid), out],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     for p in procs:
         stdout, stderr = p.communicate(timeout=600)

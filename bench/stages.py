@@ -101,14 +101,14 @@ def main():
     luts_d = jax.device_put(jnp.asarray(luts))
     jax.block_until_ready(luts_d)
     # stage 2 as production runs it (_pack_only over stage 1's fields):
-    # on xt-handoff geometries that is dct_attach_pack_xt over the
-    # emitted xt, NOT a front_place front re-run — time the real chain
-    # (stage 1 + stage 2) and report stage 2 as the difference, exactly
-    # like bench.py's roofline rows
+    # on front-eligible geometries that is attach_pack_pf over stage 1's
+    # PACKED symbol fields — no front/DCT/symbolize re-run — time the
+    # real chain (stage 1 + stage 2) and report stage 2 as the
+    # difference, exactly like bench.py's roofline rows
     s12 = slope(lambda b: tuple(
         dyn._pack_only_fn(dyn._analyze_hist_fn(b)[0], luts_d)))
     s2 = max(s12 - s1, 1e-3)
-    report("dynamic stage 2 (xt place, per-image LUTs; chain minus s1)",
+    report("dynamic stage 2 (pf attach+place, per-image LUTs; chain-s1)",
            s2)
 
     # Progressive successive-approximation encode (host-side refinement

@@ -42,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MAX_W = 4096
+_MAX_W = 8192
 _STRIP_MCU = 64  # strip width in 16-px MCU columns (1024 px): bounds the
 #                  per-strip permutation matrices to [1024, 1024] bf16
 
@@ -56,29 +56,73 @@ def slab_cols(mx: int, sampling: str) -> int:
     return {"420": 48 * mx, "422": 64 * mx, "444": 96 * mx}[sampling]
 
 
+def front_ineligible_reason(height: int, width: int, sampling: str,
+                            n_segs_per_image: int) -> str | None:
+    """Why the Pallas front can NOT take this geometry (None = eligible).
+
+    Heights only need MCU granularity — the mega kernels pad rows to
+    full 128-row slabs and mask the tail blocks via ``real_nblk`` (tail
+    MCU rows are contiguous in the interleaved scan, so masking is
+    exact).  Widths only need 16-px granularity: the deinterleave
+    zero-pads a partial 128-px group and the place chunks pad the slab's
+    block columns to 128 with phantom zero-bit blocks
+    (``_pick_slab_pad``).  Multi-segment restart streams whose
+    boundaries do NOT fall on 128-row slab edges run each segment as a
+    padded pseudo-image (``pipelines.fast``), so they only need the
+    segment height to be MCU-granular — matching the reference's own
+    mod-16 window constraint (utils/original.c:327-331).
+    ``front_analyze`` (the xt-emitting variant) additionally requires
+    128-aligned slab columns and height."""
+    mcu_h = {"420": 16, "422": 8, "444": 8}.get(sampling)
+    if mcu_h is None:
+        return f"unsupported sampling {sampling!r}"
+    if width % 16:
+        return f"width {width} not a multiple of 16"
+    if height % mcu_h:
+        return f"height {height} not a multiple of the {mcu_h}-px MCU"
+    if width > _MAX_W:
+        return f"width {width} > {_MAX_W} (per-slab VMEM bound)"
+    if n_segs_per_image > 1:
+        mcus_y = height // mcu_h
+        if mcus_y % n_segs_per_image:
+            return (f"{n_segs_per_image} segments do not divide "
+                    f"{mcus_y} MCU rows")
+    return None
+
+
 def front_eligible(height: int, width: int, sampling: str,
                    n_segs_per_image: int) -> bool:
-    """Pallas-front eligibility.  Heights only need MCU granularity — the
-    mega kernels pad rows to full 128-row slabs and mask the tail blocks
-    via ``real_nblk`` (tail MCU rows are contiguous in the interleaved
-    scan, so masking is exact).  Widths only need 16-px granularity: the
-    deinterleave zero-pads a partial 128-px group and the place chunks
-    pad the slab's block columns to 128 with phantom zero-bit blocks
-    (``_pick_slab_pad``).  ``front_analyze`` (the xt-emitting variant)
-    additionally requires 128-aligned slab columns and height."""
-    mcu_h = {"420": 16, "422": 8, "444": 8}.get(sampling)
-    if mcu_h is None or width % 16 or height % mcu_h or width > _MAX_W:
-        return False
-    if n_segs_per_image == 1:
-        return True
-    # multi-segment: restart boundaries must fall on 128-row slab edges
-    # and heights must not need slab padding (the padded tail would
-    # belong to the last segment only, breaking uniform segment shapes)
-    return (height % 128 == 0 and
-            (height // 128) % n_segs_per_image == 0)
+    """Pallas-front eligibility (see ``front_ineligible_reason``)."""
+    return front_ineligible_reason(height, width, sampling,
+                                   n_segs_per_image) is None
+
+
+def aligned_segments(height: int, n_segs_per_image: int) -> bool:
+    """True when every restart segment is a whole number of 128-row
+    slabs with no padding — the geometry ``front_place`` takes directly
+    with ``n_segs > 1``.  Other MCU-granular segmentations run each
+    segment as a padded pseudo-image instead (``pipelines.fast``)."""
+    return (n_segs_per_image == 1 or
+            (height % 128 == 0 and
+             (height // 128) % n_segs_per_image == 0))
 
 
 def _strip_plan(mx: int):
+    """Strip decomposition of ``mx`` MCU columns.
+
+    Prefer UNIFORM strip widths: every distinct width instantiates its
+    own permutation-matrix set in VMEM (~2-4 MB bf16 each), and the
+    measured v5e scoped-VMEM limit is 16 MB — W=1920 as 64+56 MCU
+    strips carries two const sets (~7 MB) and OOM'd the mega kernel,
+    while 60+60 carries one (~3.5 MB).  Fall back to 64-wide strips +
+    remainder only when no uniform divisor >= 32 MCUs exists (the
+    floor keeps the per-strip matmuls MXU-sized)."""
+    if mx <= _STRIP_MCU:
+        return [mx]
+    kmin = -(-mx // _STRIP_MCU)
+    for k in range(kmin, max(kmin, mx // 32) + 1):
+        if mx % k == 0:
+            return [mx // k] * k
     k, rem = divmod(mx, _STRIP_MCU)
     return [_STRIP_MCU] * k + ([rem] if rem else [])
 
@@ -433,6 +477,74 @@ def _tile_lanes(a, sc):
     return jnp.concatenate([a] * (sc // a.shape[1]), axis=1)
 
 
+# Scoped-VMEM budget for ONE mega-kernel invocation, in ESTIMATE units:
+# the 2026-08-20 hardware OOM measured a 16.00M hard limit at an
+# estimate of 18.06M (the estimate runs ~10% hot), so 16M of estimate
+# ~= 14.5M real with ~1.5M headroom for Mosaic's own spill.
+_VMEM_EST_LIMIT = 16 << 20
+
+
+def _const_bytes(mx: int, sampling: str) -> int:
+    """bf16 bytes of the per-strip permutation-matrix sets."""
+    total = 0
+    for mxs in set(_strip_plan(mx)):
+        _names, mats = _consts_np(mxs, sampling)
+        total += sum(m.size * 2 for m in mats)
+    return total
+
+
+def mega_vmem_bytes(mx: int, sampling: str, seg_rows: int,
+                    cbp: int) -> int:
+    """Estimated scoped-VMEM footprint of one ``front_place`` grid step.
+
+    Terms: permutation consts, double-buffered u8 input slab, the slab
+    xt plus one live window copy, the VMEM-resident segment words
+    buffer, the local-words scratch, and ~6 live [64, cbp] chunk
+    intermediates.  Calibrated against the one measured OOM (W=1920,
+    4 pseudo-segments, 2026-08-20: estimate 18.06M vs reported 16.40M
+    at a 16.00M limit) — the estimate runs ~10% conservative."""
+    sc = slab_cols(mx, sampling)
+    seg_rows_p = (seg_rows + 7) & ~7
+    return (_const_bytes(mx, sampling)
+            + 2 * 128 * 16 * mx * 3      # u8 input block, double-buffered
+            + 2 * 64 * sc * 4            # slab xt + live window pieces
+            + seg_rows_p * 128 * 4       # resident words buffer
+            + (128 + 2) * cbp * 4        # lw + carry/prev scratch
+            + 6 * 64 * cbp * 4)          # live chunk intermediates
+
+
+def pick_mega_layout(mx: int, sampling: str,
+                     seg_rows: int) -> tuple[int, int, bool]:
+    """(sc_p, cbp, fits): the place chunk layout, with cbp backed off
+    through smaller 128-multiple divisors of sc_p while the estimated
+    VMEM footprint exceeds the scoped limit.  ``fits=False`` means no
+    layout fits — the caller must take a non-mega path."""
+    sc = slab_cols(mx, sampling)
+    sc_p, cbp = _pick_slab_pad(sc)
+    while mega_vmem_bytes(mx, sampling, seg_rows, cbp) > _VMEM_EST_LIMIT:
+        smaller = [c for c in range(cbp - 128, 0, -128) if sc_p % c == 0]
+        if not smaller:
+            return sc_p, cbp, False
+        cbp = smaller[0]
+    return sc_p, cbp, True
+
+
+def mega_fits(mx: int, sampling: str, seg_rows: int) -> bool:
+    return pick_mega_layout(mx, sampling, seg_rows)[2]
+
+
+def analyze_fits(mx: int, sampling: str, n_outputs: int = 1) -> bool:
+    """VMEM-estimate gate for the xt-emitting front kernels
+    (``front_analyze`` / ``front_index``): consts + double-buffered
+    input + in-kernel xt assembly + ``n_outputs`` double-buffered
+    [64, sc] output blocks."""
+    sc = slab_cols(mx, sampling)
+    est = (_const_bytes(mx, sampling) + 2 * 128 * 16 * mx * 3
+           + 2 * 64 * sc * 4
+           + n_outputs * 2 * 64 * sc * 4)
+    return est <= _VMEM_EST_LIMIT
+
+
 def _pick_slab_pad(sc: int) -> tuple[int, int]:
     """(padded slab columns, chunk width) for the mega kernels.
 
@@ -544,14 +656,17 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
 
 def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
                        nblk_real: int, sc: int, sc_p: int, cbp: int,
-                       nconst: int, sps: int, emit_xt: bool = False):
-    """Front + DCT + symbolize emitting only the combined-LUT index field
+                       nconst: int, sps: int, emit_xt: bool = False,
+                       emit_fields: bool = False):
+    """Front + DCT + symbolize emitting the combined-LUT index field
     (dynamic-mode stage 1 — feeds the MXU histograms).
 
-    ``emit_xt`` additionally writes the slab's relayouted pixel blocks
-    to a second output so stage 2 (``fused.dct_attach_pack_xt``) can
-    skip re-running the front: one ~39 MB HBM round trip replaces a
-    ~0.5 ms in-kernel front re-run."""
+    ``emit_fields`` packs (idx, extra, extra_n) into ONE int32 per slot
+    (``fused._pack_fields``) so stage 2 (``fused.attach_pack_pf``) skips
+    the ENTIRE front + DCT + symbolize re-run; the histogram masks
+    ``pf & 1023``.  ``emit_xt`` (the r4 handoff, kept for the two-phase
+    paths) additionally writes the slab's relayouted pixel blocks to a
+    second output for ``fused.dct_attach_pack_xt``."""
     from . import fused as kf
     in_ref, m_ref, bias_ref, ql_ref, qc_ref = refs[:5]
     crefs = refs[5:5 + nconst]
@@ -574,13 +689,14 @@ def _mega_index_kernel(meta, *refs, sampling: str, bf16: bool,
     for j in range(sc_p // cbp):
         lo = j * cbp
         pad_from = min(cbp, sc - lo)
-        idx, _, _ = kf._dct_symbolize_chunk_v(
+        idx, extra, extra_n = kf._dct_symbolize_chunk_v(
             m_ref[:], bias_t, ql_t, qc_t, xt[:, lo:lo + cbp],
             prev_ref, first=(gs == 0) if j == 0 else False,
             base_blk=gs * sc + lo, real_nblk=nblk_real,
             period=PERIOD[sampling], ypm=YPM[sampling],
             pad_from=pad_from if pad_from < cbp else None)
-        outs.append(idx)
+        outs.append(kf._pack_fields(idx, extra, extra_n)
+                    if emit_fields else idx)
     idx_ref[:] = outs[0] if len(outs) == 1 else jnp.concatenate(outs,
                                                                 axis=1)
 
@@ -627,7 +743,10 @@ def front_place(batch_flat, luts, m, bias, ql, qc, mx: int, my: int,
         raise ValueError("segments must be whole slabs, unpadded")
     sps = G // n_segs
     grouped = luts.shape[0] != 1
-    sc_p, cbp = _pick_slab_pad(sc)
+    sc_p, cbp, fits = pick_mega_layout(mx, sampling, seg_rows)
+    if not fits:
+        raise ValueError("slab VMEM estimate exceeds the scoped limit "
+                         "(callers gate via mega_fits)")
     nblk_real = _real_nblk(mx, my, sampling, real_height, G, sc) // n_segs
     kernel = functools.partial(
         _mega_place_kernel, meta, sampling=sampling,
@@ -683,21 +802,28 @@ def _real_nblk(mx, my, sampling, real_height, G, sc):
 
 @functools.partial(jax.jit,
                    static_argnames=("mx", "my", "sampling", "interpret",
-                                    "real_height", "n_segs", "emit_xt"))
+                                    "real_height", "n_segs", "emit_xt",
+                                    "emit_fields"))
 def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
                 sampling: str, interpret: bool = False,
                 real_height: int | None = None, n_segs: int = 1,
-                emit_xt: bool = False):
+                emit_xt: bool = False, emit_fields: bool = False):
     """Fused u8 batch -> combined-LUT index field [64, B*nblk_img]
     (padded tail blocks emit NULL_INDEX, whose histogram bin is
     dropped).
 
+    ``emit_fields=True`` emits PACKED symbol fields instead
+    (``fused._pack_fields``: idx | extra_n << 10 | extra << 14), same
+    shape/dtype, so stage 2 (``fused.attach_pack_pf``) runs with no
+    front/DCT/symbolize re-run at all; the histogram side masks
+    ``pf & 1023``.  Works for any slab-column padding (phantom slots
+    pack as NULL and emit no bits downstream).
+
     ``emit_xt=True`` returns (idx_t, xt): xt is the relayouted
     [64, B*nblk_img] f32 pixel-block layout (``front_analyze``'s), so
-    dynamic-mode stage 2 can consume it via
-    ``fused.dct_attach_pack_xt`` instead of re-running the ~0.5 ms
-    in-kernel front — one xt HBM round trip (~0.1 ms at 39 MB) is
-    cheaper.  Requires 128-aligned slab columns (no phantom padding)."""
+    stage 2 can consume it via ``fused.dct_attach_pack_xt`` instead of
+    re-running the ~0.5 ms in-kernel front.  Requires 128-aligned slab
+    columns (no phantom padding)."""
     B = batch_flat.shape[0]
     meta, consts, G, sc, cspecs = _mega_args(mx, my, sampling, interpret)
     sc_p, cbp = _pick_slab_pad(sc)
@@ -711,7 +837,7 @@ def front_index(batch_flat, m, bias, ql, qc, mx: int, my: int,
         nblk_real=_real_nblk(mx, my, sampling, real_height, G, sc)
         // n_segs,
         sc=sc, sc_p=sc_p, cbp=cbp, nconst=len(consts), sps=G // n_segs,
-        emit_xt=emit_xt)
+        emit_xt=emit_xt, emit_fields=emit_fields)
     ospec = lambda: pl.BlockSpec((64, sc_p),
                                  lambda b, g, G=G: (0, b * G + g),
                                  memory_space=pltpu.VMEM)

@@ -87,6 +87,29 @@ def _attach_chunk(t, idx, extra, extra_n):
     return jnp.concatenate(vals, axis=1), jnp.concatenate(nbs, axis=1)
 
 
+# Packed symbol-field handoff (dynamic-mode stage 1 -> 2): ONE int32 per
+# slot carries (idx 10b) | (extra_n 4b << 10) | (extra 12b << 14).
+# Ranges: idx <= NULL_INDEX = 1023; extra_n = magnitude class <= 12
+# (coefficients clip to [-2048, 2047], main/encoder.c:109, so DC diffs
+# span [-4095, 4095] and amplitude fields fit 12 bits).  All fields are
+# non-negative, so pack is shift/or and unpack is shift/mask — cheap
+# VPU ops on either side of the HBM round trip.  Stage 2 consuming pf
+# does NO front/DCT/symbolize re-run at all (the r4 xt handoff still
+# re-ran DCT+symbolize in stage 2 — the whole duplicated VPU cost).
+
+
+def _pack_fields(idx, extra, extra_n):
+    return idx | (extra_n << 10) | (extra << 14)
+
+
+def _unpack_fields(pf):
+    return pf & 1023, _shr_i(pf, 14), _shr_i(pf, 10) & 15
+
+
+def _shr_i(x, n):
+    return jax.lax.shift_right_logical(x, jnp.int32(n))
+
+
 def _attach(t, idx, extra, extra_n, value_ref, nbits_ref, bits_ref):
     """Shared LUT attach writing refs + per-block bit totals."""
     value, nb = _attach_fields(t, idx, extra, extra_n)
@@ -551,6 +574,80 @@ def dct_attach_pack_xt(luts, m, bias, ql, qc, xt, n_segments: int,
     )(luts.reshape(-1, 8, 128)[0], *cargs, xt)
     return _segment_place(value_t, nbits_t, bits, S, nblk, seg_rows,
                           interpret)
+
+
+def _pf_place_kernel(lut_ref, pf_ref, out_ref, tot_ref, lw_ref, carry_ref):
+    """Resident place consuming stage 1's PACKED symbol fields: unpack ->
+    LUT attach -> place.  No DCT or symbolization here — the fields
+    already carry DC-diffed, real_nblk-masked symbols from
+    ``front_index(emit_fields=True)``, so stage 2's only work is the
+    LUT gather and the place tail."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+
+    idx, extra, extra_n = _unpack_fields(pf_ref[:])
+    value, nbits = _attach_chunk(lut_ref[0], idx, extra, extra_n)
+    _place_body(value, nbits, out_ref, tot_ref, lw_ref, carry_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_segments", "segs_per_group",
+                                    "seg_rows", "interpret"))
+def attach_pack_pf(luts, pf, n_segments: int, segs_per_group: int,
+                   seg_rows: int, interpret: bool = False):
+    """Dynamic-mode stage 2 over packed symbol fields.
+
+    pf: [64, nblk] int32 from ``front_index(emit_fields=True)`` (slab
+    padding slots are NULL and emit no bits, so phantom-padded layouts
+    need no real_nblk here).  luts: [G, 1024] per-image combined LUTs
+    (G = n_segments / segs_per_group).  Returns
+    (words [S, seg_rows*128] u32, total_bits [S]).
+    """
+    S = n_segments
+    if S % segs_per_group:
+        raise ValueError(f"n_segments={S} not divisible by "
+                         f"segs_per_group={segs_per_group}")
+    if S * seg_rows * 128 * 32 >= 2 ** 31:
+        raise ValueError("segment space exceeds int32 bit offsets")
+    nblk = pf.shape[1]
+    nblk_seg = nblk // S
+    seg_rows_p = (seg_rows + 7) & ~7
+    if seg_rows_p * 128 * 4 > _RESIDENT_VMEM_BUDGET:
+        # huge segments: unpack via XLA and take the two-phase attach
+        idx_t, extra_t, extran_t = _unpack_fields(pf)
+        return attach_pack_grouped(luts, idx_t, extra_t, extran_t, S,
+                                   segs_per_group, seg_rows,
+                                   interpret=interpret)
+    cb = _pick_chunk(nblk_seg)
+    chunks_per_seg = nblk_seg // cb
+    out, tot = pl.pallas_call(
+        _pf_place_kernel,
+        out_shape=[jax.ShapeDtypeStruct((S * seg_rows_p, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((S * 8, 128), jnp.int32)],
+        grid=(S, chunks_per_seg),
+        in_specs=[pl.BlockSpec((1, 8, 128),
+                               lambda s, c, g=segs_per_group:
+                                   (s // g, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((64, cb),
+                               lambda s, c, n=chunks_per_seg:
+                                   (0, s * n + c),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((seg_rows_p, 128), lambda s, c: (s, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda s, c: (s, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((128, cb), jnp.int32),
+                        pltpu.VMEM((1, cb), jnp.int32)],
+        interpret=interpret,
+    )(luts.reshape(-1, 8, 128), pf)
+    words = jax.lax.bitcast_convert_type(
+        out.reshape(S, seg_rows_p, 128)[:, :seg_rows], jnp.uint32)
+    return words.reshape(S, seg_rows * 128), tot.reshape(S, 8, 128)[:, 0, 0]
 
 
 @functools.partial(jax.jit,

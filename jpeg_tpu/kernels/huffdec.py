@@ -766,8 +766,8 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
         scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
                         pltpu.VMEM((_LG, _WNDW), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(streams, jnp.int32), maxc, _prev_bounds(maxc), delt,
-      hvp, jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
+    )(jnp.asarray(streams, jnp.int32), *_prep_tables((maxc, delt, hvp)),
+      jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
       jnp.asarray(phase, jnp.int32))
     pos = pos.reshape(Sp // _LG, 8, _LG)
     exits = pos[:, 0, :].reshape(Sp)
@@ -858,8 +858,8 @@ def decode_segments(streams, maxc, delt, hvp, nblk_lane, sampling: str,
         scratch_shapes=[pltpu.VMEM((8, GL), jnp.int32),
                         pltpu.VMEM((GL, _WNDW), jnp.int32)],
         interpret=interpret,
-    )(jnp.asarray(streams, jnp.int32), maxc, _prev_bounds(maxc), delt,
-      hvp, nblk_lane, jnp.asarray(entry, jnp.int32),
+    )(jnp.asarray(streams, jnp.int32), *_prep_tables((maxc, delt, hvp)),
+      nblk_lane, jnp.asarray(entry, jnp.int32),
       jnp.asarray(phase, jnp.int32))
     return out.reshape(Sp, nblk_p, 64)
 
@@ -1136,9 +1136,10 @@ def parse_noninterleaved_scans(data: bytes):
                 scans=scans)
 
 
-def unstuff_segments(entropy: bytes, n_expected: int | None = None):
-    """Entropy-coded bytes of one scan (RSTn-delimited) -> list of
-    un-stuffed per-segment byte arrays."""
+def split_segments(entropy: bytes):
+    """Entropy-coded bytes of one scan -> list of per-segment byte
+    arrays split at RSTn markers, STILL STUFFED (0xFF00 intact) — the
+    form the speculative lanes consume (they unstuff per chunk)."""
     b = np.frombuffer(entropy, np.uint8)
     if len(b) < 2:
         return [b]
@@ -1147,9 +1148,14 @@ def unstuff_segments(entropy: bytes, n_expected: int | None = None):
     rst = np.where(is_ff & (nxt >= 0xD0) & (nxt <= 0xD7))[0]
     starts = np.concatenate([[0], rst + 2])
     ends = np.concatenate([rst, [len(b)]])
+    return [b[s:e] for s, e in zip(starts, ends)]
+
+
+def unstuff_segments(entropy: bytes, n_expected: int | None = None):
+    """Entropy-coded bytes of one scan (RSTn-delimited) -> list of
+    un-stuffed per-segment byte arrays."""
     segs = []
-    for s, e in zip(starts, ends):
-        seg = b[s:e]
+    for seg in split_segments(entropy):
         stuffed = np.where((seg[:-1] == 0xFF) & (seg[1:] == 0x00))[0]
         segs.append(np.delete(seg, stuffed + 1) if len(stuffed) else seg)
     if n_expected is not None and len(segs) != n_expected:

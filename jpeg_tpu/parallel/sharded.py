@@ -249,7 +249,15 @@ class ShardedEncoder:
             # sharded step can't row-pad: each device owns a fixed slab)
             and kfront.front_eligible(self.slab_h, self.width, sampling,
                                       spd)
+            and kfront.aligned_segments(self.slab_h, spd)
             and seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
+        if not use_front:
+            import warnings
+            warnings.warn(
+                f"ShardedEncoder: per-device slab "
+                f"{self.slab_h}x{self.width} ({sampling}, {spd} segs) "
+                f"cannot ride the front_place mega kernel; using the "
+                f"~10x slower XLA front", stacklevel=3)
 
         def device_fn(rgb_local):  # [B_local, slab_h, W*3]
             b = rgb_local.shape[0]

@@ -210,6 +210,7 @@ def _parse_device_eligible_inner(data: bytes):
     nblk = [ri * period] * (S - 1) + [(mcus - (S - 1) * ri) * period]
     return dict(samp=samp, segs=segs, quad=quad, nblk=nblk, ri=ri,
                 mx=mx, my=my, mcus=mcus, period=period,
+                segs_raw=hd.split_segments(st["entropy"]),
                 ql=st["quant"][qid0], qc=st["quant"][qid1],
                 dims=(my * mcu_h, mx * mcu_w), true_dims=(height, width))
 
@@ -247,6 +248,12 @@ _MIN_AUTO_SEGMENTS = 48
 # rows live in a [128, max_words] VMEM block, so a foreign stream with
 # one giant restart segment must take the host path, not fail lowering
 _MAX_SEG_BYTES = 16000
+
+# below this segment count a FORCED device decode routes through the
+# fused intra-segment speculative path first: S segments fill only S of
+# the ~640 lockstep VPU lanes in the plain segment-per-lane kernel,
+# while entry speculation yields ~bytes/2048 lanes per segment
+_SPEC_RST_MAX_SEGS = 320
 
 
 def device_entropy_zz(data: bytes, interpret: bool = False, info=None):
@@ -313,7 +320,21 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
                    if info is not None and len(info["segs"])
                    >= _MIN_AUTO_SEGMENTS else None)
         else:
-            dev = device_entropy_zz(data, interpret=interpret)
+            info = _parse_device_eligible(data)
+            if (info is not None
+                    and len(info["segs"]) < _SPEC_RST_MAX_SEGS):
+                # under-occupied restart stream: S segments fill only S
+                # of the 640 VPU lanes in the plain kernel; intra-
+                # segment entry speculation multiplies the lanes (each
+                # segment is a chain of byte-aligned chunks) and decodes
+                # + reconstructs in ONE fused dispatch
+                from .speculative import speculative_decode_restart
+                out = speculative_decode_restart(data,
+                                                 interpret=interpret,
+                                                 info=info)
+                if out is not None:
+                    return out
+            dev = device_entropy_zz(data, interpret=interpret, info=info)
         if dev is not None:
             y, cb, cr, ql, qc, (ph, pw), (height, width), samp = dev
             if samp == "gray":
@@ -329,6 +350,19 @@ def decode_jpeg(data: bytes, entropy_engine: str = "auto",
         out = speculative_decode(data, interpret=interpret)
         if out is not None:
             return out
+        few_segs = (entropy_engine == "auto" and info is not None
+                    and len(info["segs"]) < _MIN_AUTO_SEGMENTS)
+        if entropy_engine == "auto" and not few_segs:
+            # few-segment restart streams deliberately pick the host
+            # bit-walk (it wins below _MIN_AUTO_SEGMENTS) — that is a
+            # calibrated choice, not a silent fallback; everything else
+            # landing here lost the device path unexpectedly
+            import warnings
+            warnings.warn(
+                "device entropy decode unavailable for this stream "
+                "(not an eligible restart stream and the speculative "
+                "path was ineligible or did not converge); falling "
+                "back to the host entropy decoder", stacklevel=2)
         if entropy_engine == "device":
             raise ValueError("stream not eligible for device entropy "
                              "decode (needs a baseline interleaved "
@@ -427,10 +461,34 @@ def decode_jpeg_batch(datas, entropy_engine: str = "auto",
                 raise ValueError(f"stream {i} not eligible for device "
                                  "entropy decode")
             else:
+                if use_dev:
+                    import warnings
+                    warnings.warn(
+                        f"stream {i}: speculative device decode "
+                        "ineligible or non-converged; falling back to "
+                        "the host entropy decoder", stacklevel=2)
                 results[i] = decode_jpeg(datas[i], entropy_engine="host")
 
     from ..kernels import huffdec as hd
     for samp, items in groups.items():
+        # under-occupied group (fewer segments than ~2.5 lane groups):
+        # intra-segment entry speculation multiplies the lanes and runs
+        # decode + reconstruct in one fused dispatch.  Real-TPU only:
+        # the interpreted CPU suite keeps the plain path (the spec-
+        # restart machinery has its own direct tests), and convergence
+        # failures fall through to the plain launch below.
+        total_segs = sum(len(inf["segs"]) for _, inf in items)
+        if (mesh is None and not interpret
+                and total_segs < _SPEC_RST_MAX_SEGS
+                and jax.default_backend() == "tpu"):
+            from .speculative import _restart_spec, _spec_scans_fused
+            ps = [_restart_spec(datas[i], info=inf) for i, inf in items]
+            if all(p is not None for p in ps):
+                imgs = _spec_scans_fused(ps, interpret=interpret)
+                if imgs is not None:
+                    for (i, _inf), im in zip(items, imgs):
+                        results[i] = im
+                    continue
         # one kernel launch: all images' segments side by side on lanes
         nblk_seg = max(inf["ri"] * inf["period"] for _, inf in items)
         segs, quads, nblks = [], [], []

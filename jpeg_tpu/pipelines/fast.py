@@ -83,6 +83,10 @@ def luma_mask(mps: int, y_per_mcu: int = 4):
     return jnp.tile(jnp.array([1] * y_per_mcu + [0, 0], dtype=bool), (mps,))
 
 
+# worst-case histogram one-hot residency bound (see hist_1024_t's KC)
+_HIST_OH_BUDGET = 1 << 30
+
+
 def hist_1024_t(idx_t, n_images: int):
     """Transposed slot indices [64, n_images*n] -> [n_images, 1024] hists.
 
@@ -103,10 +107,14 @@ def hist_1024_t(idx_t, n_images: int):
     # slots per chunk: as LARGE as the memory budget allows — XLA fuses
     # the one-hot construction into the int8 dot, and every extra scan
     # step costs real time (measured 2026-08-20: one chunk 0.82-0.93 ms
-    # vs 1.33 ms at the old 32768 for the 16x640x640 batch); the cap
-    # bounds the worst-case materialized one-hots to ~64*B*KC bytes if
-    # a future XLA version stops fusing them
-    KC = min(-(-(r * n) // 128) * 128, 1 << 20)
+    # vs 1.33 ms at the old 32768 for the 16x640x640 batch).  The cap is
+    # derived from a worst-case-materialization budget: if a future XLA
+    # version stops fusing the one-hots, they occupy ~64*B*KC bytes
+    # (two [B, 32, KC] int8 arrays), so KC is bounded to keep that under
+    # _HIST_OH_BUDGET even for large batches — a silent fusion
+    # regression then costs time, not an OOM.
+    KC = min(-(-(r * n) // 128) * 128, 1 << 20,
+             max(_HIST_OH_BUDGET // (64 * n_images) // 128 * 128, 4096))
     pad = (-m.shape[1]) % KC
     if pad:
         m = jnp.concatenate(
@@ -314,6 +322,30 @@ class FastBatchEncoder:
             np.array([1] * self.y_per_mcu + [0, 0], np.int32),
             self.mcus_per_segment)
 
+        # silent-fallback guard (VERDICT r4 #8): the XLA front is ~10x
+        # slower than the Pallas mega kernel — never take it silently
+        if self._dtype != jnp.float64:
+            from ..kernels import front as kfront
+            reason = kfront.front_ineligible_reason(
+                self.height, self.width, self.sampling, self.n_segs)
+            if reason is None and not self._front_ok:
+                sc = kfront.slab_cols(self.width // 16, self.sampling)
+                if not (self._front_aligned and sc % 128 == 0 and
+                        kfront.analyze_fits(self.width // 16,
+                                            self.sampling)):
+                    reason = ("mega-kernel VMEM estimate or segment "
+                              "words budget exceeded, and the two-phase "
+                              "Pallas front needs 128-aligned slab "
+                              "columns, slab-aligned segments, and "
+                              "VMEM room for the xt output")
+            if reason is not None:
+                import warnings
+                warnings.warn(
+                    f"FastBatchEncoder {self.width}x{self.height} "
+                    f"({self.sampling}, {self.n_segs} segs): Pallas "
+                    f"front unavailable ({reason}); falling back to the "
+                    f"~10x slower XLA front", stacklevel=2)
+
         self._step = jax.jit(self._step_fn)
         self._pack_only = jax.jit(self._pack_only_fn)
         self._analyze_hist = jax.jit(self._analyze_hist_fn)
@@ -354,25 +386,18 @@ class FastBatchEncoder:
     @property
     def _front_ok(self):
         """Mega-kernel eligibility: geometry + the VMEM-resident segment
-        words budget (≈4 MP of image per segment).  Bigger segments keep
-        the Pallas front but split entropy into the two-phase kernels
+        words budget (≈4 MP of image per segment) + the whole-slab
+        scoped-VMEM estimate (wide slabs are xt-bound — see
+        ``kernels.front.mega_vmem_bytes``).  Bigger segments keep the
+        Pallas front but split entropy into the two-phase kernels
         (``_front_geom_ok``)."""
+        from ..kernels import front as kfront
         from ..kernels import fused as kfused
         seg_rows_p = (self.seg_rows + 7) & ~7
         return (self._front_geom_ok and
-                seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
-
-    @property
-    def _front_xt_ok(self):
-        """Dynamic-mode xt handoff eligibility: stage 1 emits the
-        relayouted pixel blocks (``front_index(emit_xt=True)``) and
-        stage 2 consumes them (``fused.dct_attach_pack_xt``) instead of
-        re-running the ~0.5 ms in-kernel front.  Needs 128-aligned slab
-        columns (no phantom padding in the emitted xt)."""
-        from ..kernels import front as kfront
-        return (self._front_ok and
-                kfront.slab_cols(self.width // 16, self.sampling)
-                % 128 == 0)
+                seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET and
+                kfront.mega_fits(self.width // 16, self.sampling,
+                                 self.seg_rows))
 
     @property
     def _h_pad(self):
@@ -385,6 +410,42 @@ class FastBatchEncoder:
         if pad:
             rgbs_flat = jnp.pad(rgbs_flat, ((0, 0), (0, pad), (0, 0)))
         return rgbs_flat
+
+    # -- pseudo-segment mode: restart boundaries NOT on slab edges -------
+    #
+    # front_place's segment model needs every segment to be a whole
+    # number of 128-row slabs.  Any other MCU-granular segmentation
+    # (e.g. 1920x1088 with 4 restart segments of 272 rows — the
+    # reference CLI's most common real geometry) runs each segment as
+    # its own zero-padded pseudo-image instead: segments are contiguous
+    # row ranges, so [B, H, W*3] -> [B*S, seg_h, W*3] is a free view,
+    # the pad is one XLA DMA, and real_height masks the padded tail MCU
+    # rows exactly as for slab-padded single-segment images.  DC
+    # prediction resets per pseudo-image = per segment (restart
+    # semantics), and the words/totals come back per segment already.
+
+    @property
+    def _front_aligned(self):
+        from ..kernels import front as kfront
+        return kfront.aligned_segments(self.height, self.n_segs)
+
+    @property
+    def _seg_h(self):
+        return self.height // self.n_segs
+
+    @property
+    def _seg_h_pad(self):
+        return -(-self._seg_h // 128) * 128
+
+    def _seg_pseudo_batch(self, rgbs_flat):
+        """[B, H, W*3] -> [B*S, seg_h_pad, W*3] pseudo-image batch."""
+        B = rgbs_flat.shape[0]
+        x = rgbs_flat.reshape(B * self.n_segs, self._seg_h,
+                              rgbs_flat.shape[-1])
+        pad = self._seg_h_pad - self._seg_h
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return x
 
     def _step_fn(self, rgbs_flat, lut):
         """Fixed-table fused step.  f32: a Pallas front kernel does the
@@ -406,17 +467,26 @@ class FastBatchEncoder:
         B, S = rgbs_flat.shape[0], self.n_segs
         if self._front_ok:
             from ..kernels import front as kfront
-            words, totals = kfront.front_place(
-                self._pad_rows(rgbs_flat), lut[None, :], self._dct_m,
-                self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
-                self._h_pad // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret, real_height=self.height,
-                n_segs=S)
+            if self._front_aligned:
+                words, totals = kfront.front_place(
+                    self._pad_rows(rgbs_flat), lut[None, :], self._dct_m,
+                    self._dct_bias, self._ql_zz, self._qc_zz,
+                    self.width // 16, self._h_pad // 16, self.sampling,
+                    self.seg_rows, interpret=self.interpret,
+                    real_height=self.height, n_segs=S)
+            else:  # pseudo-segment mode (see _seg_pseudo_batch)
+                words, totals = kfront.front_place(
+                    self._seg_pseudo_batch(rgbs_flat), lut[None, :],
+                    self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
+                    self.width // 16, self._seg_h_pad // 16, self.sampling,
+                    self.seg_rows, interpret=self.interpret,
+                    real_height=self._seg_h, n_segs=1)
             return words.reshape(B, S, -1), totals.reshape(B, S)
         from ..kernels import front as kfront
-        if (self._front_geom_ok and
+        if (self._front_geom_ok and self._front_aligned and
                 kfront.slab_cols(self.width // 16, self.sampling)
-                % 128 == 0):
+                % 128 == 0 and
+                kfront.analyze_fits(self.width // 16, self.sampling)):
             # Pallas front + two-phase entropy: segments too large for the
             # VMEM-resident mega kernel (> ~4 MP/segment).  front_analyze
             # needs 128-aligned slab columns (xt lands in HBM); unaligned
@@ -460,31 +530,31 @@ class FastBatchEncoder:
             h = hist_1024_t(idx_t, B)
             return (idx_t, extra_t, extran_t), h
         B, S = rgbs_flat.shape[0], self.n_segs
-        if self._front_xt_ok:
-            from ..kernels import front as kfront
-            idx_t, xt = kfront.front_index(
-                self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
-                self._ql_zz, self._qc_zz, self.width // 16,
-                self._h_pad // 16, self.sampling,
-                interpret=self.interpret, real_height=self.height,
-                n_segs=S, emit_xt=True)
-            h = hist_1024_t(idx_t, B)
-            # the relayouted xt survives the histogram sync in HBM;
-            # stage 2 consumes it directly and skips the front re-run
-            # (one ~39 MB round trip vs ~0.5 ms of relayout)
-            return (xt,), h
         if self._front_ok:
+            # stage 1 emits PACKED symbol fields (idx|extra_n|extra in
+            # one int32/slot): the histogram masks pf & 1023, and stage
+            # 2 (fused.attach_pack_pf) does NO front/DCT/symbolize
+            # re-run — only the LUT attach + place remain after the
+            # sync.  The r4 xt handoff (same-size f32 pixel blocks)
+            # still re-ran DCT+symbolize in stage 2; pf removes that
+            # whole duplicated VPU cost for the same HBM traffic.
             from ..kernels import front as kfront
-            idx_t = kfront.front_index(
-                self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
-                self._ql_zz, self._qc_zz, self.width // 16,
-                self._h_pad // 16, self.sampling,
-                interpret=self.interpret, real_height=self.height,
-                n_segs=S)
-            h = hist_1024_t(idx_t, B)
-            # stage 2 re-runs the fused front in-kernel; keep only the
-            # raw batch (nothing else needs to survive the sync)
-            return (rgbs_flat,), h
+            if self._front_aligned:
+                pf = kfront.front_index(
+                    self._pad_rows(rgbs_flat), self._dct_m, self._dct_bias,
+                    self._ql_zz, self._qc_zz, self.width // 16,
+                    self._h_pad // 16, self.sampling,
+                    interpret=self.interpret, real_height=self.height,
+                    n_segs=S, emit_fields=True)
+            else:  # pseudo-segment mode (see _seg_pseudo_batch)
+                pf = kfront.front_index(
+                    self._seg_pseudo_batch(rgbs_flat), self._dct_m,
+                    self._dct_bias, self._ql_zz, self._qc_zz,
+                    self.width // 16, self._seg_h_pad // 16, self.sampling,
+                    interpret=self.interpret, real_height=self._seg_h,
+                    n_segs=1, emit_fields=True)
+            h = hist_1024_t(pf & 1023, B)
+            return (pf,), h
         px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
                         sampling=self.sampling)
         px = px.reshape(B * S, -1, 64)
@@ -504,32 +574,13 @@ class FastBatchEncoder:
             words, totals = kfused.attach_pack_grouped(
                 lut_per_image, idx_t, extra_t, extran_t, B * S, S,
                 self.seg_rows, interpret=self.interpret)
-        elif fields[0].ndim == 2:  # xt handoff: stage 1 emitted the
-            # relayouted pixel blocks; consume them directly (skips the
-            # ~0.5 ms in-kernel front re-run — _front_xt_ok geometries)
-            from ..kernels import front as kfront
-            (xt,) = fields
-            mx, myp = self.width // 16, self._h_pad // 16
-            G = self._h_pad // 128
-            sc = kfront.slab_cols(mx, self.sampling)
-            rn = kfront._real_nblk(mx, myp, self.sampling, self.height,
-                                   G, sc) // S
-            words, totals = kfused.dct_attach_pack_xt(
-                lut_per_image, self._dct_m, self._dct_bias, self._ql_zz,
-                self._qc_zz, xt, B * S, S, self.y_per_mcu + 2,
-                self.y_per_mcu, self.seg_rows, interpret=self.interpret,
-                real_nblk=rn)
-        elif fields[0].dtype == jnp.uint8:  # front path: raw batch kept;
-            # stage 2 re-runs the in-kernel front (non-128-aligned slab
-            # columns, where the xt handoff cannot apply)
-            from ..kernels import front as kfront
-            (rgbs_flat,) = fields
-            words, totals = kfront.front_place(
-                self._pad_rows(rgbs_flat), lut_per_image, self._dct_m,
-                self._dct_bias, self._ql_zz, self._qc_zz, self.width // 16,
-                self._h_pad // 16, self.sampling, self.seg_rows,
-                interpret=self.interpret, real_height=self.height,
-                n_segs=S)
+        elif fields[0].ndim == 2:  # pf handoff: stage 1 emitted packed
+            # symbol fields; stage 2 is pure attach + place (no front,
+            # no DCT, no symbolize — see _analyze_hist_fn)
+            (pf,) = fields
+            words, totals = kfused.attach_pack_pf(
+                lut_per_image, pf, B * S, S, self.seg_rows,
+                interpret=self.interpret)
         else:  # f32: grouped one-kernel DCT->place over the retained px
             (px,) = fields
             words, totals = kfused.dct_attach_pack_grouped(
@@ -624,17 +675,21 @@ class FastBatchEncoder:
             words, totals, tables = self.dynamic_pack(rgbs)
         return self._fetch_assemble(words, totals, tables)
 
-    # device-memory budget for in-flight stream buffers: the grouped
-    # pipeline holds up to ~2*depth+1 batches' worst-case words buffers
-    # (fixed) or xt handoffs (dynamic); _stream_depth scales the group
-    # size down so that residency stays under this budget on large
-    # geometries instead of OOMing a 16 GB chip
+    # device-memory budget for TOTAL in-flight stream residency: the
+    # grouped pipeline holds up to ~(2*depth+1) batches' worst-case words
+    # buffers (fixed) or xt handoffs (dynamic) PLUS up to ``depth``
+    # enqueued input batches; _stream_depth solves
+    #   (2*depth+1)*per_batch + depth*input <= budget
+    # for depth, so residency stays under the budget on large geometries
+    # instead of OOMing a 16 GB chip
     _STREAM_BUDGET_BYTES = 2 << 30
 
-    def _stream_depth(self, per_batch_bytes: int, sync_depth: int) -> int:
+    def _stream_depth(self, per_batch_bytes: int, sync_depth: int,
+                      input_bytes: int = 0) -> int:
+        denom = 2 * per_batch_bytes + input_bytes
+        avail = self._STREAM_BUDGET_BYTES - per_batch_bytes
         return max(1, min(max(sync_depth, 1),
-                          int(self._STREAM_BUDGET_BYTES
-                              // max(per_batch_bytes, 1))))
+                          int(avail // max(denom, 1))))
 
     def encode_stream(self, batches, sync_depth: int = 4):
         """Pipelined multi-batch encode; yields one list of JPEGs per batch.
@@ -667,7 +722,8 @@ class FastBatchEncoder:
                 words, totals = self._step(rgbs, self._fixed_lut)
                 group.append((words, totals,
                               [self._fixed] * int(rgbs.shape[0])))
-                depth = self._stream_depth(words.nbytes, sync_depth)
+                depth = self._stream_depth(words.nbytes, sync_depth,
+                                           input_bytes=rgbs.nbytes)
                 if len(group) >= depth:
                     if prev is not None:
                         yield from self._fetch_assemble_many(prev)
@@ -711,8 +767,13 @@ class FastBatchEncoder:
             fh = self._analyze_hist(self._check_batch(rgbs))
             analyzed.append(fh)
             # xt handoffs (f32 pixel blocks) dominate residency; scale
-            # the analyze super-batch down on large geometries
-            depth = self._stream_depth(fh[0][0].nbytes, sync_depth)
+            # the analyze super-batch down on large geometries (the
+            # packed words buffers of up to depth ready batches are the
+            # "input" term here)
+            words_bytes = (int(fh[1].shape[0]) * self.n_segs
+                           * ((self.seg_rows + 7) & ~7) * 128 * 4)
+            depth = self._stream_depth(fh[0][0].nbytes, sync_depth,
+                                       input_bytes=words_bytes)
             if len(analyzed) >= depth:
                 stage()
             # fetch in CONSTANT-size groups (one in flight): varying

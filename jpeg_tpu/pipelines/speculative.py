@@ -412,6 +412,21 @@ def _reconstruct_traced(recon_key, zzs, quants):
     """Trace-time reconstruction dispatch (shapes/geometry static)."""
     from .decode import _em_to_planes, reconstruct, reconstruct_gray
     kind = recon_key[0]
+    if kind == "rst":
+        # per-SEGMENT zz arrays concatenate into the full interleaved
+        # emission order (segments are consecutive MCU runs)
+        _, samp, mx, my, ph, pw, height, width = recon_key
+        em = jnp.concatenate(zzs, axis=0).reshape(mx * my, -1, 64)
+        y, cb, cr = _em_to_planes(em, samp, mx, my)
+        ql, qc = quants
+        img = reconstruct(y, cb, cr, ql, qc, ph, pw, samp=samp)
+        return img[:height, :width]
+    if kind == "gray_rst":
+        _, mx, my, height, width = recon_key
+        (ql,) = quants
+        em = jnp.concatenate(zzs, axis=0)       # [mcus, 64], period 1
+        img = reconstruct_gray(em, ql, my * 8, mx * 8)
+        return img[:height, :width]
     if kind == "interleaved":
         _, samp, mx, my, ph, pw, height, width = recon_key
         period = zzs[0].shape[0] // (mx * my)
@@ -435,6 +450,19 @@ def _reconstruct_traced(recon_key, zzs, quants):
 def _image_recon_key(p):
     """Per-image (recon key, n_scans, n_quants) + runtime quantizers for
     the fused launch, or None when the scan order defeats it."""
+    if p["kind"] == "rst":
+        # restart stream whose chains ARE the restart segments
+        # (intra-segment entry speculation — VERDICT r4 #1)
+        info = p["info"]
+        S = len(p["scan_list"])
+        if info["samp"] == "gray":
+            key = ("gray_rst", info["mx"], info["my"],
+                   *info["true_dims"])
+            return (key, S, 1), (jnp.asarray(info["ql"]),)
+        key = ("rst", info["samp"], info["mx"], info["my"],
+               *info["dims"], *info["true_dims"])
+        return (key, S, 2), (jnp.asarray(info["ql"]),
+                             jnp.asarray(info["qc"]))
     if p["kind"] == "interleaved":
         ph, pw = p["pdims"]
         st = p["st"]
@@ -724,6 +752,43 @@ def speculative_decode(data: bytes, interpret: bool = False,
     if got is None:
         return None
     return _reconstruct_spec(p, got)
+
+
+def _restart_spec(data: bytes, info=None):
+    """Restart-delimited stream -> fused-speculation parse dict whose
+    CHAINS are the restart segments (intra-segment entry speculation,
+    VERDICT r4 #1): each segment's bytes split into byte-aligned lane
+    chunks whose entry bits/phases converge through the standard chain
+    fixpoint, so a stream with FEW segments still fills the VPU lanes.
+    Segment heads are exact (bit 0, MCU phase 0 — restart semantics,
+    T.81 F.2.1.3.1), and per-chain DC bases start at 0 exactly as the
+    restart DC reset requires.  Returns None when ineligible."""
+    from .decode import _parse_device_eligible
+    if info is None:
+        info = _parse_device_eligible(data)
+    if info is None:
+        return None
+    scan_list = [(seg.tobytes(), info["quad"], n)
+                 for seg, n in zip(info["segs_raw"], info["nblk"])]
+    return dict(kind="rst", sampling=info["samp"], scan_list=scan_list,
+                info=info)
+
+
+def speculative_decode_restart(data: bytes, interpret: bool = False,
+                               target_lane_bytes: int =
+                               _TARGET_LANE_BYTES, info=None):
+    """Fused intra-segment speculative decode of a RESTART stream ->
+    uint8 image, or None (callers fall back to ``device_entropy_zz`` /
+    the host decoder).  One dispatch + one image fetch: the win over
+    the plain segment-per-lane kernel is lane occupancy — a stream
+    with S segments yields only S lanes there, while this path yields
+    ~bytes/2048 lanes per segment."""
+    p = _restart_spec(data, info=info)
+    if p is None:
+        return None
+    imgs = _spec_scans_fused([p], interpret=interpret,
+                             target_lane_bytes=target_lane_bytes)
+    return None if imgs is None else imgs[0]
 
 
 def speculative_decode_batch(datas, interpret: bool = False,

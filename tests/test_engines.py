@@ -82,10 +82,12 @@ def test_place_unroll_parity(img_synthetic_160, unroll, monkeypatch):
     assert a == b
 
 
-def test_dynamic_xt_handoff_parity(monkeypatch):
-    """Dynamic-mode stage 1 -> 2 xt handoff (front_index(emit_xt=True) +
-    dct_attach_pack_xt) must be byte-identical to the front re-run path
-    it replaces (128-aligned slab columns: 128x128 geometry)."""
+def test_dynamic_pf_handoff_parity(monkeypatch):
+    """Dynamic-mode stage 1 -> 2 packed-field handoff
+    (front_index(emit_fields=True) + attach_pack_pf) must be
+    byte-identical to the XLA-front fallback path it supersedes."""
+    import warnings
+
     from jpeg_tpu.pipelines.fast import FastBatchEncoder
 
     rng = np.random.default_rng(11)
@@ -96,11 +98,13 @@ def test_dynamic_xt_handoff_parity(monkeypatch):
                   0, 255).astype(np.uint8)[None]
     cfg = EncodeConfig(scan_layout="interleaved", huffman="dynamic")
     enc = FastBatchEncoder(128, 128, config=cfg, interpret=True)
-    assert enc._front_xt_ok
+    assert enc._front_ok
     a = enc.encode_batch(img)
-    monkeypatch.setattr(FastBatchEncoder, "_front_xt_ok",
+    monkeypatch.setattr(FastBatchEncoder, "_front_ok",
                         property(lambda self: False))
-    enc2 = FastBatchEncoder(128, 128, config=cfg, interpret=True)
-    assert not enc2._front_xt_ok and enc2._front_ok
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # deliberate fallback
+        enc2 = FastBatchEncoder(128, 128, config=cfg, interpret=True)
+    assert not enc2._front_ok and enc2._front_geom_ok
     b = enc2.encode_batch(img)
     assert a[0] == b[0]

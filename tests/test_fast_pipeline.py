@@ -140,9 +140,14 @@ def test_stream_depth_budget():
     geometries must not OOM where the old two-deep pipeline worked)."""
     enc = FastBatchEncoder(64, 64, config=EncodeConfig(
         scan_layout="interleaved", huffman="fixed"), interpret=True)
+    B = enc._STREAM_BUDGET_BYTES
     assert enc._stream_depth(1 << 20, 4) == 4      # small buffers: full
     assert enc._stream_depth(1 << 31, 4) == 1      # huge buffers: solo
-    assert enc._stream_depth(enc._STREAM_BUDGET_BYTES // 2, 4) == 2
+    # residency model: (2*depth+1)*per_batch + depth*inputs <= budget
+    assert enc._stream_depth(B // 8, 4) == 3       # (2*3+1)/8 <= 1 < 9/8
+    assert enc._stream_depth(B // 2, 4) == 1       # 3/2 > 1: solo
+    assert enc._stream_depth(B // 16, 4,
+                             input_bytes=B // 2) == 1  # inputs count too
     assert enc._stream_depth(123, 0) == 1          # depth floor
 
 

@@ -212,3 +212,45 @@ def test_batch_salvage_with_corrupt_member():
             assert np.array_equal(outs[i], ref), i
     assert any(outs[i] is not None for i in (0, 2)), \
         "healthy images must be salvaged"
+
+
+def test_restart_intra_segment_speculation():
+    """A restart stream with FEW segments decodes through the fused
+    intra-segment speculative path (entropy_engine='device'), pixel-
+    identical to the host-entropy decode of the same file."""
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:320, 0:320]
+    base = ((yy // 16 + xx // 16) % 2) * 160 + 40
+    img = np.clip(np.stack([base, 255 - base, xx % 256], axis=-1)
+                  + rng.integers(-25, 26, (320, 320, 3)),
+                  0, 255).astype(np.uint8)
+    data = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                    restart_interval_mcu_rows=5)).encode(img)
+    assert b"\xff\xd0" in data  # 4 segments -> 4 lanes un-speculated
+    from jpeg_tpu.pipelines.speculative import speculative_decode_restart
+    # small fixture: shrink the per-lane chunk so each ~1 KB segment
+    # still splits into several speculated lanes
+    out = speculative_decode_restart(bytes(data), interpret=True,
+                                     target_lane_bytes=256)
+    assert out is not None, "restart speculation must converge here"
+    ref = decode_jpeg(bytes(data), entropy_engine="host")
+    assert np.array_equal(out, ref)
+    # the forced-device router must take the same path for few segments
+    out2 = decode_jpeg(bytes(data), entropy_engine="device",
+                       interpret=True)
+    assert np.array_equal(out2, ref)
+
+
+def test_restart_speculation_gray():
+    """Grayscale restart streams route through the gray_rst recon."""
+    g = _gray(9, "structured")
+    from jpeg_tpu.pipelines.encode import encode_gray
+    data = encode_gray(g, EncodeConfig(scan_layout="interleaved",
+                                       restart_interval_mcu_rows=4))
+    from jpeg_tpu.pipelines.speculative import speculative_decode_restart
+    out = speculative_decode_restart(bytes(data), interpret=True,
+                                     target_lane_bytes=256)
+    if out is None:
+        pytest.skip("stream too small or no restarts in gray encode")
+    ref = decode_jpeg(bytes(data), entropy_engine="host")
+    assert np.array_equal(out, ref)
