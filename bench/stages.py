@@ -105,8 +105,16 @@ def main():
     # PACKED symbol fields — no front/DCT/symbolize re-run — time the
     # real chain (stage 1 + stage 2) and report stage 2 as the
     # difference, exactly like bench.py's roofline rows
-    s12 = slope(lambda b: tuple(
-        dyn._pack_only_fn(dyn._analyze_hist_fn(b)[0], luts_d)))
+    def chain(b):
+        # consume the HISTOGRAM too: stage 1's hist output feeds the
+        # host K.2 build (not stage 2), so a chain that drops it lets
+        # XLA dead-code the whole one-hot pass and s2 comes out ~0.9 ms
+        # too low (r5 bug: the 2026-08-20 run printed s2=0.35 ms vs the
+        # correctly-consumed 1.28 ms in bench.py)
+        fields, h = dyn._analyze_hist_fn(b)
+        return tuple(dyn._pack_only_fn(fields, luts_d)) + (h,)
+
+    s12 = slope(chain)
     s2 = max(s12 - s1, 1e-3)
     report("dynamic stage 2 (pf attach+place, per-image LUTs; chain-s1)",
            s2)

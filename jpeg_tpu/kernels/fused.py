@@ -50,6 +50,21 @@ _CHUNK = 4  # 128-block tiles per grid step in the one-kernel fused path
 _PACK_UNROLL = 1
 _ROWACC_UNROLL = 1
 
+# Row-accumulation implementation: "mxu" phrases each 128-block window's
+# keyed row reduction as ONE one-hot matmul (out[r] = OH[r, keys] @
+# stacked this-row/straddle data) instead of a fori of masked
+# cross-sublane reductions + serial row RMWs; "loop" is the r3 form.
+# Byte-identical (parity-tested); A/B'd on hardware.  Exactness: the
+# int32 words split into four 8-BIT fields — placed bit ranges are
+# DISJOINT across blocks, so each field's true per-row sum <= 255, and
+# the TPU MXU's default-bf16 passes are exact for 0/1 one-hots against
+# integers <= 256 (the same rule the front's permutation matmuls use;
+# 11-bit fields measured WRONG on hardware for exactly this reason,
+# 2026-08-20, while CPU-interpret f32 hid it).
+_ROWACC_IMPL = "mxu"
+_ROWACC_R = 72  # window rows: max span 58 (see _ACC_ROWS) + 7 for the
+#                 8-aligned dynamic store base + pad to a sublane multiple
+
 
 def _attach_fields(t, idx, extra, extra_n):
     """Combined-LUT lane-gather + field assembly -> (value, nbits).
@@ -1061,6 +1076,8 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
     if stop_after == "mask":
         return _consume(r0t + r1t)
     rows = shr(goff, jnp.int32(12))           # [1, TB] absolute segment row
+    if _ROWACC_IMPL == "mxu" and stop_after == "full":
+        return _rowacc_mxu(r0t, r1t, rows, out_ref)
     t = rows.T                                # [TB, 1]
 
     # Row accumulation in 128-block windows: rows are monotone along
@@ -1105,6 +1122,56 @@ def _place_tail_full(hi, lo, w, goff, out_ref, lw_ref,
 
     jax.lax.fori_loop(0, span if R == 1 else (span + R - 1) // R,
                       rbody, 0)
+
+
+def _rowacc_mxu(r0t, r1t, rows, out_ref):
+    """One-hot-matmul row accumulation (``_ROWACC_IMPL = "mxu"``).
+
+    Each 128-block window's keyed reduction — out[r] += sum of the
+    window's this-row (key r) and straddle (key r-1) pieces — is
+    exactly ``OH @ data`` with OH[r, j] = (keys[j] == base + r), one
+    [R, 256] x [256, 128] matmul per field.  The int32 words split into
+    FOUR 8-BIT fields: placed bit ranges are disjoint across blocks, so
+    each field's true per-row sum <= 255 — exact under the MXU's
+    default-bf16 passes (0/1 one-hots against ints <= 256, the same
+    rule the front's permutation matmuls use; 11-bit fields measured
+    WRONG on hardware 2026-08-20 while CPU-interpret f32 hid it) — and
+    the shifted recombination has no cross-field carries.  The fori of
+    per-row masked reductions + serial row RMWs this replaces was the
+    largest place-tail term (r3 attribution: 4.8 us/slab).
+
+    ``R`` covers a window's worst span (56 rows + 2 straddle, see
+    ``_ACC_ROWS``) plus up to 7 rows of store alignment: the dynamic
+    multi-row RMW needs an 8-aligned base, so the base rounds down to
+    8*floor(min_row/8) (clipped so base + R stays in bounds — clipping
+    only lowers it, keys stay covered)."""
+    shr = jax.lax.shift_right_logical
+    tb = r0t.shape[0]
+    out_rows = out_ref.shape[0]
+    R = min(_ROWACC_R, out_rows)
+    fields = [((r0t & 255), (r1t & 255)),
+              ((shr(r0t, jnp.int32(8)) & 255),
+               (shr(r1t, jnp.int32(8)) & 255)),
+              ((shr(r0t, jnp.int32(16)) & 255),
+               (shr(r1t, jnp.int32(16)) & 255)),
+              (shr(r0t, jnp.int32(24)), shr(r1t, jnp.int32(24)))]
+    kmax = (out_rows - R) // 8
+    for k in range(tb // 128):
+        sl = slice(k * 128, (k + 1) * 128)
+        rw = rows[:, sl]                                 # [1, 128]
+        keys = jnp.concatenate([rw, rw + 1], axis=1)     # [1, 256]
+        base = 8 * jnp.clip(shr(jnp.min(rw), jnp.int32(3)), 0, kmax)
+        oh = ((jax.lax.broadcasted_iota(jnp.int32, (R, 256), 0) + base)
+              == jnp.broadcast_to(keys, (R, 256))).astype(jnp.float32)
+        acc = jnp.zeros((R, 128), jnp.int32)
+        for sh, (f, g) in zip((0, 8, 16, 24), fields):
+            d = jnp.concatenate([f[sl], g[sl]],
+                                axis=0).astype(jnp.float32)  # [256, 128]
+            s = jax.lax.dot_general(
+                oh, d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            acc = acc + (s << sh if sh else s)
+        out_ref[pl.dslice(base, R)] = out_ref[pl.dslice(base, R)] + acc
 
 
 def _place_tail_w16(hi, lo, w, goff, out_ref, lw_ref):

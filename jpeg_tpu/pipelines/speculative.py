@@ -48,6 +48,21 @@ _SLACK = 384          # bytes past the chunk end each lane can read (one
 #                       worst-case block is ~213 bytes)
 _MIN_LANES = 8        # below this total, the threaded host decoder wins
 _TARGET_LANE_BYTES = 2048
+_LANE_TARGET = 640    # lanes the adaptive chunking aims to fill: 5
+#                       interleaved 128-lane groups = full occupancy of
+#                       one decode_segments launch
+
+
+def _auto_lane_bytes(total_bytes: int) -> int:
+    """Adaptive per-lane chunk size: split the WHOLE workload into
+    ~_LANE_TARGET lanes.  A fixed 2048-byte chunk made big batches
+    overshoot (wasted grid passes) and small streams undershoot (idle
+    lanes AND a larger per-lane block cap -> more sequential lockstep
+    steps — the grid length scales with blocks per lane, so halving
+    lane bytes halves the sequential depth)."""
+    return int(min(4096, max(512, total_bytes // _LANE_TARGET)))
+
+
 _PAYLOAD_PEEL = 5     # decode_segments peel for "gray" payload passes
 #                       (scan mixes dense luma with near-empty chroma)
 _MAX_ROUNDS = 8
@@ -60,7 +75,7 @@ _MAX_WORDS = 4096         # per-lane row words (16 KB): the streams VMEM
 
 
 def _spec_scans(scan_list, interpret: bool = False,
-                target_lane_bytes: int = _TARGET_LANE_BYTES,
+                target_lane_bytes: int | None = None,
                 min_lanes: int = _MIN_LANES, sampling: str = "gray",
                 mesh=None, mesh_axis: str = "space"):
     """Decode a list of (entropy, table_quad, nblk) scans in one
@@ -75,6 +90,9 @@ def _spec_scans(scan_list, interpret: bool = False,
     as the entry bits."""
     from ..kernels import huffdec as hd
     period = len(hd._PATTERN[sampling])
+    if target_lane_bytes is None:
+        target_lane_bytes = _auto_lane_bytes(
+            sum(len(e) for e, _, _ in scan_list))
 
     rows, quads, chain = [], [], []     # chain[k] = scan index of lane k
     starts_l, limits_l, need = [], [], []
@@ -490,7 +508,7 @@ def _image_recon_key(p):
 
 
 def _spec_scans_fused(ps, interpret: bool = False,
-                      target_lane_bytes: int = _TARGET_LANE_BYTES,
+                      target_lane_bytes: int | None = None,
                       min_lanes: int = _MIN_LANES):
     """Fused decode of one OR MANY same-sampling images: one dispatch,
     one fetch for everything (fixpoint + payload + stitch + reconstruct
@@ -505,6 +523,9 @@ def _spec_scans_fused(ps, interpret: bool = False,
     from ..kernels import huffdec as hd
     sampling = ps[0]["sampling"]
     period = len(hd._PATTERN[sampling])
+    if target_lane_bytes is None:
+        target_lane_bytes = _auto_lane_bytes(sum(
+            len(e) for p in ps for e, _, _ in p["scan_list"]))
 
     recon_keys, quants = [], []
     for p in ps:
@@ -574,7 +595,7 @@ def _spec_scans_fused(ps, interpret: bool = False,
 
 def speculative_scan_zz(entropy: bytes, dc_spec, ac_spec, nblk: int,
                         interpret: bool = False,
-                        target_lane_bytes: int = _TARGET_LANE_BYTES):
+                        target_lane_bytes: int | None = None):
     """One single-component scan -> zig-zagged [nblk, 64] int32, or None.
 
     ``dc_spec``/``ac_spec`` are (bits [17], huffval) DHT arrays;
@@ -724,7 +745,7 @@ def _reconstruct_spec(p, zzs):
 
 
 def speculative_decode(data: bytes, interpret: bool = False,
-                       target_lane_bytes: int = _TARGET_LANE_BYTES,
+                       target_lane_bytes: int | None = None,
                        mesh=None, mesh_axis: str = "space"):
     """Non-restart baseline stream -> [H, W, 3] / [H, W] uint8, or None.
 
@@ -775,8 +796,8 @@ def _restart_spec(data: bytes, info=None):
 
 
 def speculative_decode_restart(data: bytes, interpret: bool = False,
-                               target_lane_bytes: int =
-                               _TARGET_LANE_BYTES, info=None):
+                               target_lane_bytes: int | None = None,
+                               info=None):
     """Fused intra-segment speculative decode of a RESTART stream ->
     uint8 image, or None (callers fall back to ``device_entropy_zz`` /
     the host decoder).  One dispatch + one image fetch: the win over
@@ -792,7 +813,7 @@ def speculative_decode_restart(data: bytes, interpret: bool = False,
 
 
 def speculative_decode_batch(datas, interpret: bool = False,
-                             target_lane_bytes: int = _TARGET_LANE_BYTES,
+                             target_lane_bytes: int | None = None,
                              mesh=None, mesh_axis: str = "space"):
     """Batch variant -> list of (image or None), one entry per input.
 

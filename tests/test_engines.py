@@ -82,6 +82,35 @@ def test_place_unroll_parity(img_synthetic_160, unroll, monkeypatch):
     assert a == b
 
 
+@pytest.mark.parametrize("quality", [None, 100])
+def test_rowacc_impl_parity(img_synthetic_160, quality, monkeypatch):
+    """The MXU one-hot row accumulation must emit exactly the bytes of
+    the loop form — including quality=100 (long codes, max row spans)
+    and multi-segment streams."""
+    from jpeg_tpu.kernels import front as kfront
+    from jpeg_tpu.kernels import fused as kf
+
+    img = np.asarray(img_synthetic_160)[:128, :64]
+    base = dict(scan_layout="interleaved", restart_interval_mcu_rows=4,
+                quality=quality)
+    a = JpegEncoder(EncodeConfig(engine="pallas", **base)).encode(img)
+    monkeypatch.setattr(kf, "_ROWACC_IMPL", "loop")
+    kfront.front_place.clear_cache()
+    kf.dct_attach_pack_xt.clear_cache()
+    kf.attach_pack_pf.clear_cache()
+    kf.dct_attach_pack_segments.clear_cache()
+    kf.dct_attach_pack_grouped.clear_cache()
+    try:
+        b = JpegEncoder(EncodeConfig(engine="pallas", **base)).encode(img)
+    finally:
+        kfront.front_place.clear_cache()
+        kf.dct_attach_pack_xt.clear_cache()
+        kf.attach_pack_pf.clear_cache()
+        kf.dct_attach_pack_segments.clear_cache()
+        kf.dct_attach_pack_grouped.clear_cache()
+    assert a == b
+
+
 def test_dynamic_pf_handoff_parity(monkeypatch):
     """Dynamic-mode stage 1 -> 2 packed-field handoff
     (front_index(emit_fields=True) + attach_pack_pf) must be
