@@ -277,40 +277,6 @@ def _take_bits(peek32, off, n):
     return jnp.where(n == 0, 0, v)
 
 
-def _mk_ensure_window(streams_ref, wnd_ref, st_ref, max_words: int,
-                      reserve: int = 3):
-    """Window-refill closure shared by the decode kernels.
-
-    Refills every lane's window at its own word position when any lane
-    is within ``reserve`` words of its window edge (callers that decode
-    a straight-line GROUP of symbols between checks pass a reserve
-    covering the group's worst-case consumption plus the 2-word peek).
-    One full-row gather refills all lanes at once; typical refill
-    cadence is ~60 consumed words (hundreds of symbols), so the wide
-    gather amortizes to noise.
-    """
-    def ensure_window(bp):
-        def refill():
-            # Mosaic's dynamic_gather is single-vreg (source <= 128
-            # lanes): walk the stream in 128-word chunks, gathering the
-            # in-range targets of each (max_words is 128-padded)
-            base_w = jnp.clip(_shr(bp, jnp.int32(5)), 0,
-                              max_words - _WNDW).T     # [128, 1]
-            idx = base_w + _lane_iota((_LG, 128))      # targets on [:64]
-            acc = jnp.zeros((_LG, 128), jnp.int32)
-            for k in range(0, max_words, 128):
-                src = streams_ref[:, k:k + 128]
-                got = jnp.take_along_axis(
-                    src, jnp.clip(idx - k, 0, 127), axis=1)
-                acc = jnp.where((idx >= k) & (idx < k + 128), got, acc)
-            wnd_ref[:, :] = acc[:, :_WNDW]
-            st_ref[4:5, :] = base_w.T * 32
-
-        need = jnp.max(bp - st_ref[4:5, :]) > 32 * (_WNDW - reserve)
-        jax.lax.cond(need, refill, lambda: None)
-    return ensure_window
-
-
 # luma blocks peel DC + _PEEL_LUMA ACs on one register-file fetch before
 # the while loop (most blocks' full symbol run is covered, so they skip
 # the loop and its per-iteration scalar syncs outright); chroma blocks
@@ -600,7 +566,7 @@ def _hd_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
 def _scan_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
                  entry_ref, limit_ref, phase_ref, pos_ref, st_ref, wnd_ref,
                  *, sampling: str, chunk: int, max_words: int,
-                 peel_luma: int = _PEEL_LUMA):
+                 peel_luma: int = _PEEL_LUMA, groups: int = 1):
     """Positions-only speculative decode pass.
 
     Each lane walks blocks from its ``entry`` bit until its bit position
@@ -616,15 +582,19 @@ def _scan_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
     — position of the lane's first block within the MCU period), which
     picks per-lane table rows per block.
 
+    ``groups``: independent 128-lane groups decoded INTERLEAVED per
+    invocation, exactly as in ``_hd_kernel`` — the per-symbol chain is
+    latency-bound, so G mutually-independent chains in one while loop
+    fill its stalls.  The r5 fused-decode breakdown showed the G=1
+    positions passes were the dominant device cost (lane groups ran
+    SEQUENTIALLY through grid dim 0, unlike the payload kernel).
+
     st rows: 0 bitpos, 1 dc pred (unused for positions, kept for
     layout), 3 block count, 4 window base, 5 sticky bad.
     """
     period = len(_PATTERN[sampling])
     c = pl.program_id(1)
-    maxc = maxc_ref[:]
-    maxcp = maxcp_ref[:]
-    delt = delt_ref[:]
-    hvp = hvp_ref[:]
+    G = groups
     limit_l = limit_ref[:]
     phase_l = phase_ref[:]
 
@@ -632,25 +602,48 @@ def _scan_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
     def _():
         st_ref[:, :] = jnp.zeros_like(st_ref)
         st_ref[0:1, :] = entry_ref[:]
-        st_ref[4:5, :] = jnp.full((1, _LG), -32 * _WNDW, jnp.int32)
+        st_ref[4:5, :] = jnp.full((1, G * _LG), -32 * _WNDW, jnp.int32)
 
-    ensure_window = _mk_ensure_window(streams_ref, wnd_ref, st_ref,
-                                      max_words,
-                                      reserve=_reserve_for(peel_luma))
+    # peeled straight-line group sizing: UNLIKE decode_segments, ANY
+    # unconditional peel loses here (the positions pass runs every lane
+    # to the grid cap and walks near-empty chroma content too, so
+    # masked decodes multiply: peel 19 measured 2.3x SLOWER, peel 2
+    # 1.5x, on the 3-scan fused wall).  _PEEL_SCAN = 0: only the DC
+    # folds into the register-file machinery.
+    peel = peel_luma
+    reserve = _reserve_for(peel)
+
+    def L(g):
+        return slice(g * _LG, (g + 1) * _LG)
+
+    gtabs = [(maxc_ref[:, L(g)], maxcp_ref[:, L(g)], delt_ref[:, L(g)],
+              hvp_ref[L(g), :]) for g in range(G)]
+
+    def refill_all(bps):
+        def refill():
+            for g in range(G):
+                base_w = jnp.clip(_shr(bps[g], jnp.int32(5)), 0,
+                                  max_words - _WNDW).T
+                idx = base_w + _lane_iota((_LG, 128))
+                acc = jnp.zeros((_LG, 128), jnp.int32)
+                for k in range(0, max_words, 128):
+                    src = streams_ref[L(g), k:k + 128]
+                    got = jnp.take_along_axis(
+                        src, jnp.clip(idx - k, 0, 127), axis=1)
+                    acc = jnp.where((idx >= k) & (idx < k + 128), got, acc)
+                wnd_ref[L(g), :] = acc[:, :_WNDW]
+                st_ref[4:5, L(g)] = base_w.T * 32
+
+        need = jnp.max(jnp.concatenate(
+            [bps[g] - st_ref[4:5, L(g)] for g in range(G)], axis=1)) \
+            > 32 * (_WNDW - reserve)
+        jax.lax.cond(need, refill, lambda: None)
 
     for j in range(chunk):
-        if period > 1:
-            pos = jax.lax.rem(phase_l + (c * chunk + j), jnp.int32(period))
-            dcs, acs, _cmp = _lane_pattern(sampling, pos)
-            dc_tabs = _tables_dyn(maxc, maxcp, delt, hvp, dcs)
-            ac_tabs = _tables_dyn(maxc, maxcp, delt, hvp, acs)
-        else:
-            dc_tabs = _tables_static(maxc, maxcp, delt, hvp, 0)
-            ac_tabs = _tables_static(maxc, maxcp, delt, hvp, 1)
-        def ac_sym(done, slot, bp, badacc, wc, wb, ac_tabs=ac_tabs):
-            """One positions-only AC symbol against a register file."""
-            peek = _peek_from(wc, wb, bp)
-            sym, ln = _decode_symbol_core(peek, *ac_tabs)
+        def ac_sym(g, done, slot, bp, badacc, gf, ac_tabs):
+            """One positions-only AC symbol for group ``g``."""
+            peek = _peek_from(gf[g][0], gf[g][1], bp)
+            sym, ln = _decode_symbol_core(peek, *ac_tabs[g])
             run = _shr(sym, jnp.int32(4))
             size = sym & 15
             bad = ln >= 17
@@ -665,50 +658,67 @@ def _scan_kernel(streams_ref, maxc_ref, maxcp_ref, delt_ref, hvp_ref,
             done = done | (~live | eob | (slot > 63)).astype(jnp.int32)
             return [done, slot, bp, badacc]
 
-        bitpos0 = st_ref[0:1, :]
-        live_l = (bitpos0 < limit_l) & (st_ref[5:6, :] == 0)
-        ensure_window(bitpos0)
-        # peeled straight-line group: DC + peel ACs on one register-file
-        # fetch.  UNLIKE decode_segments, ANY unconditional peel loses
-        # here: the positions pass runs every lane to the grid cap and
-        # walks near-empty chroma content too, so masked decodes
-        # multiply (peel 19 measured 2.3x SLOWER, even peel 2 1.5x, on
-        # the 3-scan fused wall).  _PEEL_SCAN = 0: only the DC folds
-        # into the register-file machinery.
-        peel = peel_luma
-        wc0, wb0 = _group_fetch(wnd_ref[:], st_ref[4:5, :], bitpos0,
-                                nw=_nw_for(peel + 1))
-        peek = _peek_from(wc0, wb0, bitpos0)
-        sym, ln = _decode_symbol_core(peek, *dc_tabs)
-        size = sym & 15
-        ok = live_l & (ln < 17)
-        badf = live_l & (ln >= 17)
-        bitpos = bitpos0 + jnp.where(ok, ln + size, 0)
-        st0 = [(~ok).astype(jnp.int32), jnp.ones((1, _LG), jnp.int32),
-               bitpos, badf.astype(jnp.int32)]
+        bitpos0 = [st_ref[0:1, L(g)] for g in range(G)]
+        refill_all(bitpos0)
+        wnds = [wnd_ref[L(g), :] for g in range(G)]
+        bases = [st_ref[4:5, L(g)] for g in range(G)]
+        gf = [_group_fetch(wnds[g], bases[g], bitpos0[g],
+                           nw=_nw_for(peel + 1)) for g in range(G)]
+        ac_tabs, oks, st0 = [], [], []
+        for g in range(G):
+            if period > 1:
+                pos = jax.lax.rem(phase_l[:, L(g)] + (c * chunk + j),
+                                  jnp.int32(period))
+                dcs, acs, _cmp = _lane_pattern(sampling, pos)
+                dc_t = _tables_dyn(*gtabs[g], dcs)
+                ac_t = _tables_dyn(*gtabs[g], acs)
+            else:
+                dc_t = _tables_static(*gtabs[g], 0)
+                ac_t = _tables_static(*gtabs[g], 1)
+            ac_tabs.append(ac_t)
+            live_l = (bitpos0[g] < limit_l[:, L(g)]) & \
+                (st_ref[5:6, L(g)] == 0)
+            peek = _peek_from(gf[g][0], gf[g][1], bitpos0[g])
+            sym, ln = _decode_symbol_core(peek, *dc_t)
+            size = sym & 15
+            ok = live_l & (ln < 17)
+            badf = live_l & (ln >= 17)
+            oks.append(ok)
+            st0.append([(~ok).astype(jnp.int32),
+                        jnp.ones((1, _LG), jnp.int32),
+                        bitpos0[g] + jnp.where(ok, ln + size, 0),
+                        badf.astype(jnp.int32)])
         for _ in range(peel):
-            st0 = ac_sym(*st0, wc0, wb0)
+            for g in range(G):
+                st0[g] = ac_sym(g, *st0[g], gf, ac_tabs)
 
         # int32 0/1 carries, never bool (see the _hd_kernel NOTE: Mosaic
         # cannot legalize scf.yield with i1 vector loop carries)
         def cond(carry):
-            done, _, _, _ = carry
-            return jnp.any(done == 0)
+            return jnp.any(jnp.concatenate(
+                [carry[4 * g] for g in range(G)], axis=1) == 0)
 
-        def body(carry):
-            done, slot, bp, badacc = carry
-            ensure_window(bp)  # one refill check per _SYM_GROUP group
-            wc, wb = _group_fetch(wnd_ref[:], st_ref[4:5, :], bp)
-            st = [done, slot, bp, badacc]
+        def body(carry, ac_tabs=ac_tabs):
+            st = [list(carry[4 * g:4 * g + 4]) for g in range(G)]
+            refill_all([st[g][2] for g in range(G)])
+            wnds = [wnd_ref[L(g), :] for g in range(G)]
+            bases = [st_ref[4:5, L(g)] for g in range(G)]
+            gf = [_group_fetch(wnds[g], bases[g], st[g][2])
+                  for g in range(G)]
             for _ in range(_SYM_GROUP):
-                st = ac_sym(*st, wc, wb)
-            return tuple(st)
+                for g in range(G):
+                    st[g] = ac_sym(g, *st[g], gf, ac_tabs)
+            return tuple(x for g in range(G) for x in st[g])
 
-        _, _, bitpos, badi = jax.lax.while_loop(cond, body, tuple(st0))
-        badf = badi != 0
-        st_ref[0:1, :] = jnp.where(ok & ~badf, bitpos, bitpos0)
-        st_ref[3:4, :] = st_ref[3:4, :] + (ok & ~badf).astype(jnp.int32)
-        st_ref[5:6, :] = st_ref[5:6, :] | badi
+        carry = tuple(x for g in range(G) for x in st0[g])
+        out = jax.lax.while_loop(cond, body, carry)
+        for g in range(G):
+            bitpos = out[4 * g + 2]
+            badi = out[4 * g + 3]
+            okf = oks[g] & (badi == 0)
+            st_ref[0:1, L(g)] = jnp.where(okf, bitpos, bitpos0[g])
+            st_ref[3:4, L(g)] = st_ref[3:4, L(g)] + okf.astype(jnp.int32)
+            st_ref[5:6, L(g)] = st_ref[5:6, L(g)] | badi
 
     pos_ref[0:1, :] = st_ref[0:1, :]
     pos_ref[1:2, :] = st_ref[3:4, :]
@@ -736,40 +746,49 @@ def scan_positions(streams, maxc, delt, hvp, entry, limit,
     cap_p = -(-cap_blocks // chunk) * chunk
     if phase is None:
         phase = jnp.zeros((1, Sp), jnp.int32)
+    # interleave independent 128-lane groups (same selection rule and
+    # rationale as decode_segments — see _hd_kernel)
+    G = 1
+    for cand in _G_CANDS:
+        if (Sp // _LG) % cand == 0 and \
+                cand * _LG * max_words * 4 <= 4 << 20:
+            G = cand
+            break
+    GL = G * _LG
     kernel = functools.partial(
         _scan_kernel, sampling=sampling, chunk=chunk, max_words=max_words,
-        peel_luma=_PEEL_SCAN)
+        peel_luma=_PEEL_SCAN, groups=G)
     pos = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Sp // _LG * 8, _LG), jnp.int32),
-        grid=(Sp // _LG, cap_p // chunk),
+        out_shape=jax.ShapeDtypeStruct((Sp // GL * 8, GL), jnp.int32),
+        grid=(Sp // GL, cap_p // chunk),
         in_specs=[
-            pl.BlockSpec((_LG, max_words), lambda g, c: (g, 0),
+            pl.BlockSpec((GL, max_words), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((64, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LG, 256), lambda g, c: (g, 0),
+            pl.BlockSpec((GL, 256), lambda g, c: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LG), lambda g, c: (0, g),
+            pl.BlockSpec((1, GL), lambda g, c: (0, g),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, _LG), lambda g, c: (g, 0),
+        out_specs=pl.BlockSpec((8, GL), lambda g, c: (g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((8, _LG), jnp.int32),
-                        pltpu.VMEM((_LG, _WNDW), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((8, GL), jnp.int32),
+                        pltpu.VMEM((GL, _WNDW), jnp.int32)],
         interpret=interpret,
     )(jnp.asarray(streams, jnp.int32), *_prep_tables((maxc, delt, hvp)),
       jnp.asarray(entry, jnp.int32), jnp.asarray(limit, jnp.int32),
       jnp.asarray(phase, jnp.int32))
-    pos = pos.reshape(Sp // _LG, 8, _LG)
+    pos = pos.reshape(Sp // GL, 8, GL)
     exits = pos[:, 0, :].reshape(Sp)
     counts = pos[:, 1, :].reshape(Sp)
     bad = pos[:, 2, :].reshape(Sp)

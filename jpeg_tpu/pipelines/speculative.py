@@ -96,6 +96,7 @@ def _spec_scans(scan_list, interpret: bool = False,
 
     rows, quads, chain = [], [], []     # chain[k] = scan index of lane k
     starts_l, limits_l, need = [], [], []
+    phase0_l = []
     for entropy, quad, nblk in scan_list:
         segs = hd.unstuff_segments(entropy)
         if len(segs) != 1:
@@ -110,6 +111,11 @@ def _spec_scans(scan_list, interpret: bool = False,
             chain.append(len(need))
             starts_l.append(int(s))
             limits_l.append(8 * int(e - s))
+            # initial MCU-phase prior: blocks are ~uniform in bytes, so
+            # a byte-proportional guess usually lands within a repair
+            # round of the truth (heads are exact; the fixpoint corrects
+            # any miss)
+            phase0_l.append(int(round(s * nblk / max(nbytes, 1))))
         need.append(int(nblk))
     S = len(rows)
     if S < min_lanes:
@@ -135,10 +141,14 @@ def _spec_scans(scan_list, interpret: bool = False,
     avg = max(1, sum(need) // S)
     # pow2 bucket: every distinct (cap, max_words, nblk_seg) triple is a
     # fresh Mosaic compile (~30 s on the tunneled chip) — quantize so
-    # same-ballpark streams share executables
-    cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
+    # same-ballpark streams share executables.  3x the average blocks
+    # per lane: the positions grid length IS the cap, and the r5
+    # breakdown showed the old 6x margin doubled every round's wall for
+    # no benefit (equal-byte chunks vary maybe +-50% in blocks; runaway
+    # garbage lanes hit the cap and trigger the 4x retry either way)
+    cap = 1 << int(np.ceil(np.log2(max(64, 3 * avg))))
     entries = 8 * starts.copy()          # absolute bit guesses
-    phases = np.zeros(S, np.int64)       # MCU phase guesses (heads: true)
+    phases = np.asarray(phase0_l, np.int64) % period  # prior; heads true
     rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
     for _attempt in range(2):
         converged = False
@@ -278,7 +288,8 @@ _ST_RUN, _ST_OK, _ST_CAPPED, _ST_BROKEN, _ST_BADCOUNT = 0, 1, 2, 3, 4
 def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
                head_t: tuple, tail_t: tuple, chain_t: tuple,
                need_t: tuple, sampling: str, cap: int, max_words: int,
-               rounds: int, recon_key, interpret: bool):
+               rounds: int, recon_key, interpret: bool,
+               phase0_t: tuple = ()):
     """Build (and cache) the fused speculative-decode executable for one
     static geometry.  ``recon_key`` describes the reconstruction:
     ("interleaved", samp, mx, my, H, W) or ("scans", spec-tuples...) —
@@ -341,7 +352,8 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
                     bd.astype(jnp.int32), status, r + 1)
 
         entries0 = starts8_d
-        phases0 = jnp.zeros((S,), jnp.int32)
+        phases0 = (jnp.asarray(np.asarray(phase0_t, np.int32) % period)
+                   if phase0_t else jnp.zeros((S,), jnp.int32))
         z = jnp.zeros((S,), jnp.int32)
         entries, phases, ct, _bd, status, _r = jax.lax.while_loop(
             cond, body, (entries0, phases0, z, z,
@@ -537,6 +549,7 @@ def _spec_scans_fused(ps, interpret: bool = False,
 
     rows, quads, chain = [], [], []
     starts_l, limits_l, need = [], [], []
+    phase0_l = []
     for p in ps:
         for entropy, quad, nblk in p["scan_list"]:
             segs = hd.unstuff_segments(entropy)
@@ -552,6 +565,8 @@ def _spec_scans_fused(ps, interpret: bool = False,
                 chain.append(len(need))
                 starts_l.append(int(s))
                 limits_l.append(8 * int(e - s))
+                phase0_l.append(
+                    int(round(s * nblk / max(nbytes, 1))))  # phase prior
             need.append(int(nblk))
     S = len(rows)
     if S < min_lanes:
@@ -571,7 +586,7 @@ def _spec_scans_fused(ps, interpret: bool = False,
     limits[0, :S] = limits_l
 
     avg = max(1, sum(need) // S)
-    cap = 1 << int(np.ceil(np.log2(max(64, 6 * avg))))
+    cap = 1 << int(np.ceil(np.log2(max(64, 3 * avg))))  # see _spec_scans
     rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
 
     d_streams = jnp.asarray(streams)
@@ -581,7 +596,8 @@ def _spec_scans_fused(ps, interpret: bool = False,
         fn = _fused_jit(S, Sp, tuple(starts_l), tuple(limits_l),
                         tuple(head.tolist()), tuple(tail.tolist()),
                         tuple(chain), tuple(need), sampling, cap,
-                        max_words, rounds, tuple(recon_keys), interpret)
+                        max_words, rounds, tuple(recon_keys), interpret,
+                        phase0_t=tuple(phase0_l))
         out = jax.device_get(fn(d_streams, *d_tabs, d_limits, *quants))
         imgs, status = out
         status = int(status)
