@@ -33,11 +33,15 @@ def main():
 
     from bench import _load_batch
 
-    batch_np = _load_batch()
-    B, h, w = batch_np.shape[:3]
-    mp = B * h * w / 1e6
+    batch16 = _load_batch()
+    h, w = batch16.shape[1:3]
 
-    for spi in (2, 8, 40, 80):
+    # (images, segs/image): spi caps at the 40 MCU rows; the >640-lane
+    # point doubles the batch instead (2 sequential grid passes at G=5)
+    for B, spi in ((16, 2), (16, 8), (16, 40), (32, 40)):
+        batch_np = (batch16 if B == 16 else
+                    np.concatenate([batch16, batch16[:, ::-1]], axis=0))
+        mp = B * h * w / 1e6
         enc = FastBatchEncoder(
             h, w, config=EncodeConfig(scan_layout="interleaved",
                                       huffman="fixed"),

@@ -733,29 +733,38 @@ class FastBatchEncoder:
                     yield from self._fetch_assemble_many(g)
             return
 
+        import threading
+
         analyzed = []          # (fields, hist) awaiting the batched sync
-        staged = None          # previous super-batch: (fields list, stacked h)
+        staged = None          # previous super-batch: (fields list, fetch)
         ready = collections.deque()   # packed, awaiting fetch+assembly
 
         def stage():
             """Two-deep super-batch pipeline step: start the current
-            super-batch's stacked histogram transfer (async when the
-            backend supports it) and consume the PREVIOUS one — its
-            device->host copy has had a whole super-batch of device work
-            to hide behind."""
+            super-batch's stacked histogram transfer in a BACKGROUND
+            THREAD (the device->host copy releases the GIL, so the
+            link round trip genuinely overlaps the next super-batch's
+            host work and enqueues — ``copy_to_host_async`` is
+            best-effort-only on some transports, see CLAUDE.md) and
+            consume the PREVIOUS one, whose fetch has had a whole
+            super-batch to complete."""
             nonlocal staged
             nxt = None
             if analyzed:
                 hs = jnp.stack([h for _, h in analyzed])
-                try:
-                    hs.copy_to_host_async()
-                except Exception:  # best-effort hint (see CLAUDE.md)
-                    pass
-                nxt = ([f for f, _ in analyzed], hs)
+                box = {}
+
+                def fetch(hs=hs, box=box):
+                    box["h"] = np.asarray(hs)
+
+                th = threading.Thread(target=fetch)
+                th.start()
+                nxt = ([f for f, _ in analyzed], th, box)
                 analyzed.clear()
             if staged is not None:
-                fields_list, hs_prev = staged
-                for fields, h_np in zip(fields_list, np.asarray(hs_prev)):
+                fields_list, th_prev, box_prev = staged
+                th_prev.join()
+                for fields, h_np in zip(fields_list, box_prev["h"]):
                     tables, luts = self._build_tables_batch(h_np)
                     words, totals = self._pack_only(fields,
                                                     jnp.asarray(luts))
