@@ -62,6 +62,14 @@ class EncodeConfig:
                     (``main/encoder.c:360-381``).
       * "fixed"   — T.81 Annex K.3 typical tables; avoids the per-image
                     device->host histogram sync (batch fast path).
+      * "dynamic-sampled" — per-image K.2 tables from a 1/4-sampled
+                    symbol histogram with +1 smoothing on every bin (so
+                    every symbol keeps a code — the stream stays legal
+                    even for symbols the sample missed).  Identical
+                    PSNR to "dynamic" (same quantization), compressed
+                    size typically within ~1%, and the dominant
+                    dynamic-only device cost (the exact histogram)
+                    drops ~4x.  FastBatchEncoder fast path only.
 
     restart_interval_mcu_rows: if > 0, emit DRI and an RSTn marker every N
     MCU rows (interleaved: 16px MCU rows; 3scan: 8px block rows per
@@ -71,7 +79,7 @@ class EncodeConfig:
 
     quality: int | None = None
     scan_layout: ScanLayout = "3scan"
-    huffman: Literal["dynamic", "fixed"] = "dynamic"
+    huffman: Literal["dynamic", "fixed", "dynamic-sampled"] = "dynamic"
     # Chroma subsampling: "420" (the reference's only mode), "422"
     # (horizontal-only; 16x8 MCUs), or "444" (full-resolution chroma;
     # 8x8 MCUs).
@@ -98,7 +106,7 @@ class EncodeConfig:
         # differ — T.81 allows DRI changes between scans)
         if self.scan_layout not in ("3scan", "interleaved"):
             raise ValueError(f"unknown scan_layout {self.scan_layout!r}")
-        if self.huffman not in ("dynamic", "fixed"):
+        if self.huffman not in ("dynamic", "fixed", "dynamic-sampled"):
             raise ValueError(f"unknown huffman mode {self.huffman!r}")
         if self.subsampling not in ("420", "422", "444"):
             raise ValueError(f"unknown subsampling {self.subsampling!r}")

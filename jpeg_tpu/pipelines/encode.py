@@ -123,6 +123,10 @@ class JpegEncoder:
         self._luma_q, self._chroma_q = T.quant_tables(self.config.quality)
         self._luma_q_dev = jnp.asarray(self._luma_q)
         self._chroma_q_dev = jnp.asarray(self._chroma_q)
+        # "dynamic-sampled" deliberately falls through to EXACT dynamic
+        # here: sampling only pays off on the batch fast path's device
+        # histograms (FastBatchEncoder); exact tables are a strict
+        # superset of the sampled contract (legal stream, same PSNR)
         self._fixed = fixed_tables() if self.config.huffman == "fixed" else None
 
     # -- helpers ---------------------------------------------------------

@@ -87,6 +87,24 @@ def luma_mask(mps: int, y_per_mcu: int = 4):
 _HIST_OH_BUDGET = 1 << 30
 
 
+def _possible_symbols():
+    """(dc, ac) 0/1 masks of the symbols baseline streams can emit given
+    the [-2048, 2047] coefficient clip (main/encoder.c:109): DC classes
+    0..12 (diffs span +-4095) and AC (run<<4|size) with size 1..11,
+    plus EOB (0x00) and ZRL (0xF0)."""
+    dc = np.zeros(256, np.int64)
+    dc[:13] = 1
+    ac = np.zeros(256, np.int64)
+    ac[0] = ac[0xF0] = 1
+    for run in range(16):
+        for size in range(1, 12):
+            ac[(run << 4) | size] = 1
+    return dc, ac
+
+
+_DC_POSSIBLE, _AC_POSSIBLE = _possible_symbols()
+
+
 def hist_1024_t(idx_t, n_images: int):
     """Transposed slot indices [64, n_images*n] -> [n_images, 1024] hists.
 
@@ -317,6 +335,14 @@ class FastBatchEncoder:
         if self.config.huffman == "fixed":
             self._fixed = fixed_tables()
             self._fixed_lut = jnp.asarray(klut.build_combined_lut(self._fixed))
+        # "dynamic-sampled": per-image K.2 tables from a 1/5-sampled
+        # histogram (+1-smoothed so every symbol keeps a code); ~4-5x
+        # less of the dominant dynamic-only device cost for ~1% size
+        self._sampled = self.config.huffman == "dynamic-sampled"
+        if self._sampled and self.config.dtype == "float64":
+            raise ValueError("dynamic-sampled requires the f32 fast path"
+                             " (exact mode exists for byte parity — "
+                             "sampling would defeat it)")
         self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
         self._is_luma_seg = np.tile(
             np.array([1] * self.y_per_mcu + [0, 0], np.int32),
@@ -553,7 +579,7 @@ class FastBatchEncoder:
                     self.width // 16, self._seg_h_pad // 16, self.sampling,
                     interpret=self.interpret, real_height=self._seg_h,
                     n_segs=1, emit_fields=True)
-            h = hist_1024_t(pf & 1023, B)
+            h = hist_1024_t(self._hist_src(pf, B) & 1023, B)
             return (pf,), h
         px = analyze_px(rgbs, self.mcus_x, self.mcus_y, self.n_segs,
                         sampling=self.sampling)
@@ -562,8 +588,24 @@ class FastBatchEncoder:
             self._dct_m, self._dct_bias, self._ql_zz, self._qc_zz,
             px, B * S, self.y_per_mcu + 2, self.y_per_mcu,
             interpret=self.interpret)
-        h = hist_1024_t(idx_t, B)
+        h = hist_1024_t(self._hist_src(idx_t, B), B)
         return (px,), h
+
+    # block stride of the "dynamic-sampled" histogram: coprime to every
+    # MCU period (6/4/3), so all component positions are sampled evenly
+    _SAMPLE_STRIDE = 5
+
+    def _hist_src(self, idx_t, B: int):
+        """Histogram feed: full field, or a per-image strided block
+        subsample in "dynamic-sampled" mode (reshape keeps each image's
+        samples in its own contiguous run — hist_1024_t splits images
+        by equal spans)."""
+        if not self._sampled:
+            return idx_t
+        r, total = idx_t.shape
+        n = total // B
+        return idx_t.reshape(r, B, n)[:, :, ::self._SAMPLE_STRIDE] \
+            .reshape(r, -1)
 
     def _pack_only_fn(self, fields, lut_per_image):
         """Dynamic-table stage 2: per-image-LUT fused attach + pack."""
@@ -626,11 +668,14 @@ class FastBatchEncoder:
         return jnp.asarray(
             rgbs.reshape(rgbs.shape[0], self.height, self.width * 3))
 
-    def _build_tables_batch(self, h_np):
+    def _build_tables_batch(self, h_np, smooth: bool = False):
         """Per-image K.2 table builds + combined LUTs from [B, 1024] hists.
 
         All 4B tables build in one native batch call (C++ K.2; the Python
         builder at ~6 ms/table was the dominant host cost of dynamic mode).
+        ``smooth`` adds +1 to every symbol bin ("dynamic-sampled" mode):
+        a symbol the sample missed still gets a code, so the stream stays
+        legal for any content at a negligible table-optimality cost.
         """
         from ..huffman.build import build_tables_batch
         B = h_np.shape[0]
@@ -644,6 +689,15 @@ class FastBatchEncoder:
         freqs[:, 1, :256] = hb[:, 2]  # luma_ac
         freqs[:, 2, :256] = hb[:, 1]  # chroma_dc
         freqs[:, 3, :256] = hb[:, 0]  # chroma_ac
+        if smooth:
+            # floor only symbols that CAN occur (coefficients clip to
+            # [-2048, 2047] -> AC size <= 11, DC class <= 12, plus
+            # EOB/ZRL): an all-256 floor would bloat every DHT with
+            # codes for impossible symbols (~1 KB/image measured)
+            freqs[:, 0, :256] += _DC_POSSIBLE
+            freqs[:, 2, :256] += _DC_POSSIBLE
+            freqs[:, 1, :256] += _AC_POSSIBLE
+            freqs[:, 3, :256] += _AC_POSSIBLE
         tabs = build_tables_batch(freqs.reshape(B * 4, 257))
         tables = []
         luts = np.empty((B, 1024), np.int32)
@@ -662,7 +716,8 @@ class FastBatchEncoder:
         the per-image-LUT pack.  Outputs stay on device.
         """
         fields, h = self._analyze_hist(self._check_batch(rgbs))
-        tables, luts = self._build_tables_batch(np.asarray(h))
+        tables, luts = self._build_tables_batch(np.asarray(h),
+                                                smooth=self._sampled)
         words, totals = self._pack_only(fields, jnp.asarray(luts))
         return words, totals, tables
 
@@ -765,7 +820,8 @@ class FastBatchEncoder:
                 fields_list, th_prev, box_prev = staged
                 th_prev.join()
                 for fields, h_np in zip(fields_list, box_prev["h"]):
-                    tables, luts = self._build_tables_batch(h_np)
+                    tables, luts = self._build_tables_batch(
+                        h_np, smooth=self._sampled)
                     words, totals = self._pack_only(fields,
                                                     jnp.asarray(luts))
                     ready.append((words, totals, tables))

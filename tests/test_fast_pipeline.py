@@ -179,3 +179,40 @@ def test_hist_1024_matches_bincount():
     want2 = np.bincount(idx2.ravel(), minlength=1024)[None]
     got2 = np.asarray(F.hist_1024_t(jnp.asarray(idx2), B2))
     np.testing.assert_array_equal(got2[:, :1023], want2[:, :1023])
+
+
+def test_dynamic_sampled_mode():
+    """huffman='dynamic-sampled': per-image K.2 tables from a 1/5-sampled
+    +1-smoothed histogram.  Decoded pixels must be IDENTICAL to exact
+    dynamic mode (same quantization), every emitted symbol must have a
+    code (the smoothing guarantee), and the size cost must be small."""
+    from jpeg_tpu.golden import decoder as gdec
+
+    rng = np.random.default_rng(17)
+    yy, xx = np.mgrid[0:128, 0:128]
+    base = ((yy // 16 + xx // 16) % 2) * 160 + 40
+    img = np.clip(np.stack([base, 255 - base, xx % 256], axis=-1)
+                  + rng.integers(-25, 26, (128, 128, 3)),
+                  0, 255).astype(np.uint8)
+    batch = np.stack([img, img[:, ::-1]])
+    cfg_s = EncodeConfig(scan_layout="interleaved",
+                         huffman="dynamic-sampled")
+    cfg_d = EncodeConfig(scan_layout="interleaved", huffman="dynamic")
+    got_s = FastBatchEncoder(128, 128, config=cfg_s,
+                             interpret=True).encode_batch(batch)
+    got_d = FastBatchEncoder(128, 128, config=cfg_d,
+                             interpret=True).encode_batch(batch)
+    for ds, dd, im in zip(got_s, got_d, batch):
+        ps = gdec.decode(bytes(ds))
+        pd = gdec.decode(bytes(dd))
+        assert np.array_equal(ps, pd)  # same quantization -> same pixels
+        # near-optimal tables: the extra cost is the +1-floored DHT
+        # (bounded ~450 B of extra symbol codes) plus ~2% of entropy
+        assert len(ds) <= len(dd) * 1.03 + 600
+
+
+def test_dynamic_sampled_rejects_f64():
+    with pytest.raises(ValueError, match="dynamic-sampled"):
+        FastBatchEncoder(64, 64, config=EncodeConfig(
+            scan_layout="interleaved", huffman="dynamic-sampled",
+            dtype="float64"), interpret=True)
