@@ -62,14 +62,15 @@ class EncodeConfig:
                     (``main/encoder.c:360-381``).
       * "fixed"   — T.81 Annex K.3 typical tables; avoids the per-image
                     device->host histogram sync (batch fast path).
-      * "dynamic-sampled" — per-image K.2 tables from a 1/4-sampled
-                    symbol histogram with +1 smoothing on every bin (so
-                    every symbol keeps a code — the stream stays legal
-                    even for symbols the sample missed).  Identical
-                    PSNR to "dynamic" (same quantization), compressed
-                    size typically within ~1%, and the dominant
-                    dynamic-only device cost (the exact histogram)
-                    drops ~4x.  FastBatchEncoder fast path only.
+      * "dynamic-sampled" — per-image K.2 tables from a 1/5-sampled
+                    symbol histogram with a +1 floor on every possible
+                    symbol (so a symbol the sample missed still keeps
+                    a code — the stream stays legal for any content).
+                    Identical PSNR to "dynamic" (same quantization),
+                    compressed size typically within ~1%, and the
+                    dominant dynamic-only device cost (the exact
+                    histogram) drops ~5x.  FastBatchEncoder fast path
+                    only (JpegEncoder treats it as exact dynamic).
 
     restart_interval_mcu_rows: if > 0, emit DRI and an RSTn marker every N
     MCU rows (interleaved: 16px MCU rows; 3scan: 8px block rows per

@@ -534,14 +534,19 @@ def mega_fits(mx: int, sampling: str, seg_rows: int) -> bool:
 
 
 def analyze_fits(mx: int, sampling: str, n_outputs: int = 1) -> bool:
-    """VMEM-estimate gate for the xt-emitting front kernels
+    """VMEM-estimate gate for the index/xt-emitting front kernels
     (``front_analyze`` / ``front_index``): consts + double-buffered
     input + in-kernel xt assembly + ``n_outputs`` double-buffered
-    [64, sc] output blocks."""
+    [64, sc_p] output blocks + the symbolize chunk intermediates.
+    These kernels have no resident words buffer, so they fit wider
+    slabs than the place mega kernel — but NOT unboundedly (the r5
+    review caught stage-1 ``front_index`` ungated past W≈3500)."""
     sc = slab_cols(mx, sampling)
+    sc_p, cbp = _pick_slab_pad(sc)
     est = (_const_bytes(mx, sampling) + 2 * 128 * 16 * mx * 3
-           + 2 * 64 * sc * 4
-           + n_outputs * 2 * 64 * sc * 4)
+           + 2 * 64 * sc_p * 4
+           + n_outputs * 2 * 64 * sc_p * 4
+           + 4 * 64 * cbp * 4)
     return est <= _VMEM_EST_LIMIT
 
 

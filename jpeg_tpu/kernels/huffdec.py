@@ -1157,8 +1157,12 @@ def parse_noninterleaved_scans(data: bytes):
 
 def split_segments(entropy: bytes):
     """Entropy-coded bytes of one scan -> list of per-segment byte
-    arrays split at RSTn markers, STILL STUFFED (0xFF00 intact) — the
-    form the speculative lanes consume (they unstuff per chunk)."""
+    arrays split at RSTn markers, STILL STUFFED (0xFF00 intact).
+    Callers that feed the speculative machinery (which unstuffs each
+    whole SEGMENT on the host before chunking it into lanes —
+    ``_spec_scans_fused``) must pass these raw bytes, never
+    already-unstuffed ones: a data byte pair 0xFF 0x00 in unstuffed
+    data would be corrupted by a second unstuff."""
     b = np.frombuffer(entropy, np.uint8)
     if len(b) < 2:
         return [b]

@@ -250,7 +250,12 @@ class ShardedEncoder:
             and kfront.front_eligible(self.slab_h, self.width, sampling,
                                       spd)
             and kfront.aligned_segments(self.slab_h, spd)
-            and seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET)
+            and seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET
+            # both per-device kernels must fit the slab VMEM estimate:
+            # front_place raises past it (callers gate), and the hist
+            # index kernel has its own envelope
+            and kfront.mega_fits(self.width // 16, sampling, seg_rows)
+            and kfront.analyze_fits(self.width // 16, sampling))
         if not use_front:
             import warnings
             warnings.warn(

@@ -364,6 +364,12 @@ class FastBatchEncoder:
                               "Pallas front needs 128-aligned slab "
                               "columns, slab-aligned segments, and "
                               "VMEM room for the xt output")
+            if reason is None and self._front_ok \
+                    and self.config.huffman != "fixed" \
+                    and not self._front_index_ok:
+                reason = ("dynamic stage-1 index kernel exceeds the "
+                          "slab VMEM estimate (the fixed path still "
+                          "rides the mega kernel)")
             if reason is not None:
                 import warnings
                 warnings.warn(
@@ -424,6 +430,18 @@ class FastBatchEncoder:
                 seg_rows_p * 128 * 4 <= kfused._RESIDENT_VMEM_BUDGET and
                 kfront.mega_fits(self.width // 16, self.sampling,
                                  self.seg_rows))
+
+    @property
+    def _front_index_ok(self):
+        """Dynamic stage-1 eligibility: the index kernel (front +
+        symbolize + packed-field emit) has no resident words buffer but
+        its own VMEM envelope — ungated it OOM'd past W≈3500 by the
+        estimator while ``_front_ok`` (which models the place kernel
+        with chunk backoff) still passed."""
+        from ..kernels import front as kfront
+        return (self._front_ok and
+                kfront.analyze_fits(self.width // 16, self.sampling,
+                                    n_outputs=1))
 
     @property
     def _h_pad(self):
@@ -556,7 +574,7 @@ class FastBatchEncoder:
             h = hist_1024_t(idx_t, B)
             return (idx_t, extra_t, extran_t), h
         B, S = rgbs_flat.shape[0], self.n_segs
-        if self._front_ok:
+        if self._front_index_ok:
             # stage 1 emits PACKED symbol fields (idx|extra_n|extra in
             # one int32/slot): the histogram masks pf & 1023, and stage
             # 2 (fused.attach_pack_pf) does NO front/DCT/symbolize
@@ -810,7 +828,10 @@ class FastBatchEncoder:
                 box = {}
 
                 def fetch(hs=hs, box=box):
-                    box["h"] = np.asarray(hs)
+                    try:
+                        box["h"] = np.asarray(hs)
+                    except BaseException as e:  # re-raised at join
+                        box["err"] = e
 
                 th = threading.Thread(target=fetch)
                 th.start()
@@ -819,6 +840,8 @@ class FastBatchEncoder:
             if staged is not None:
                 fields_list, th_prev, box_prev = staged
                 th_prev.join()
+                if "err" in box_prev:  # surface the REAL device/link
+                    raise box_prev["err"]  # error, not a KeyError
                 for fields, h_np in zip(fields_list, box_prev["h"]):
                     tables, luts = self._build_tables_batch(
                         h_np, smooth=self._sampled)

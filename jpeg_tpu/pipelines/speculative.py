@@ -190,7 +190,11 @@ def _spec_scans(scan_list, interpret: bool = False,
             new[1:][upd] = np.where(in_range, prop, lo)[upd]
             newp = phases.copy()
             prop_p = (phases[:-1] + counts[:-1]) % period
-            newp[1:][upd] = np.where(in_range, prop_p, 0)[upd]
+            # out-of-range resets go back to the lane's phase PRIOR
+            # (entry resets to the chunk start)
+            phases_prior = np.asarray(phase0_l, np.int64) % period
+            newp[1:][upd] = np.where(in_range, prop_p,
+                                     phases_prior[1:])[upd]
             fix = (new == entries).all() and (newp == phases).all()
             if fix and in_range[upd].all() and not bad[~tail].any():
                 converged = True
@@ -313,6 +317,9 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
         def expand(v):  # [S] -> [1, Sp]
             return jnp.zeros((1, Sp), jnp.int32).at[0, :S].set(v)
 
+        phases0 = (jnp.asarray(np.asarray(phase0_t, np.int32) % period)
+                   if phase0_t else jnp.zeros((S,), jnp.int32))
+
         def positions(entries_abs, phases):
             ex, ct, bd = hd.scan_positions(
                 streams, maxc, delt, hvp,
@@ -337,8 +344,13 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
                  (propm1 <= starts8_d + 8 * _SLACK)
             new = jnp.where(upd, jnp.where(ir, propm1, starts8_d),
                             entries)
+            # out-of-range lanes reset to their ORIGINAL start, so the
+            # phase resets to the lane's byte-proportional prior (not
+            # 0 — that would discard the prior exactly when a repair
+            # round needs it)
             newp = jnp.where(upd,
-                             jnp.where(ir, (phm1 + ctm1) % period, 0),
+                             jnp.where(ir, (phm1 + ctm1) % period,
+                                       phases0),
                              phases)
             fix = (new == entries).all() & (newp == phases).all()
             ok = jnp.where(upd, ir, True).all() & \
@@ -352,8 +364,6 @@ def _fused_jit(S: int, Sp: int, starts_t: tuple, limits_t: tuple,
                     bd.astype(jnp.int32), status, r + 1)
 
         entries0 = starts8_d
-        phases0 = (jnp.asarray(np.asarray(phase0_t, np.int32) % period)
-                   if phase0_t else jnp.zeros((S,), jnp.int32))
         z = jnp.zeros((S,), jnp.int32)
         entries, phases, ct, _bd, status, _r = jax.lax.while_loop(
             cond, body, (entries0, phases0, z, z,

@@ -47,6 +47,32 @@ def test_pseudo_segment_parity(huff):
     assert bytes(got[1]) == bytes(ref.encode(img[::-1]))
 
 
+@pytest.mark.parametrize("samp,h,segs", [
+    ("422", 192, 3),   # 8-px MCU rows: 24 rows / 3 segs = 64-px segments
+    ("444", 320, 5),   # 40 rows / 5 segs = 64-px segments
+])
+def test_pseudo_segment_non420(samp, h, segs):
+    """Pseudo-segment mode across the other chroma modes: the per-
+    sampling PERIOD/YPM block patterns and DC chains must survive the
+    per-segment pseudo-image split byte-exactly."""
+    w = 128
+    img = _img(h, w, seed=11)
+    rows = {"422": 8, "444": 8}[samp]
+    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+                       subsampling=samp,
+                       restart_interval_mcu_rows=(h // rows) // segs)
+    fast = FastBatchEncoder(h, w, config=cfg, segs_per_image=segs,
+                            interpret=True)
+    assert fast._front_ok and not fast._front_aligned
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
+                                   huffman="fixed", subsampling=samp,
+                                   restart_interval_mcu_rows=(h // rows)
+                                   // segs,
+                                   engine="xla")).encode(img)
+    assert bytes(got[0]) == bytes(ref)
+
+
 def test_pseudo_segment_unaligned_columns_dynamic():
     """Pseudo-segment mode with slab columns NOT 128-aligned (W=96 ->
     sc=288 -> phantom-padded to 384): the packed-field handoff must
