@@ -25,12 +25,16 @@ subsampling reproduces the truncating averages exactly (all
 intermediate sums are small integers, exact in f32).  Reference
 behavior: utils/original.c:372-404, main/encoder.c:133-138.
 
-Coverage: 4:2:0 / 4:2:2 / 4:4:4, interleaved, W % 128 == 0 up to 4096
-(1024-px strips bound the permutation matrices), any MCU-granular
-height (rows pad to 128-row slabs; the tail masks via ``real_nblk``),
-and multi-segment restart streams whose boundaries fall on slab edges.
-``front_eligible`` gates callers; everything else falls back to the
-XLA front.
+Coverage: 4:2:0 / 4:2:2 / 4:4:4, interleaved, any W % 16 == 0 within
+the slab VMEM estimate (``mega_vmem_bytes`` — uniform strips bound the
+permutation matrices; the slab xt bounds the width to ~3840 for the
+place mega kernel on the 16 MB scoped VMEM), any MCU-granular height
+(rows pad to 128-row slabs; the tail masks via ``real_nblk``), and
+multi-segment restart streams — slab-edge-aligned directly, any other
+MCU-granular segmentation as per-segment pseudo-images
+(``pipelines.fast._seg_pseudo_batch``).  ``front_eligible`` +
+``mega_fits``/``analyze_fits`` gate callers; everything else falls
+back to the XLA front with a warning.
 """
 from __future__ import annotations
 
@@ -145,6 +149,15 @@ def _consts_np(mx: int, sampling: str):
         for c in range(3):
             sel[3 * j + c, c * 128 + j] = 1.0
     mats["sel"] = sel
+    # Row interleave of 8 stacked [8, cols] pieces -> out[r] =
+    # stacked[(r%8)*8 + r//8]: ONE [64, 64] permutation matmul on the
+    # MXU replaces the 8 repeat+where passes of the old
+    # _row_interleave8 (r5; bit-exact — 0/1 matrix on integer pixel
+    # values <= 256, the front's standard bf16-exactness rule).
+    il8 = np.zeros((64, 64), np.float32)
+    for i in range(64):
+        il8[i, (i % 8) * 8 + i // 8] = 1.0
+    mats["il8"] = il8
     if sampling in ("420", "422"):
         # Y lane perm: (m, dh, px) -> (px, m, dh).
         mats["r1y"] = _perm(W, [
@@ -245,23 +258,23 @@ def _b16(x, bf16: bool = True):
     return x.astype(jnp.bfloat16) if bf16 else x
 
 
-def _row_interleave8(pieces, rows, cols):
-    """8 x [rows, cols] -> [8*rows, cols] with out[r] = pieces[r % 8][r // 8]."""
-    su = jax.lax.broadcasted_iota(jnp.int32, (8 * rows, cols), 0)
-    out = jnp.zeros((8 * rows, cols), jnp.float32)
-    for i, p in enumerate(pieces):
-        out = jnp.where(su % 8 == i, jnp.repeat(p, 8, axis=0), out)
-    return out
+def _row_interleave8(pieces, il8, bf16: bool):
+    """8 x [8, cols] -> [64, cols] with out[r] = pieces[r % 8][r // 8]:
+    an aligned row concat + one [64, 64] permutation matmul (``il8``,
+    see ``_consts_np``) — the MXU does the interleave the old 8
+    repeat+mask passes did on the VPU."""
+    stacked = jnp.concatenate(pieces, axis=0)     # [64, cols]
+    return _dot(il8, _b16(stacked, bf16))
 
 
-def _exchange8(p1):
+def _exchange8(p1, il8, bf16: bool):
     """[128, W'] (rows (k16, sub8), lanes (px8, rest)) ->
     [64, 16*W'/8] (rows (sub, px), lanes (k, rest)).
 
     The generic minor-exchange: one XLU transpose, 8 aligned px slices,
     8 more transposes, 16 aligned row slices + lane concat each, and a
-    repeat/mask row interleave.  Every block-relayout variant in this
-    module is this primitive behind a lane permutation.
+    permutation-matmul row interleave.  Every block-relayout variant in
+    this module is this primitive behind a lane permutation.
     """
     Wp = p1.shape[1]
     width = Wp // 8
@@ -273,7 +286,7 @@ def _exchange8(p1):
         ts.append(jnp.concatenate(
             [sT[8 * k:8 * (k + 1)] for k in range(16)], axis=1))
         # [8, 16*width]: rows sub, lanes (k, rest)
-    return _row_interleave8(ts, 8, 16 * width)
+    return _row_interleave8(ts, il8, bf16)
 
 
 def _deint_color(x, sel, W, bf16):
@@ -354,7 +367,7 @@ def _strip_windows(c, x, mx: int, sampling: str, bf16: bool):
 
     if sampling == "420":
         # Y rows (t8, dv, py): k16 = (t, dv); lanes (m, dh, px).
-        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]))
+        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]), c["il8"], bf16)
         # [64, 32mx] rows (py, px), lanes (k=(t,dv), m, dh)
         ypieces = [ey[:, t * 4 * mx:(t + 1) * 4 * mx] for t in range(8)]
 
@@ -371,7 +384,7 @@ def _strip_windows(c, x, mx: int, sampling: str, bf16: bool):
                 sT = s.T                                 # [64, mx]
                 ts.append(jnp.concatenate(
                     [sT[8 * t:8 * (t + 1)] for t in range(8)], axis=1))
-            zb = _row_interleave8(ts, 8, 8 * mx)         # rows (prow, pcol)
+            zb = _row_interleave8(ts, c["il8"], bf16)    # rows (prow, pcol)
             return [zb[:, t * mx:(t + 1) * mx] for t in range(8)]
 
         cbp, crp = cpath(cb), cpath(cr)
@@ -383,14 +396,15 @@ def _strip_windows(c, x, mx: int, sampling: str, bf16: bool):
             windows.append(w)                            # [64, 6mx]
     elif sampling == "422":
         # Y rows (t16, py); lanes (m, dh, px).
-        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]))
+        ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]), c["il8"], bf16)
         # [64, 32mx] rows (py, px), lanes (t16, m, dh)
 
         def cpath(p):
             ps = _dot(_b16(p - 128.0, bf16), c["ps2"])   # pair sums - 256
             csub = jnp.floor((ps + 256.0) * 0.5)         # (a+b)//2, all rows
             c1 = _dot(_b16(csub, bf16), c["r1c"])        # lanes (pcol, m)
-            return _exchange8(c1)   # [64, 16mx] rows (prow, pcol), lanes (t, m)
+            return _exchange8(c1, c["il8"], bf16)
+            # [64, 16mx] rows (prow, pcol), lanes (t, m)
 
         ecb, ecr = cpath(cb), cpath(cr)
         windows = []
@@ -403,7 +417,8 @@ def _strip_windows(c, x, mx: int, sampling: str, bf16: bool):
     else:  # 444
         m8 = W // 8
         ey, ecb, ecr = (
-            _exchange8(_dot(_b16(p, bf16), c["r1y"])) for p in (y, cb, cr))
+            _exchange8(_dot(_b16(p, bf16), c["r1y"]), c["il8"], bf16)
+            for p in (y, cb, cr))
         # each [64, 2W] rows (py, px), lanes (t16, m8)
         windows = []
         for t in range(16):
