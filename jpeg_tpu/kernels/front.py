@@ -548,20 +548,23 @@ def mega_fits(mx: int, sampling: str, seg_rows: int) -> bool:
     return pick_mega_layout(mx, sampling, seg_rows)[2]
 
 
-def analyze_fits(mx: int, sampling: str, n_outputs: int = 1) -> bool:
-    """VMEM-estimate gate for the index/xt-emitting front kernels
-    (``front_analyze`` / ``front_index``): consts + double-buffered
-    input + in-kernel xt assembly + ``n_outputs`` double-buffered
-    [64, sc_p] output blocks + the symbolize chunk intermediates.
-    These kernels have no resident words buffer, so they fit wider
-    slabs than the place mega kernel — but NOT unboundedly (the r5
-    review caught stage-1 ``front_index`` ungated past W≈3500)."""
+def analyze_fits(mx: int, sampling: str, n_outputs: int = 1,
+                 symbolize: bool = True) -> bool:
+    """VMEM-estimate gate for the index/xt-emitting front kernels:
+    consts + double-buffered input + in-kernel xt assembly +
+    ``n_outputs`` double-buffered [64, sc_p] output blocks, plus the
+    symbolize chunk intermediates when the kernel runs the DCT+
+    symbolize chain (``front_index``; ``front_analyze`` emits the raw
+    xt only — pass ``symbolize=False`` so its gate is not ~2 MB too
+    strict).  These kernels have no resident words buffer, so they fit
+    wider slabs than the place mega kernel — but NOT unboundedly (the
+    r5 review caught stage-1 ``front_index`` ungated past W≈3500)."""
     sc = slab_cols(mx, sampling)
     sc_p, cbp = _pick_slab_pad(sc)
     est = (_const_bytes(mx, sampling) + 2 * 128 * 16 * mx * 3
            + 2 * 64 * sc_p * 4
            + n_outputs * 2 * 64 * sc_p * 4
-           + 4 * 64 * cbp * 4)
+           + (4 * 64 * cbp * 4 if symbolize else 0))
     return est <= _VMEM_EST_LIMIT
 
 

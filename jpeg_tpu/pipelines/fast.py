@@ -358,7 +358,8 @@ class FastBatchEncoder:
                 sc = kfront.slab_cols(self.width // 16, self.sampling)
                 if not (self._front_aligned and sc % 128 == 0 and
                         kfront.analyze_fits(self.width // 16,
-                                            self.sampling)):
+                                            self.sampling,
+                                            symbolize=False)):
                     reason = ("mega-kernel VMEM estimate or segment "
                               "words budget exceeded, and the two-phase "
                               "Pallas front needs 128-aligned slab "
@@ -530,7 +531,8 @@ class FastBatchEncoder:
         if (self._front_geom_ok and self._front_aligned and
                 kfront.slab_cols(self.width // 16, self.sampling)
                 % 128 == 0 and
-                kfront.analyze_fits(self.width // 16, self.sampling)):
+                kfront.analyze_fits(self.width // 16, self.sampling,
+                                    symbolize=False)):
             # Pallas front + two-phase entropy: segments too large for the
             # VMEM-resident mega kernel (> ~4 MP/segment).  front_analyze
             # needs 128-aligned slab columns (xt lands in HBM); unaligned

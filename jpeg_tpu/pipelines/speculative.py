@@ -148,7 +148,8 @@ def _spec_scans(scan_list, interpret: bool = False,
     # garbage lanes hit the cap and trigger the 4x retry either way)
     cap = 1 << int(np.ceil(np.log2(max(64, 3 * avg))))
     entries = 8 * starts.copy()          # absolute bit guesses
-    phases = np.asarray(phase0_l, np.int64) % period  # prior; heads true
+    phases_prior = np.asarray(phase0_l, np.int64) % period
+    phases = phases_prior.copy()         # prior; heads true
     rounds = _MAX_ROUNDS if period == 1 else _MAX_ROUNDS_PHASED
     for _attempt in range(2):
         converged = False
@@ -192,7 +193,6 @@ def _spec_scans(scan_list, interpret: bool = False,
             prop_p = (phases[:-1] + counts[:-1]) % period
             # out-of-range resets go back to the lane's phase PRIOR
             # (entry resets to the chunk start)
-            phases_prior = np.asarray(phase0_l, np.int64) % period
             newp[1:][upd] = np.where(in_range, prop_p,
                                      phases_prior[1:])[upd]
             fix = (new == entries).all() and (newp == phases).all()

@@ -97,10 +97,15 @@ class ResilientEncoder:
                 raise RuntimeError(
                     "host fallback covers 4:2:0 only (golden encoder); "
                     f"cannot fall back for subsampling={cfg.subsampling!r}")
+            # the golden encoder knows exact modes only; the sampled
+            # mode's contract is a legal stream with per-image tables,
+            # which exact dynamic strictly satisfies
+            huffman = ("dynamic" if cfg.huffman == "dynamic-sampled"
+                       else cfg.huffman)
             kw = dict(quality=cfg.quality, scan_layout=cfg.scan_layout,
                       restart_interval_mcu_rows=(
                           cfg.restart_interval_mcu_rows or 0),
-                      huffman=cfg.huffman)
+                      huffman=huffman)
         batch = np.asarray(batch)
         if batch.ndim == 3:  # [B, H, W*3] flat-minor layout
             b, h, w3 = batch.shape
