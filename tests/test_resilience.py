@@ -114,3 +114,19 @@ def test_passthrough_with_real_encoder():
     batch = np.stack([_img(seed=7), _img(seed=8)])
     assert enc.encode_batch(batch) == inner.encode_batch(batch)
     assert enc.events == []
+
+
+def test_fallback_maps_dynamic_sampled_to_exact():
+    """The host fallback serves huffman='dynamic-sampled' as exact
+    dynamic (the golden encoder has no sampled mode; exact tables
+    strictly satisfy the sampled contract)."""
+    cfg = EncodeConfig(scan_layout="interleaved",
+                       huffman="dynamic-sampled")
+    enc = ResilientEncoder(_Flaky(fail_times=99), config=cfg, retries=0,
+                           probe_timeout_s=60.0)
+    img = _img(seed=7)
+    out = enc.encode_batch(np.stack([img]))
+    assert out == [bytes(golden_encode(img, quality=None,
+                                       scan_layout="interleaved",
+                                       restart_interval_mcu_rows=0,
+                                       huffman="dynamic"))]
