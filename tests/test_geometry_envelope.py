@@ -176,3 +176,32 @@ def test_speculative_fallback_warns():
     with pytest.warns(UserWarning, match="host entropy decoder"):
         out = decode_jpeg(data, entropy_engine="auto", interpret=True)
     assert out.shape == (16, 16)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_geometry_property(seed):
+    """Seeded randomized sweep over the envelope: random MCU-granular
+    dims, random segmentation, random mode — the fast path (whatever
+    route it takes: mega kernel, pseudo-segments, phantom columns, or
+    XLA fallback) must always match the XLA engine byte-for-byte."""
+    rng = np.random.default_rng(100 + seed)
+    samp = ["420", "422", "444"][seed % 3]
+    mcu_h = 16 if samp == "420" else 8
+    h = int(rng.integers(2, 20)) * mcu_h
+    w = int(rng.integers(2, 14)) * 16
+    mcus_y = h // mcu_h
+    divs = [d for d in range(1, mcus_y + 1) if mcus_y % d == 0]
+    segs = int(rng.choice(divs))
+    huff = ["fixed", "dynamic"][seed % 2]
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    cfg = dict(scan_layout="interleaved", huffman=huff, subsampling=samp,
+               restart_interval_mcu_rows=mcus_y // segs)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # fallbacks are legal here
+        fast = FastBatchEncoder(h, w, config=EncodeConfig(**cfg),
+                                segs_per_image=segs, interpret=True)
+    got = fast.encode_batch(np.stack([img]))
+    ref = JpegEncoder(EncodeConfig(engine="xla", **cfg)).encode(img)
+    assert bytes(got[0]) == bytes(ref), \
+        f"h={h} w={w} segs={segs} {samp} {huff}"
