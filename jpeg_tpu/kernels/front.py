@@ -340,15 +340,54 @@ def _strip_consts(meta, crefs):
     return out
 
 
-def _front_slab(strip_cs, in_ref, sampling: str, bf16: bool):
+def _front_slab(strip_cs, in_ref, sampling: str, bf16: bool,
+                front_stop: str | None = None):
     """One 128-image-row slab -> [64, slab_cols] xt value (pure VMEM).
 
     Wide images process in 1024-px strips (bounding the permutation
     matrices); each strip emits its per-MCU-row windows, assembled in
     (MCU row, strip) order — exactly the interleaved scan's column
     order.
+
+    ``front_stop`` is PROFILING-ONLY (bench/front_profile.py): "deint"
+    truncates after the deinterleave+color phase, "exchange" after the
+    block exchanges, each folding its outputs into a garbage [64, sc]
+    value so Mosaic cannot dead-code the measured phase.  420-only.
     """
     n_t = 8 if sampling == "420" else 16
+    sc = slab_cols(sum(m for m, _ in strip_cs), sampling)
+    if front_stop is not None:
+        assert sampling == "420", "front_stop profiling is 420-only"
+        acc = jnp.float32(0)
+        off = 0
+        for mxs, c in strip_cs:
+            x = in_ref[0][:, off:off + 48 * mxs].astype(
+                jnp.int32).astype(jnp.float32)
+            y, cb, cr = _deint_color(x, c["sel"], 16 * mxs, bf16)
+            if front_stop == "deint":
+                acc = acc + jnp.sum(y) + jnp.sum(cb) + jnp.sum(cr)
+            else:  # "exchange": exchanges included, window dots skipped
+                ey = _exchange8(_dot(_b16(y, bf16), c["r1y"]),
+                                c["il8"], bf16)
+                acc = acc + jnp.sum(ey)
+                for p in (cb, cr):
+                    ps = _dot(_b16(p - 128.0, bf16), c["ps2"])
+                    ps_tot = ps + pltpu.roll(ps, 127, axis=0)
+                    csub = jnp.floor((ps_tot + 512.0) * 0.25)
+                    c1 = _dot(_b16(csub, bf16), c["r1c"])
+                    c2 = _dot(c["lc2"], _b16(c1, bf16))
+                    cT = c2.T
+                    ts = []
+                    for pcol in range(8):
+                        s = cT[pcol * mxs:(pcol + 1) * mxs]
+                        sT = s.T
+                        ts.append(jnp.concatenate(
+                            [sT[8 * t:8 * (t + 1)] for t in range(8)],
+                            axis=1))
+                    acc = acc + jnp.sum(
+                        _row_interleave8(ts, c["il8"], bf16))
+            off += 48 * mxs
+        return jnp.zeros((64, sc), jnp.float32) + acc
     wins = [[] for _ in range(n_t)]
     off = 0
     for mxs, c in strip_cs:
@@ -663,8 +702,12 @@ def _mega_place_kernel(meta, *refs, sampling: str, bf16: bool,
         out_ref[:, :] = jnp.zeros_like(out_ref)
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
 
-    xt = _front_slab(strip_cs, in_ref, sampling, bf16)   # [64, sc]
-    if stop_after == "front":
+    if stop_after in ("front_deint", "front_exchange"):
+        xt = _front_slab(strip_cs, in_ref, sampling, bf16,
+                         front_stop=stop_after.split("_", 1)[1])
+    else:
+        xt = _front_slab(strip_cs, in_ref, sampling, bf16)  # [64, sc]
+    if stop_after in ("front", "front_deint", "front_exchange"):
         out_ref[pl.dslice(0, 1), :] = (
             out_ref[pl.dslice(0, 1), :] + jnp.full(
                 (1, 128),
