@@ -47,18 +47,20 @@ def test_pseudo_segment_parity(huff):
     assert bytes(got[1]) == bytes(ref.encode(img[::-1]))
 
 
+@pytest.mark.parametrize("huff", ["fixed", "dynamic"])
 @pytest.mark.parametrize("samp,h,segs", [
     ("422", 192, 3),   # 8-px MCU rows: 24 rows / 3 segs = 64-px segments
     ("444", 320, 5),   # 40 rows / 5 segs = 64-px segments
 ])
-def test_pseudo_segment_non420(samp, h, segs):
-    """Pseudo-segment mode across the other chroma modes: the per-
-    sampling PERIOD/YPM block patterns and DC chains must survive the
-    per-segment pseudo-image split byte-exactly."""
+def test_pseudo_segment_non420(samp, h, segs, huff):
+    """Pseudo-segment mode across the other chroma modes (fixed AND
+    dynamic — the packed-field handoff): the per-sampling PERIOD/YPM
+    block patterns and DC chains must survive the per-segment
+    pseudo-image split byte-exactly."""
     w = 128
     img = _img(h, w, seed=11)
     rows = {"422": 8, "444": 8}[samp]
-    cfg = EncodeConfig(scan_layout="interleaved", huffman="fixed",
+    cfg = EncodeConfig(scan_layout="interleaved", huffman=huff,
                        subsampling=samp,
                        restart_interval_mcu_rows=(h // rows) // segs)
     fast = FastBatchEncoder(h, w, config=cfg, segs_per_image=segs,
@@ -66,7 +68,7 @@ def test_pseudo_segment_non420(samp, h, segs):
     assert fast._front_ok and not fast._front_aligned
     got = fast.encode_batch(np.stack([img]))
     ref = JpegEncoder(EncodeConfig(scan_layout="interleaved",
-                                   huffman="fixed", subsampling=samp,
+                                   huffman=huff, subsampling=samp,
                                    restart_interval_mcu_rows=(h // rows)
                                    // segs,
                                    engine="xla")).encode(img)
